@@ -1,0 +1,15 @@
+"""duckdb_iceberg_spark — a PySpark-native analytics engine with the
+query/data-processing capabilities of the duckdb/duckdb_iceberg
+reference extension, plus large-scale pipeline operators.
+
+Public API (SURVEY.md §7.1):
+
+    from duckdb_iceberg_spark import iceberg_scan, iceberg_snapshots, iceberg_metadata
+    df = iceberg_scan(spark, "/path/to/table", snapshot_id=..., allow_moved_paths=True)
+"""
+
+from .session import get_spark
+from .sources.iceberg import iceberg_metadata, iceberg_scan, iceberg_snapshots
+
+__all__ = ["get_spark", "iceberg_scan", "iceberg_snapshots", "iceberg_metadata"]
+__version__ = "0.1.0"

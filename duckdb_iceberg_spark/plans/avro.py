@@ -1,0 +1,163 @@
+"""Minimal pure-Python Avro Object Container File reader.
+
+Used for Iceberg manifest-list and manifest files, which are small
+(KBs) and read once on the driver — the reference does the same
+(single-threaded whole-file reads, see reference
+``src/common/iceberg.cpp:41-42,70-71``). Unlike the reference, we do
+NOT hand-write partial Avro schemas: we decode against the writer
+schema embedded in the file header, so every field (partition data,
+column bounds, null counts) is available for pruning.
+
+Supports the full subset of Avro 1.x used by Iceberg metadata:
+records, unions, arrays, maps, all primitives, fixed, enums;
+``null`` and ``deflate`` codecs.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+from typing import Any
+
+_MAGIC = b"Obj\x01"
+
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, data: bytes) -> None:
+        self.buf = data
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        out = self.buf[self.pos : self.pos + n]
+        if len(out) != n:
+            raise EOFError("unexpected end of Avro data")
+        self.pos += n
+        return out
+
+    def read_long(self) -> int:
+        """Zigzag varint decode (Avro int/long share the encoding)."""
+        shift = 0
+        accum = 0
+        buf = self.buf
+        pos = self.pos
+        while True:
+            b = buf[pos]
+            pos += 1
+            accum |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+        self.pos = pos
+        return (accum >> 1) ^ -(accum & 1)
+
+    def read_bytes(self) -> bytes:
+        return self.read(self.read_long())
+
+    def read_string(self) -> str:
+        return self.read_bytes().decode("utf-8")
+
+    def at_end(self) -> bool:
+        return self.pos >= len(self.buf)
+
+
+def _decode(reader: _Reader, schema: Any) -> Any:
+    """Decode one datum of ``schema`` (parsed-JSON Avro schema)."""
+    if isinstance(schema, str):
+        t = schema
+        if t == "null":
+            return None
+        if t == "boolean":
+            return reader.read(1) == b"\x01"
+        if t in ("int", "long"):
+            return reader.read_long()
+        if t == "float":
+            return struct.unpack("<f", reader.read(4))[0]
+        if t == "double":
+            return struct.unpack("<d", reader.read(8))[0]
+        if t == "bytes":
+            return reader.read_bytes()
+        if t == "string":
+            return reader.read_string()
+        raise ValueError(f"unknown Avro primitive {t!r}")
+    if isinstance(schema, list):  # union: long index then value
+        return _decode(reader, schema[reader.read_long()])
+    t = schema["type"]
+    if t == "record":
+        return {f["name"]: _decode(reader, f["type"]) for f in schema["fields"]}
+    if t == "array":
+        out = []
+        while True:
+            n = reader.read_long()
+            if n == 0:
+                break
+            if n < 0:  # block size prefix follows; skip it
+                n = -n
+                reader.read_long()
+            for _ in range(n):
+                out.append(_decode(reader, schema["items"]))
+        return out
+    if t == "map":
+        out = {}
+        while True:
+            n = reader.read_long()
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                reader.read_long()
+            for _ in range(n):
+                k = reader.read_string()
+                out[k] = _decode(reader, schema["values"])
+        return out
+    if t == "fixed":
+        return reader.read(schema["size"])
+    if t == "enum":
+        return schema["symbols"][reader.read_long()]
+    # named-type shorthand: {"type": "string", "logicalType": ...} etc.
+    return _decode(reader, t)
+
+
+def read_avro_file(path: str) -> tuple[dict, list[dict]]:
+    """Read an Avro container file → (metadata dict, list of records)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    return read_avro_bytes(data)
+
+
+def read_avro_bytes(data: bytes) -> tuple[dict, list[dict]]:
+    reader = _Reader(data)
+    if reader.read(4) != _MAGIC:
+        raise ValueError("not an Avro object container file")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = reader.read_long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            reader.read_long()
+        for _ in range(n):
+            k = reader.read_string()
+            meta[k] = reader.read_bytes()
+    sync = reader.read(16)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    records: list[dict] = []
+    while not reader.at_end():
+        count = reader.read_long()
+        size = reader.read_long()
+        block = reader.read(size)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported Avro codec {codec!r}")
+        block_reader = _Reader(block)
+        for _ in range(count):
+            records.append(_decode(block_reader, schema))
+        if reader.read(16) != sync:
+            raise ValueError("Avro sync marker mismatch")
+    return {k: v for k, v in meta.items()}, records

@@ -1,0 +1,169 @@
+"""Iceberg manifest layer: manifest-list + manifest entry reading.
+
+Mirrors the reference's manifest walk (``src/common/iceberg.cpp:15-91``)
+but decodes against the full writer schema, so partition values and
+column bounds are retained — the reference drops them (its partial Avro
+schemas omit stats; SURVEY.md §4 "partition pruning: NOT implemented").
+We use them for file-level pruning, an intentional improvement.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import IntEnum
+from typing import Optional
+
+from .avro import read_avro_file
+from .table_metadata import IcebergSnapshot, TableMetadata, rebase_path
+
+
+class ManifestContent(IntEnum):
+    DATA = 0
+    DELETE = 1
+
+
+class EntryStatus(IntEnum):
+    EXISTING = 0
+    ADDED = 1
+    DELETED = 2
+
+
+class FileContent(IntEnum):
+    DATA = 0
+    POSITION_DELETES = 1
+    EQUALITY_DELETES = 2
+
+
+@dataclass
+class ManifestFile:
+    manifest_path: str
+    sequence_number: int
+    content: ManifestContent
+    partition_spec_id: int = 0
+    added_rows_count: int = 0
+    existing_rows_count: int = 0
+
+
+@dataclass
+class ManifestEntry:
+    status: EntryStatus
+    content: FileContent
+    file_path: str
+    file_format: str
+    record_count: int
+    sequence_number: Optional[int] = None
+    partition: dict = field(default_factory=dict)
+    lower_bounds: dict = field(default_factory=dict)
+    upper_bounds: dict = field(default_factory=dict)
+    null_value_counts: dict = field(default_factory=dict)
+    value_counts: dict = field(default_factory=dict)
+    equality_ids: Optional[list[int]] = None
+    file_size_in_bytes: int = 0
+    raw_file_path: str = ""  # as stored in the manifest (pre-rebase)
+
+
+def read_manifest_list(path: str, format_version: int) -> list[ManifestFile]:
+    _, records = read_avro_file(path)
+    out = []
+    for r in records:
+        out.append(
+            ManifestFile(
+                manifest_path=r["manifest_path"],
+                # v1 manifest lists lack content/sequence_number -> DATA/0
+                sequence_number=r.get("sequence_number", 0) or 0,
+                content=ManifestContent(r.get("content", 0) or 0),
+                partition_spec_id=r.get("partition_spec_id", 0) or 0,
+                added_rows_count=r.get("added_rows_count") or r.get("added_files_count") or 0,
+                existing_rows_count=r.get("existing_rows_count") or 0,
+            )
+        )
+    return out
+
+
+def read_manifest_entries(path: str, format_version: int, manifest: Optional[ManifestFile] = None) -> list[ManifestEntry]:
+    _, records = read_avro_file(path)
+    out = []
+    for r in records:
+        df = r["data_file"]
+        # v1 entries have no per-file content field -> DATA; for v2 delete
+        # manifests the data_file carries content 1 (pos) or 2 (eq).
+        content = FileContent(df.get("content", 0) or 0)
+        seq = r.get("sequence_number")
+        if seq is None and manifest is not None:
+            # inherited sequence number (entry written in same commit)
+            seq = manifest.sequence_number
+        out.append(
+            ManifestEntry(
+                status=EntryStatus(r["status"]),
+                content=content,
+                file_path=df["file_path"],
+                file_format=str(df.get("file_format", "PARQUET")),
+                record_count=df.get("record_count", 0) or 0,
+                sequence_number=seq,
+                partition=df.get("partition") or {},
+                lower_bounds=_kv(df.get("lower_bounds")),
+                upper_bounds=_kv(df.get("upper_bounds")),
+                null_value_counts=_kv(df.get("null_value_counts")),
+                value_counts=_kv(df.get("value_counts")),
+                equality_ids=df.get("equality_ids"),
+                file_size_in_bytes=df.get("file_size_in_bytes", 0) or 0,
+            )
+        )
+    return out
+
+
+def _kv(v) -> dict:
+    """Iceberg avro k/v lists: [{'key': k, 'value': v}, ...] -> dict."""
+    if not v:
+        return {}
+    if isinstance(v, dict):
+        return v
+    return {e["key"]: e["value"] for e in v}
+
+
+@dataclass
+class IcebergTableScan:
+    """Fully-resolved file listing for one snapshot (reference
+    ``IcebergTable::Load``, iceberg.cpp:15-36)."""
+
+    snapshot: IcebergSnapshot
+    manifests: list[tuple[ManifestFile, list[ManifestEntry]]]
+
+    @property
+    def entries(self) -> list[ManifestEntry]:
+        return [e for _, es in self.manifests for e in es]
+
+    def data_files(self) -> list[ManifestEntry]:
+        return [e for e in self.entries if e.content == FileContent.DATA and e.status != EntryStatus.DELETED]
+
+    def positional_delete_files(self) -> list[ManifestEntry]:
+        return [e for e in self.entries if e.content == FileContent.POSITION_DELETES and e.status != EntryStatus.DELETED]
+
+    def equality_delete_files(self) -> list[ManifestEntry]:
+        return [e for e in self.entries if e.content == FileContent.EQUALITY_DELETES and e.status != EntryStatus.DELETED]
+
+    def data_cardinality(self) -> int:
+        return sum(e.record_count for e in self.data_files())
+
+    def delete_cardinality(self) -> int:
+        return sum(e.record_count for e in self.positional_delete_files())
+
+
+def load_table_scan(
+    metadata: TableMetadata,
+    snapshot: IcebergSnapshot,
+    table_path: str,
+    allow_moved_paths: bool = False,
+) -> IcebergTableScan:
+    """Walk snapshot → manifest list → manifests, rebasing moved paths."""
+    ml_path = rebase_path(snapshot.manifest_list, table_path, allow_moved_paths)
+    manifests = read_manifest_list(ml_path, metadata.format_version)
+    loaded = []
+    for mf in manifests:
+        mpath = rebase_path(mf.manifest_path, table_path, allow_moved_paths)
+        entries = read_manifest_entries(mpath, metadata.format_version, mf)
+        for e in entries:
+            e.raw_file_path = e.file_path
+            e.file_path = rebase_path(e.file_path, table_path, allow_moved_paths)
+        loaded.append((mf, entries))
+    return IcebergTableScan(snapshot=snapshot, manifests=loaded)

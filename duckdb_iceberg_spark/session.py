@@ -1,0 +1,36 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Configs chosen for correctness-at-scale, not just local runs:
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+- Arrow for every Python<->JVM boundary (pandas UDFs, toPandas)
+- parquet field-id resolution for Iceberg schema evolution
+- shuffle partitions sized for the local harness; on a real cluster
+  AQE coalescing makes the static number far less sensitive.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "duckdb_iceberg_spark", **extra) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(min(int(cpus) * 2, 64)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.fieldId.read.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in extra.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,354 @@
+"""Iceberg table functions, Spark-first.
+
+Public surface mirrors the reference extension's three table functions
+(reference ``src/iceberg_functions.cpp:10-24``):
+
+- :func:`iceberg_scan`       (iceberg_scan.cpp:217-337)
+- :func:`iceberg_snapshots`  (iceberg_snapshots.cpp)
+- :func:`iceberg_metadata`   (iceberg_metadata.cpp)
+
+Architecture (SURVEY.md §3.1): all metadata work (path resolution,
+snapshot selection, Avro manifest walk) happens once on the driver in
+pure Python — the moral equivalent of the reference's bind-replace —
+and the result is a *declarative DataFrame plan* that Catalyst
+optimizes: multi-file parquet scan with explicit schema (predicate
+pushdown + column pruning reach the scan), positional deletes applied
+as a broadcast ANTI join keyed on (`_metadata.file_path`,
+`_metadata.row_index`) — the exact Spark equivalents of DuckDB's
+``filename``/``file_row_number`` virtual columns the reference uses
+(iceberg_scan.cpp:177-182).
+
+Scale notes (100 TB design):
+- Manifest metadata is KB-MB scale even for huge tables; driver-side
+  parse is what every Iceberg runtime does. If a table had 100k+
+  manifests, `read_manifest_entries` calls could be fanned out with a
+  thread pool or a Spark job over avro bytes — structured so that's a
+  drop-in change.
+- Delete files are a small fraction of data (cardinality known from
+  manifest `record_count` sums — same numbers the reference injects
+  as `explicit_cardinality`); we broadcast them for a shuffle-free
+  anti join when under the broadcast cap, else fall back to a shuffled
+  anti join automatically.
+- One task per parquet file is NOT required: `_metadata.row_index` is
+  split-safe (computed by the reader per file), unlike
+  monotonically_increasing_id tricks.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.manifests import (
+    EntryStatus,
+    FileContent,
+    IcebergTableScan,
+    ManifestContent,
+    load_table_scan,
+)
+from ..plans.table_metadata import (
+    DEFAULT_TABLE_VERSION_FORMAT,
+    IcebergSchema,
+    TableMetadata,
+    load_table_metadata,
+)
+
+__all__ = ["iceberg_scan", "iceberg_snapshots", "iceberg_metadata"]
+
+
+def _load(
+    path: str,
+    *,
+    version: Optional[str],
+    version_name_format: str,
+    metadata_compression_codec: str,
+    unsafe_enable_version_guessing: bool,
+) -> TableMetadata:
+    return load_table_metadata(
+        path,
+        version=version,
+        version_name_format=version_name_format,
+        metadata_compression_codec=metadata_compression_codec,
+        unsafe_enable_version_guessing=unsafe_enable_version_guessing,
+    )
+
+
+def _table_root(path: str) -> str:
+    """Table root dir for moved-path rebasing; handles direct
+    ``…/metadata/vN.metadata.json`` inputs."""
+    if path.endswith(".json") or path.endswith(".json.gz"):
+        parent = os.path.dirname(path)
+        if os.path.basename(parent) == "metadata":
+            return os.path.dirname(parent)
+        return parent
+    return path
+
+
+def _select_snapshot(meta: TableMetadata, snapshot_id, timestamp):
+    if snapshot_id is not None:
+        return meta.snapshot_by_id(int(snapshot_id))
+    if timestamp is not None:
+        if isinstance(timestamp, datetime.datetime):
+            ts_ms = int(timestamp.timestamp() * 1000)
+        else:
+            ts_ms = int(timestamp)
+        return meta.snapshot_by_timestamp(ts_ms)
+    return meta.latest_snapshot()
+
+
+def _norm_path(col):
+    """Normalize a file URI/path for exact-path comparison."""
+    return F.regexp_replace(col, r"^file:/+", "/")
+
+
+def _tail(col):
+    """Last '/'-segment — the reference's moved-path filename match
+    (iceberg_scan.cpp:39-62, string_split + list_extract(-1))."""
+    return F.substring_index(col, "/", -1)
+
+
+_DELETE_SCHEMA = T.StructType(
+    [
+        T.StructField("file_path", T.StringType()),
+        T.StructField("pos", T.LongType()),
+    ]
+)
+
+
+def iceberg_scan(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: Optional[int] = None,
+    timestamp=None,
+    *,
+    version: Optional[str] = None,
+    version_name_format: str = DEFAULT_TABLE_VERSION_FORMAT,
+    metadata_compression_codec: str = "none",
+    allow_moved_paths: bool = False,
+    mode: str = "default",
+    skip_schema_inference: bool = False,
+    unsafe_enable_version_guessing: bool = False,
+) -> DataFrame:
+    """Read an Iceberg table at a snapshot, applying delete files.
+
+    Equivalent of the reference's ``iceberg_scan(path[, snapshot_id |
+    timestamp])`` with the same named parameters
+    (iceberg_scan.cpp:301-337). Returns a DataFrame Catalyst plans
+    normally (pushdown/pruning reach the parquet scan).
+    """
+    meta = _load(
+        path,
+        version=version,
+        version_name_format=version_name_format,
+        metadata_compression_codec=metadata_compression_codec,
+        unsafe_enable_version_guessing=unsafe_enable_version_guessing,
+    )
+    snap = _select_snapshot(meta, snapshot_id, timestamp)
+    scan = load_table_scan(meta, snap, _table_root(path), allow_moved_paths)
+    data_files = [e.file_path for e in scan.data_files()]
+    pos_delete_files = [e.file_path for e in scan.positional_delete_files()]
+    eq_deletes = scan.equality_delete_files()
+
+    if mode == "list_files":
+        rows = [(f, "data") for f in data_files] + [
+            (f, "delete") for f in pos_delete_files + [e.file_path for e in eq_deletes]
+        ]
+        return spark.createDataFrame(rows, "file string, type string")
+
+    schema = meta.schema_for_snapshot(snap)
+
+    if not data_files:
+        st = None if skip_schema_inference else schema.to_struct_type()
+        return spark.createDataFrame([], st if st is not None else T.StructType([]))
+
+    # Field-id based column resolution (the reference pushes a
+    # field_id->column map into the parquet reader, iceberg_scan.cpp:103-128;
+    # Spark's native equivalent is parquet.field.id matching).
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    reader = spark.read
+    if skip_schema_inference:
+        reader = reader.option("mergeSchema", "true")
+    else:
+        reader = reader.schema(schema.to_struct_type())
+    df = reader.parquet(*data_files)
+
+    if pos_delete_files or eq_deletes:
+        df = df.select("*", F.col("_metadata.file_path").alias("__file"), F.col("_metadata.row_index").alias("__pos"))
+
+    if pos_delete_files:
+        deletes = spark.read.schema(_DELETE_SCHEMA).parquet(*pos_delete_files)
+        if allow_moved_paths:
+            cond = (_tail(df["__file"]) == _tail(deletes["file_path"])) & (df["__pos"] == deletes["pos"])
+        else:
+            cond = (_norm_path(df["__file"]) == _norm_path(deletes["file_path"])) & (df["__pos"] == deletes["pos"])
+        # Deletes are small relative to data (manifest record_count sums
+        # prove it — same stats the reference injects as cardinality);
+        # broadcast -> shuffle-free anti join.
+        if scan.delete_cardinality() < 50_000_000:
+            deletes = F.broadcast(deletes)
+        df = df.join(deletes, cond, "left_anti")
+
+    if eq_deletes:
+        df = _apply_equality_deletes(spark, df, scan, schema, allow_moved_paths)
+
+    if pos_delete_files or eq_deletes:
+        df = df.drop("__file", "__pos")
+
+    # initial-default for columns added after some files were written
+    # (Iceberg v2 initial-default; reference passes default_value into the
+    # parquet reader map, iceberg_scan.cpp:103-128). Files lacking the
+    # field yield NULL under field-id resolution -> coalesce.
+    if not skip_schema_inference:
+        for c in schema.columns:
+            if c.initial_default is not None:
+                df = df.withColumn(
+                    c.name, F.coalesce(F.col(c.name), F.lit(c.initial_default).cast(c.spark_type))
+                )
+
+    return df
+
+
+def _apply_equality_deletes(
+    spark: SparkSession,
+    df: DataFrame,
+    scan: IcebergTableScan,
+    schema: IcebergSchema,
+    allow_moved_paths: bool,
+) -> DataFrame:
+    """Equality deletes: anti-join on the delete file's equality_ids
+    columns, scoped so a delete only applies to rows from data files
+    with a strictly smaller sequence number.
+
+    Deliberate improvement over the reference, which treats every
+    delete file as positional (iceberg_scan.cpp:167-169) and would
+    read equality-delete tables incorrectly (SURVEY.md §2A 'absent').
+    """
+    id_to_name = {c.field_id: c.name for c in schema.columns}
+    # data-file -> sequence number lookup (tiny; broadcast)
+    seq_rows = [(e.file_path, e.sequence_number or 0) for e in scan.data_files()]
+    seq_df = spark.createDataFrame(seq_rows, "___df_path string, ___data_seq long")
+    key = _tail(df["__file"]) if allow_moved_paths else _norm_path(df["__file"])
+    skey = _tail(seq_df["___df_path"]) if allow_moved_paths else _norm_path(seq_df["___df_path"])
+    df = df.join(F.broadcast(seq_df), key == skey, "left").drop("___df_path")
+
+    from collections import defaultdict
+
+    groups: dict[tuple, list] = defaultdict(list)
+    for e in scan.equality_delete_files():
+        groups[tuple(sorted(e.equality_ids or []))].append(e)
+    for eq_ids, entries in groups.items():
+        cols = [id_to_name[i] for i in eq_ids if i in id_to_name]
+        if not cols:
+            continue
+        for e in entries:
+            dels = spark.read.parquet(e.file_path).select(*cols).dropDuplicates()
+            renamed = dels.select(*[F.col(c).alias(f"___eq_{c}") for c in cols])
+            cond = None
+            for c in cols:
+                clause = df[c].eqNullSafe(renamed[f"___eq_{c}"])
+                cond = clause if cond is None else (cond & clause)
+            cond = cond & (df["___data_seq"] < F.lit(e.sequence_number or 0))
+            df = df.join(F.broadcast(renamed), cond, "left_anti")
+    return df.drop("___data_seq")
+
+
+_SNAPSHOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("sequence_number", T.LongType()),
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("timestamp_ms", T.TimestampType()),
+        T.StructField("manifest_list", T.StringType()),
+    ]
+)
+
+
+def iceberg_snapshots(
+    spark: SparkSession,
+    path: str,
+    *,
+    version: Optional[str] = None,
+    version_name_format: str = DEFAULT_TABLE_VERSION_FORMAT,
+    metadata_compression_codec: str = "none",
+    unsafe_enable_version_guessing: bool = False,
+) -> DataFrame:
+    """Snapshot listing — 4-column schema of the reference
+    (iceberg_snapshots.cpp:80-91)."""
+    meta = _load(
+        path,
+        version=version,
+        version_name_format=version_name_format,
+        metadata_compression_codec=metadata_compression_codec,
+        unsafe_enable_version_guessing=unsafe_enable_version_guessing,
+    )
+    rows = [
+        (
+            s.sequence_number,
+            s.snapshot_id,
+            datetime.datetime.fromtimestamp(s.timestamp_ms / 1000.0, tz=datetime.timezone.utc).replace(tzinfo=None),
+            s.manifest_list,
+        )
+        for s in meta.snapshots
+    ]
+    return spark.createDataFrame(rows, _SNAPSHOTS_SCHEMA)
+
+
+_METADATA_SCHEMA = (
+    "manifest_path string, manifest_sequence_number long, manifest_content string, "
+    "status string, content string, file_path string, file_format string, record_count long"
+)
+
+_STATUS_STR = {EntryStatus.EXISTING: "EXISTING", EntryStatus.ADDED: "ADDED", EntryStatus.DELETED: "DELETED"}
+_MANIFEST_CONTENT_STR = {ManifestContent.DATA: "DATA", ManifestContent.DELETE: "DELETE"}
+# Reference quirk kept verbatim: entry content DATA renders as
+# "EXISTING" (iceberg_types.hpp:47-56).
+_ENTRY_CONTENT_STR = {
+    FileContent.DATA: "EXISTING",
+    FileContent.POSITION_DELETES: "POSITION_DELETES",
+    FileContent.EQUALITY_DELETES: "EQUALITY_DELETES",
+}
+
+
+def iceberg_metadata(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: Optional[int] = None,
+    timestamp=None,
+    *,
+    version: Optional[str] = None,
+    version_name_format: str = DEFAULT_TABLE_VERSION_FORMAT,
+    metadata_compression_codec: str = "none",
+    allow_moved_paths: bool = False,
+    unsafe_enable_version_guessing: bool = False,
+) -> DataFrame:
+    """Manifest + entry listing — 8-column schema of the reference
+    (iceberg_types.hpp:107-117,190-198)."""
+    meta = _load(
+        path,
+        version=version,
+        version_name_format=version_name_format,
+        metadata_compression_codec=metadata_compression_codec,
+        unsafe_enable_version_guessing=unsafe_enable_version_guessing,
+    )
+    snap = _select_snapshot(meta, snapshot_id, timestamp)
+    scan = load_table_scan(meta, snap, _table_root(path), allow_moved_paths)
+    rows = []
+    for mf, entries in scan.manifests:
+        for e in entries:
+            rows.append(
+                (
+                    mf.manifest_path,
+                    mf.sequence_number,
+                    _MANIFEST_CONTENT_STR[mf.content],
+                    _STATUS_STR[e.status],
+                    _ENTRY_CONTENT_STR[e.content],
+                    e.raw_file_path or e.file_path,
+                    e.file_format.upper(),
+                    e.record_count,
+                )
+            )
+    return spark.createDataFrame(rows, _METADATA_SCHEMA)
