@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: scan/filter/agg/join/window/pipeline ops — the shapes
+# whose plans must survive a 100x scale-up
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_revenue",
+    "q10_returned_items",
+    "join_broadcast_brand",
+    "agg_global",
+    "window_topn_per_group",
+    "sort_topk",
+    "events_hourly",
+    "events_sessionize",
+    "text_tokens",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_sig",
+    "sim_topk",
+    "iceberg_scan_generated",
+]
+
+
+def main() -> None:
+    from duckdb_iceberg_spark import get_spark
+    import __spark_entry__ as E
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    # warm the JVM + file listing once with a trivial action
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Text-analysis functions for large-scale document pipelines.
+
+All pure ``pyspark.sql.functions`` column expressions — JVM-side,
+whole-stage-codegen'd, no Python UDFs — so they run at full speed over
+100 TB document tables. Each has an exact ANSI-SQL twin used by the
+DuckDB oracle (hash functions limited to md5, which both engines
+implement identically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deterministic, regex-dialect-portable (valid in both Java regex and
+# RE2) token pattern: lowercase words, digit runs, or single symbols.
+TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+# language marker words for the n-gram/stopword language-ID heuristic;
+# ordered dict — ties break by this priority order.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "les", "et", "des", "est"],
+    "zh": ["zh"],  # synthetic corpus marker
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"]
+
+
+def normalize(col) -> Column:
+    """Lowercase + whitespace-collapse + trim (fingerprint canon form)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization -> array<string>."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def regex_token_count(col) -> Column:
+    """BPE-ish regex token count (words / digit runs / symbols)."""
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), F.lit(0)))
+
+
+def stopword_count(col) -> Column:
+    pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pat), F.lit(0)))
+
+
+def punct_count(col) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(r"[^a-zA-Z0-9\s]"), F.lit(0)))
+
+
+def quality_score(col) -> Column:
+    """Heuristic document quality in [0,1]: favors mid-length docs with
+    low punctuation density and a natural stopword ratio."""
+    n_tok = token_count(col).cast("double")
+    n_char = F.length(col).cast("double")
+    stop_ratio = stopword_count(col) / F.greatest(n_tok, F.lit(1.0))
+    punct_ratio = punct_count(col) / F.greatest(n_char, F.lit(1.0))
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    raw = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0)))
+    )
+    # floor-quantize instead of round: identical in both engines (round
+    # half-up vs half-even ties differ between Spark and DuckDB)
+    return F.floor(raw * 10000) / 10000
+
+
+def lang_id(col) -> Column:
+    """Marker-word language ID: argmax of per-language marker hit
+    counts, ties broken by LANG_MARKERS order, no hits -> 'und'."""
+    scores = {
+        lang: F.size(F.regexp_extract_all(F.lower(col), F.lit(r"\b(" + "|".join(ws) + r")\b"), F.lit(0)))
+        for lang, ws in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best > 0, expr).otherwise(F.lit("und"))
+
+
+def lang_id_sql(col: str) -> str:
+    """DuckDB-SQL twin of :func:`lang_id` (same scores, same ties)."""
+    score = {
+        lang: rf"len(regexp_extract_all(lower({col}), '\b(" + "|".join(ws) + r")\b'))"
+        for lang, ws in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    expr = "'und'"
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = f"CASE WHEN {score[lang]} = {best} THEN '{lang}' ELSE {expr} END"
+    return f"CASE WHEN {best} > 0 THEN {expr} ELSE 'und' END"
+
+
+def fingerprint(col) -> Column:
+    """Document fingerprint: md5 of the normalized text (md5 chosen so
+    the DuckDB oracle computes the identical value)."""
+    return F.md5(normalize(col))
+
+
+def shingles(col, n: int = 3) -> Column:
+    """Word n-gram shingles -> array<string> (may contain duplicates)."""
+    t = tokens(F.lower(col))
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", t)))

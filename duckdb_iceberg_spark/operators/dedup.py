@@ -1,0 +1,225 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Every operator is a composition of built-in DataFrame ops (explode,
+groupBy, self-join) — no Python in the hot path — and is designed for
+the 100 TB shape:
+
+- exact: one shuffle on the fingerprint (map-side partial agg first).
+- minhash LSH: cost is O(docs x perms) for signatures (single shuffle
+  on doc id after explode-distinct), then candidate generation joins
+  only within LSH band buckets — never an all-pairs product.
+- simhash: same banding trick on hash chunks.
+- unigram jaccard: word-level inverted-index join restricted by a
+  document-frequency cap, the standard trick that keeps the candidate
+  blow-up bounded on skewed corpora (stop-words never become join
+  keys).
+- embedding near-dup: LSH sign-bucket blocking, exact cosine verify.
+
+MinHash uses ``md5(perm || ':' || token)`` as its hash family so the
+DuckDB oracle can reproduce signatures bit-for-bit (both engines'
+md5 agree; xxhash64 exists only in Spark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions import vectors as VEC
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Keep the min-key row per normalized-text fingerprint."""
+    fp = df.select(F.col(key_col), TX.fingerprint(F.col(text_col)).alias("__fp"))
+    keep = fp.groupBy("__fp").agg(F.min(key_col).alias(key_col)).drop("__fp")
+    return df.join(keep, key_col, "left_semi")
+
+
+def _doc_tokens(df: DataFrame, key_col: str, text_col: str, n_shingle: int) -> DataFrame:
+    """(key, token) pairs, distinct — token = word or n-gram shingle."""
+    col = TX.shingles(F.col(text_col), n_shingle) if n_shingle > 1 else TX.tokens(F.lower(F.col(text_col)))
+    return df.select(key_col, F.explode(col).alias("tok")).dropDuplicates([key_col, "tok"])
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_perm: int = 16,
+    n_shingle: int = 1,
+) -> DataFrame:
+    """Per-document MinHash signature: for perm i, min(md5(i:token)).
+
+    Returns (key_col, h0..h{num_perm-1}).
+    """
+    toks = _doc_tokens(df, key_col, text_col, n_shingle)
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"h{i}") for i in range(num_perm)]
+    return toks.groupBy(key_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    n_shingle: int = 1,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH, scored by
+    the estimated Jaccard (fraction of agreeing signature components).
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b,
+    est_jaccard >= threshold.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, text_col, key_col, num_perm, n_shingle).cache()
+    # band key = md5 over that band's signature slice
+    band_frames = []
+    for b in range(bands):
+        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_frames.append(
+            sig.select(F.col(key_col).alias("k"), F.md5(F.concat_ws("|", *cols)).alias("bkey"), F.lit(b).alias("band"))
+        )
+    banded = band_frames[0]
+    for bf in band_frames[1:]:
+        banded = banded.unionAll(bf)
+    cands = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bkey"])
+        .where(F.col("x.k") < F.col("y.k"))
+        .select(F.col("x.k").alias("id_a"), F.col("y.k").alias("id_b"))
+        .dropDuplicates()
+    )
+    a = sig.select(F.col(key_col).alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_perm)])
+    b = sig.select(F.col(key_col).alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_perm)])
+    est = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_perm)) / F.lit(float(num_perm))
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_doc_freq: int = 1000,
+    n_shingle: int = 1,
+) -> DataFrame:
+    """Exact token-set Jaccard over candidate pairs from an inverted
+    index. Tokens appearing in > max_doc_freq docs are dropped from
+    candidate generation (skew guard) but kept in the exact sizes.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    toks = _doc_tokens(df, key_col, text_col, n_shingle).cache()
+    sizes = toks.groupBy(key_col).agg(F.count("*").alias("sz"))
+    rare = toks.join(
+        toks.groupBy("tok").agg(F.count("*").alias("df")).where(F.col("df") <= max_doc_freq),
+        "tok",
+    ).select(key_col, "tok")
+    inter = (
+        rare.alias("x")
+        .join(rare.alias("y"), "tok")
+        .where(F.col(f"x.{key_col}") < F.col(f"y.{key_col}"))
+        .groupBy(F.col(f"x.{key_col}").alias("id_a"), F.col(f"y.{key_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter.join(sizes.select(F.col(key_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(key_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4).alias("jaccard"),
+        )
+    )
+    return j.where(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, text_col: str = "text", key_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """Per-document SimHash (md5-derived token hashes, sign-sum bits).
+
+    Returns (key_col, simhash long).
+    """
+    toks = _doc_tokens(df, key_col, text_col, 1)
+    # token hash: first 8 hex chars of md5 -> 32-bit int
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    toks = toks.select(key_col, h.alias("th"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(key_col).agg(*bit_sums)
+    sim = sum(F.when(F.col(f"s{i}") > 0, F.lit(2**i)).otherwise(0) for i in range(bits))
+    return agg.select(key_col, sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming, using
+    chunk-equality banding (a pair within distance d < chunks must
+    agree on >= 1 chunk) to avoid the all-pairs product."""
+    sig = simhash(df, text_col, key_col, bits).cache()
+    width = bits // chunks
+    frames = []
+    for c in range(chunks):
+        chunk = F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit((1 << width) - 1))
+        frames.append(sig.select(F.col(key_col).alias("k"), F.col("simhash").alias("sh"), F.lit(c).alias("c"), chunk.alias("ck")))
+    banded = frames[0]
+    for fr in frames[1:]:
+        banded = banded.unionAll(fr)
+    cands = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["c", "ck"])
+        .where(F.col("x.k") < F.col("y.k"))
+        .select(F.col("x.k").alias("id_a"), F.col("y.k").alias("id_b"), F.col("x.sh").alias("sha"), F.col("y.sh").alias("shb"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = sum(F.shiftright(F.col("sha").bitwiseXOR(F.col("shb")), i).bitwiseAND(F.lit(1)) for i in range(bits))
+    return cands.select("id_a", "id_b", ham.cast("int").alias("hamming")).where(F.col("hamming") <= max_hamming)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-duplicates: random-hyperplane LSH blocking, exact
+    cosine verification inside buckets.
+
+    Returns (id_a, id_b, cos) with cos >= threshold. At 100 TB the
+    bucket join replaces the quadratic cross product; recall is tuned
+    with n_planes (fewer planes -> bigger buckets -> higher recall).
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim)).tolist()
+    keyed = df.select(key_col, vec_col, VEC.sign_bits(F.col(vec_col), planes).alias("bucket"))
+    pairs = (
+        keyed.alias("x")
+        .join(keyed.alias("y"), "bucket")
+        .where(F.col(f"x.{key_col}") < F.col(f"y.{key_col}"))
+        .select(
+            F.col(f"x.{key_col}").alias("id_a"),
+            F.col(f"y.{key_col}").alias("id_b"),
+            F.round(VEC.cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 4).alias("cos"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.where(F.col("cos") >= threshold)

@@ -26,6 +26,9 @@ def get_spark(app_name: str = "duckdb_iceberg_spark", **extra) -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.fieldId.read.enabled", "true")
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type —
+        # read as long and convert (ts div 1000 -> micros) at the loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -1,0 +1,121 @@
+"""Behavioral tests for pipeline operators: dedup recall/precision on
+planted duplicates, ANN recall vs brute force, streaming==batch
+equivalence, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_iceberg_spark.operators import dedup as DD
+from duckdb_iceberg_spark.operators import multimodal as MM
+from duckdb_iceberg_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    # plant exact + near duplicates with known ids
+    exact = d.filter(F.col("doc_id") < 5).withColumn("doc_id", F.col("doc_id") + 100000)
+    near = (
+        d.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 10))
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra token")))
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+def test_exact_dedup_removes_planted(docs_with_dups):
+    out = DD.exact_dedup(docs_with_dups)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    # planted exact copies (id >= 100000, text identical to originals) removed
+    assert not any(100000 <= i < 200000 for i in ids)
+    # near-duplicates (different text) survive exact dedup
+    assert any(i >= 200000 for i in ids)
+
+
+def test_minhash_lsh_finds_planted_neardups(docs_with_dups):
+    pairs = DD.minhash_lsh_pairs(docs_with_dups, num_perm=32, bands=8, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for i in range(5, 10):
+        assert (i, i + 200000) in got, f"missed planted near-dup {i}"
+
+
+def test_jaccard_pairs_exact_scores(docs_with_dups):
+    pairs = DD.jaccard_pairs(docs_with_dups, threshold=0.8, max_doc_freq=10**9)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    for i in range(5):
+        assert got.get((i, i + 100000)) == 1.0, "exact copy must have jaccard 1.0"
+
+
+def test_simhash_close_for_neardups(spark, docs_with_dups):
+    sig = DD.simhash(docs_with_dups)
+    rows = {r.doc_id: r.simhash for r in sig.collect()}
+    for i in range(5):
+        assert rows[i] == rows[i + 100000], "identical docs must have identical simhash"
+
+
+def test_ann_lsh_recall(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    rest = e.filter(F.col("vec_id") > 0)
+    exact = [r.vec_id for r in SIM.cosine_topk(rest, q, k=10).collect()]
+    approx = [r.vec_id for r in SIM.lsh_topk(rest, q, k=10, n_planes=4, probe_hamming=2).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"LSH recall too low: {recall} (exact={exact}, approx={approx})"
+
+
+def test_knn_join_shape(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = SIM.knn_join(e.filter(F.col("vec_id") < 10), e.filter(F.col("vec_id") >= 10), k=3, exact=True)
+    rows = out.collect()
+    assert len(rows) == 30
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    for q, rs in by_q.items():
+        assert sorted(r.rank for r in rs) == [1, 2, 3]
+        cs = [r.cos for r in sorted(rs, key=lambda r: r.rank)]
+        assert cs == sorted(cs, reverse=True)
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    feats = MM.extract_features(MM.synth_media(d))
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r.feature) == 8 for r in rows)
+    again = {r.media_id: r.digest for r in MM.extract_features(MM.synth_media(d)).collect()}
+    assert all(again[r.media_id] == r.digest for r in rows)
+
+
+def test_multimodal_real_codec_is_stubbed():
+    with pytest.raises(NotImplementedError, match="codecs"):
+        MM._decode_payload("image", b"\x89PNG", use_real_codecs=True)
+
+
+def test_streaming_equals_batch(spark, sf_dir):
+    from duckdb_iceberg_spark.streaming.events import (
+        hourly_rollup,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    ev_batch = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    batch = hourly_rollup(ev_batch)
+    stream = run_stream_to_memory(hourly_rollup(read_events_stream(spark, sf_dir)), "stream_hourly_test")
+    assert batch.exceptAll(stream).count() == 0
+    assert stream.exceptAll(batch).count() == 0
+
+
+def test_streaming_session_windows(spark, sf_dir):
+    from duckdb_iceberg_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        session_windows,
+    )
+
+    out = run_stream_to_memory(session_windows(read_events_stream(spark, sf_dir)), "stream_sessions_test")
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.session_end >= r.session_start for r in rows)
