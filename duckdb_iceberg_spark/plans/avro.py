@@ -15,7 +15,7 @@ records, unions, arrays, maps, all primitives, fixed, enums;
 
 from __future__ import annotations
 
-import io
+import hashlib
 import json
 import struct
 import zlib
@@ -126,6 +126,129 @@ def read_avro_file(path: str) -> tuple[dict, list[dict]]:
     with open(path, "rb") as f:
         data = f.read()
     return read_avro_bytes(data)
+
+
+class _Writer:
+    __slots__ = ("out",)
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+
+    def write(self, b: bytes) -> None:
+        self.out += b
+
+    def write_long(self, n: int) -> None:
+        """Zigzag varint encode (Avro int/long share the encoding)."""
+        n = (n << 1) ^ (n >> 63)
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                self.out.append(b | 0x80)
+            else:
+                self.out.append(b)
+                break
+
+    def write_bytes(self, b: bytes) -> None:
+        self.write_long(len(b))
+        self.write(b)
+
+    def write_string(self, s: str) -> None:
+        self.write_bytes(s.encode("utf-8"))
+
+
+def _union_branch(schema: list, value: Any) -> int:
+    """Pick the union branch for a value: None -> 'null', else the first
+    non-null branch (Iceberg metadata unions are all [null, X])."""
+    for i, branch in enumerate(schema):
+        if value is None and branch == "null":
+            return i
+        if value is not None and branch != "null":
+            return i
+    raise ValueError(f"no union branch for {value!r} in {schema!r}")
+
+
+def _encode(writer: _Writer, schema: Any, value: Any) -> None:
+    """Encode one datum of ``schema`` (parsed-JSON Avro schema)."""
+    if isinstance(schema, str):
+        t = schema
+        if t == "null":
+            return
+        if t == "boolean":
+            writer.write(b"\x01" if value else b"\x00")
+        elif t in ("int", "long"):
+            writer.write_long(int(value))
+        elif t == "float":
+            writer.write(struct.pack("<f", float(value)))
+        elif t == "double":
+            writer.write(struct.pack("<d", float(value)))
+        elif t == "bytes":
+            writer.write_bytes(bytes(value))
+        elif t == "string":
+            writer.write_string(str(value))
+        else:
+            raise ValueError(f"unknown Avro primitive {t!r}")
+        return
+    if isinstance(schema, list):
+        i = _union_branch(schema, value)
+        writer.write_long(i)
+        _encode(writer, schema[i], value)
+        return
+    t = schema["type"]
+    if t == "record":
+        for f in schema["fields"]:
+            _encode(writer, f["type"], value.get(f["name"]) if isinstance(value, dict) else None)
+    elif t == "array":
+        if value:
+            writer.write_long(len(value))
+            for item in value:
+                _encode(writer, schema["items"], item)
+        writer.write_long(0)
+    elif t == "map":
+        if value:
+            writer.write_long(len(value))
+            for k, v in value.items():
+                writer.write_string(str(k))
+                _encode(writer, schema["values"], v)
+        writer.write_long(0)
+    elif t == "fixed":
+        b = bytes(value)
+        if len(b) != schema["size"]:
+            raise ValueError("fixed size mismatch")
+        writer.write(b)
+    elif t == "enum":
+        writer.write_long(schema["symbols"].index(value))
+    else:
+        _encode(writer, t, value)
+
+
+def write_avro_file(path: str, schema: dict, records: list[dict], metadata: dict | None = None) -> int:
+    """Write an Avro object container file (null codec, one block).
+
+    Returns the file length in bytes (Iceberg manifest lists record it).
+    """
+    header = _Writer()
+    header.write(_MAGIC)
+    meta = {"avro.schema": json.dumps(schema), "avro.codec": "null"}
+    for k, v in (metadata or {}).items():
+        meta[k] = v
+    header.write_long(len(meta))
+    for k, v in meta.items():
+        header.write_string(k)
+        header.write_bytes(v.encode("utf-8") if isinstance(v, str) else v)
+    header.write_long(0)
+    sync = hashlib.md5(path.encode("utf-8")).digest()  # deterministic 16-byte marker
+    header.write(sync)
+    body = _Writer()
+    for r in records:
+        _encode(body, schema, r)
+    header.write_long(len(records))
+    header.write_long(len(body.out))
+    header.write(bytes(body.out))
+    header.write(sync)
+    with open(path, "wb") as f:
+        f.write(bytes(header.out))
+    return len(header.out)
 
 
 def read_avro_bytes(data: bytes) -> tuple[dict, list[dict]]:

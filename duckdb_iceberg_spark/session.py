@@ -26,6 +26,8 @@ def get_spark(app_name: str = "duckdb_iceberg_spark", **extra) -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.fieldId.read.enabled", "true")
+        .config("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+        .config("spark.sql.parquet.fieldId.write.enabled", "true")
         # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type —
         # read as long and convert (ts div 1000 -> micros) at the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -133,6 +133,7 @@ def iceberg_scan(
     mode: str = "default",
     skip_schema_inference: bool = False,
     unsafe_enable_version_guessing: bool = False,
+    _keep_position_columns: bool = False,
 ) -> DataFrame:
     """Read an Iceberg table at a snapshot, applying delete files.
 
@@ -177,7 +178,7 @@ def iceberg_scan(
         reader = reader.schema(schema.to_struct_type())
     df = reader.parquet(*data_files)
 
-    if pos_delete_files or eq_deletes:
+    if pos_delete_files or eq_deletes or _keep_position_columns:
         df = df.select("*", F.col("_metadata.file_path").alias("__file"), F.col("_metadata.row_index").alias("__pos"))
 
     if pos_delete_files:
@@ -196,7 +197,7 @@ def iceberg_scan(
     if eq_deletes:
         df = _apply_equality_deletes(spark, df, scan, schema, allow_moved_paths)
 
-    if pos_delete_files or eq_deletes:
+    if (pos_delete_files or eq_deletes) and not _keep_position_columns:
         df = df.drop("__file", "__pos")
 
     # initial-default for columns added after some files were written

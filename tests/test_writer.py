@@ -1,0 +1,160 @@
+"""Write-surface differential tests.
+
+Mirrors the reference's layer-2 test strategy (SURVEY.md §5): apply the
+same 8-step mutation sequence as reference updates_v2/q01-q08.sql
+(NULL-out update, self-insert, computed update, two deletes, ADD COLUMN
+DEFAULT, computed update, type widen) through OUR native Iceberg writer,
+and after each step assert our scan() equals a DuckDB oracle that
+applied the equivalent SQL to a plain table.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+from oracle_harness import canon_rows
+
+from pyspark.sql import functions as F
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def base(spark, tmp_path_factory):
+    """(IcebergTable, duckdb con with mirrored mutable table)."""
+    from duckdb_iceberg_spark import IcebergTable
+
+    path = str(tmp_path_factory.mktemp("wtab") / "supplier_iceberg")
+    df = spark.read.parquet(f"{SF}/supplier.parquet").select(
+        "s_suppkey", "s_name", "s_nationkey", F.col("s_acctbal").cast("double").alias("s_acctbal")
+    )
+    t = IcebergTable.create(spark, path, df)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE TABLE s AS SELECT s_suppkey, s_name, s_nationkey, CAST(s_acctbal AS DOUBLE) AS s_acctbal "
+        f"FROM read_parquet('{SF}/supplier.parquet')"
+    )
+    return t, con
+
+
+def assert_table_equals(t, con):
+    sdf = t.scan()
+    srows = [tuple(r) for r in sdf.collect()]
+    orows = con.execute("SELECT * FROM s").fetchall()
+    ocols = [d[0] for d in con.execute("SELECT * FROM s LIMIT 0").description]
+    assert sorted(sdf.columns) == sorted(ocols), (sdf.columns, ocols)
+    assert len(srows) == len(orows)
+    assert canon_rows(sdf.columns, srows) == canon_rows(ocols, orows)
+
+
+def test_q01_update_to_null(base):
+    t, con = base
+    t.update_where("s_suppkey % 7 = 0", {"s_acctbal": F.lit(None).cast("double")})
+    con.execute("UPDATE s SET s_acctbal = NULL WHERE s_suppkey % 7 = 0")
+    assert_table_equals(t, con)
+
+
+def test_q02_self_insert(base):
+    t, con = base
+    t.insert_sql("SELECT * FROM t WHERE s_suppkey % 13 = 0")
+    con.execute("INSERT INTO s SELECT * FROM s WHERE s_suppkey % 13 = 0")
+    assert_table_equals(t, con)
+
+
+def test_q03_computed_update(base):
+    t, con = base
+    t.update_where("s_nationkey < 5", {"s_acctbal": "s_acctbal + 100.0"})
+    con.execute("UPDATE s SET s_acctbal = s_acctbal + 100.0 WHERE s_nationkey < 5")
+    assert_table_equals(t, con)
+
+
+def test_q04_delete(base):
+    t, con = base
+    t.delete_where("s_acctbal < 0")
+    con.execute("DELETE FROM s WHERE s_acctbal < 0")
+    assert_table_equals(t, con)
+
+
+def test_q05_delete_mod(base):
+    t, con = base
+    t.delete_where("s_suppkey % 11 = 0")
+    con.execute("DELETE FROM s WHERE s_suppkey % 11 = 0")
+    assert_table_equals(t, con)
+
+
+def test_q06_add_column_default(base):
+    t, con = base
+    t.add_column("evolved", "int", default=42)
+    con.execute("ALTER TABLE s ADD COLUMN evolved INT DEFAULT 42")
+    assert_table_equals(t, con)
+
+
+def test_q07_update_new_column(base):
+    t, con = base
+    t.update_where("s_suppkey % 5 = 0", {"evolved": "CAST(s_suppkey AS INT)"})
+    con.execute("UPDATE s SET evolved = s_suppkey WHERE s_suppkey % 5 = 0")
+    assert_table_equals(t, con)
+
+
+def test_q08_widen_int_to_bigint(base):
+    t, con = base
+    t.alter_column_type("evolved", "long")
+    con.execute("ALTER TABLE s ALTER COLUMN evolved TYPE BIGINT")
+    assert_table_equals(t, con)
+    assert dict(t.scan().dtypes)["evolved"] == "bigint"
+
+
+def test_time_travel_after_mutations(base):
+    t, con = base
+    snaps = [s.snapshot_id for s in t.meta.snapshots]
+    # first snapshot = initial CTAS contents
+    first = t.scan(snapshot_id=snaps[0])
+    n0 = con.execute(f"SELECT COUNT(*) FROM read_parquet('{SF}/supplier.parquet')").fetchone()[0]
+    assert first.count() == n0
+
+
+def test_compaction_preserves_data(base):
+    t, con = base
+    before = canon_rows(t.scan().columns, [tuple(r) for r in t.scan().collect()])
+    n_data_before = len([e for e in _live_entries(t)])
+    t.rewrite_data_files(target_file_size_bytes=1 << 30)
+    after_df = t.scan()
+    after = canon_rows(after_df.columns, [tuple(r) for r in after_df.collect()])
+    assert before == after
+    # compacted into fewer files, and no delete files remain in the live view
+    from duckdb_iceberg_spark.plans.manifests import load_table_scan
+
+    scan = load_table_scan(t.meta, t.meta.latest_snapshot(), t.path, False)
+    assert len(scan.positional_delete_files()) == 0
+    assert len(scan.data_files()) <= n_data_before
+
+
+def _live_entries(t):
+    from duckdb_iceberg_spark.plans.manifests import load_table_scan
+
+    return load_table_scan(t.meta, t.meta.latest_snapshot(), t.path, False).data_files()
+
+
+def test_expire_and_remove_orphans(base):
+    t, con = base
+    t.expire_snapshots(keep_last=1)
+    assert len(t.meta.snapshots) == 1
+    removed = t.remove_orphan_files()
+    assert len(removed) > 0  # pre-compaction files are orphaned
+    assert_table_equals(t, con)
+
+
+def test_rename_and_drop_column(spark, tmp_path):
+    from duckdb_iceberg_spark import IcebergTable
+
+    df = spark.read.parquet(f"{SF}/region.parquet")
+    t = IcebergTable.create(spark, str(tmp_path / "regtab"), df)
+    t.rename_column("r_name", "region_name")
+    assert "region_name" in t.scan().columns
+    assert t.scan().count() == df.count()
+    t.drop_column("r_comment")
+    assert "r_comment" not in t.scan().columns
