@@ -624,6 +624,392 @@ FROM orders GROUP BY 1, 2
 """
 
 
+def _q7_volume_shipping(spark, sf):
+    """Bi-nation trade volume by year (TPC-H Q7 shape: two aliased
+    dimension joins + CASE-free year grouping)."""
+    n = _t(spark, sf, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    s = _t(spark, sf, "supplier")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    pairs = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == n1.s_nk)
+        .join(F.broadcast(n2), c.c_nationkey == n2.c_nk)
+        .filter(pairs)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+def _q8_market_share(spark, sf):
+    """Market share: conditional-aggregate ratio per year (Q8 shape)."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    p = _t(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    vol = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_3", vol).otherwise(F.lit(0))).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+_Q8_SQL = """
+SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+  ROUND(CAST(SUM(CASE WHEN n_name = 'NATION_3'
+           THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE 0 END) AS DOUBLE)
+      / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS mkt_share
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'ECONOMY'
+GROUP BY 1
+"""
+
+
+def _q9_profit_by_nation(spark, sf):
+    """Profit by supplier nation and year, parts filtered by LIKE (Q9 shape)."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(38,4)").alias("sum_profit"))
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation, CAST(YEAR(l_shipdate) AS BIGINT) AS o_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_profit
+FROM lineitem JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+def _q14_promo_revenue(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    p = _t(spark, sf, "part")
+    vol = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0))).cast("double")
+            / F.sum(vol).cast("double"),
+            6,
+        ).alias("promo_revenue")
+    )
+
+
+_Q14_SQL = """
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE 0 END) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+"""
+
+
+def _q15_top_supplier(spark, sf):
+    """Supplier(s) with maximum revenue — scalar subquery over an
+    aggregated view (Q15 shape)."""
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(38,4)").alias("total_revenue")
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == max_rev.m)
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS total_revenue
+  FROM lineitem GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def _q17_small_quantity(spark, sf):
+    """Revenue from below-average-quantity lineitems of one brand —
+    correlated scalar AVG per part (Q17 shape), expressed as a
+    broadcast join against the per-part aggregate."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg((F.avg("l_quantity") * 0.5).alias("half_avg"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == avg_qty.ap_partkey)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("small_qty_revenue"))
+    )
+
+
+_Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS small_qty_revenue
+FROM lineitem l JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey)
+"""
+
+
+def _q18_large_orders(spark, sf):
+    """Orders whose lineitem quantity sum exceeds a threshold (Q18
+    shape: IN-subquery on GROUP BY ... HAVING)."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("sum_qty")).filter(F.col("sum_qty") > 150)
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(li.groupBy(F.col("l_orderkey").alias("lk")).agg(F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("total_qty")), F.col("o_orderkey") == F.col("lk"))
+        .select("c_custkey", "c_name", "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "total_qty")
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+_Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+GROUP BY 1, 2, 3, 4
+ORDER BY total_qty DESC, o_orderkey LIMIT 50
+"""
+
+
+def _q19_disjunctive(spark, sf):
+    """OR-of-ANDs predicate pushdown across a join (Q19 shape)."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 10)) & (F.col("l_quantity").between(1, 20)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 20)) & (F.col("l_quantity").between(10, 30)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 30)) & (F.col("l_quantity").between(20, 40)))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def _q22_inactive_customers(spark, sf):
+    """Rich customers with no orders (Q22 shape: scalar subquery + NOT
+    EXISTS anti join)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+    )
+
+
+_Q22_SQL = """
+SELECT c_nationkey AS cntry, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+"""
+
+
+def _corr_max_per_order(spark, sf):
+    """Rows equal to their group maximum — correlated-scalar-subquery
+    shape, planned as an aggregate + join-back."""
+    li = _t(spark, sf, "lineitem")
+    mx = li.groupBy(F.col("l_orderkey").alias("mk")).agg(F.max("l_extendedprice").alias("mprice"))
+    return (
+        li.join(mx, (li.l_orderkey == mx.mk) & (li.l_extendedprice == mx.mprice))
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("l_extendedprice"))
+    )
+
+
+_CORR_MAX_SQL = """
+SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS l_extendedprice
+FROM lineitem l
+WHERE l_extendedprice = (SELECT MAX(l_extendedprice) FROM lineitem WHERE l_orderkey = l.l_orderkey)
+"""
+
+
+def _scalar_subquery_avg(spark, sf):
+    s = _t(spark, sf, "supplier")
+    avg_bal = s.agg(F.avg("s_acctbal").alias("ab"))
+    return (
+        s.join(F.broadcast(avg_bal))
+        .filter(F.col("s_acctbal") > F.col("ab"))
+        .select("s_suppkey", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
+_SCALAR_SUBQ_SQL = """
+SELECT s_suppkey, ROUND(s_acctbal, 2) AS s_acctbal FROM supplier
+WHERE s_acctbal > (SELECT AVG(s_acctbal) FROM supplier)
+"""
+
+
+def _agg_stats(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_pop("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+
+
+_AGG_STATS_SQL = """
+SELECT l_returnflag,
+  ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+  ROUND(VAR_POP(l_quantity), 4) AS var_qty,
+  ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+  ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+  ROUND(AVG(l_discount), 6) AS avg_disc
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _agg_grouping_sets(spark, sf):
+    _t(spark, sf, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+"""
+
+
+def _array_funcs(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 200)
+    arr = F.sort_array(F.collect_list("l_linenumber"))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(arr.alias("lines"))
+        .select(
+            "l_orderkey",
+            F.concat_ws(",", F.col("lines").cast("array<string>")).alias("lines_csv"),
+            F.size("lines").alias("n_lines"),
+            F.element_at("lines", 1).alias("first_line"),
+            F.element_at("lines", -1).alias("last_line"),
+        )
+    )
+
+
+_ARRAY_SQL = """
+WITH g AS (SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+           FROM lineitem WHERE l_orderkey < 200 GROUP BY l_orderkey)
+SELECT l_orderkey, array_to_string(lines, ',') AS lines_csv,
+       CAST(LEN(lines) AS INT) AS n_lines, lines[1] AS first_line, lines[-1] AS last_line
+FROM g
+"""
+
+
+def _string_funcs2(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.lpad("lang", 5, "_").alias("lang_pad"),
+        F.translate("source", "abc", "xyz").alias("src_tr"),
+        F.reverse("lang").alias("lang_rev"),
+        F.instr("text", "the").alias("pos_the"),
+        F.levenshtein("lang", "source").alias("lev"),
+        F.repeat("lang", 2).alias("lang2"),
+        F.left("text", F.lit(5)).alias("l5"),
+        F.ascii("lang").alias("a0"),
+    )
+
+
+_STRING2_SQL = """
+SELECT doc_id,
+  LPAD(lang, 5, '_') AS lang_pad,
+  TRANSLATE(source, 'abc', 'xyz') AS src_tr,
+  REVERSE(lang) AS lang_rev,
+  CAST(STRPOS(text, 'the') AS INT) AS pos_the,
+  CAST(LEVENSHTEIN(lang, source) AS INT) AS lev,
+  REPEAT(lang, 2) AS lang2,
+  LEFT(text, 5) AS l5,
+  CAST(ASCII(lang) AS INT) AS a0
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis / dedup / similarity (north-star pipeline ops)
 # ---------------------------------------------------------------------------
@@ -892,6 +1278,147 @@ SELECT * FROM (VALUES
 """
 
 
+_LI_TABLE = "/root/reference/data/iceberg/lineitem_iceberg"
+_LI_GZ = "/root/reference/data/iceberg/lineitem_iceberg_gz"
+
+
+def _iceberg_time_travel(spark, sf):
+    """Counts across every snapshot-selection mechanism (reference
+    iceberg_scan.test:17-82 golden values)."""
+    import datetime
+
+    def cnt(label, df):
+        return df.agg(F.count("*").alias("n")).select(F.lit(label).alias("sel"), "n")
+
+    latest = iceberg_scan(spark, _LI_TABLE, allow_moved_paths=True)
+    snap1 = iceberg_scan(spark, _LI_TABLE, snapshot_id=3776207205136740581, allow_moved_paths=True)
+    ver1 = iceberg_scan(spark, _LI_TABLE, version="1", allow_moved_paths=True)
+    asof = iceberg_scan(
+        spark, _LI_TABLE, timestamp=datetime.datetime(2023, 2, 15, 15, 8, 0, tzinfo=datetime.timezone.utc), allow_moved_paths=True
+    )
+    gz = iceberg_scan(spark, _LI_GZ, metadata_compression_codec="gzip", allow_moved_paths=True)
+    return (
+        cnt("latest", latest)
+        .union(cnt("snapshot_id", snap1))
+        .union(cnt("version", ver1))
+        .union(cnt("timestamp", asof))
+        .union(cnt("gzip", gz))
+    )
+
+
+_ICEBERG_TT_SQL = """
+SELECT * FROM (VALUES
+  ('latest', CAST(51793 AS BIGINT)),
+  ('snapshot_id', CAST(60175 AS BIGINT)),
+  ('version', CAST(60175 AS BIGINT)),
+  ('timestamp', CAST(60175 AS BIGINT)),
+  ('gzip', CAST(111968 AS BIGINT))
+) AS t(sel, n)
+"""
+
+
+def _iceberg_list_files(spark, sf):
+    """mode='list_files' (reference A23) at both versions."""
+    v2 = iceberg_scan(spark, _LI_TABLE, mode="list_files", allow_moved_paths=True)
+    v1 = iceberg_scan(spark, _LI_TABLE, version="1", mode="list_files", allow_moved_paths=True)
+    tail = F.substring_index("file", "/", -1)
+    return v2.select(F.lit("v2").alias("v"), tail.alias("file"), "type").union(
+        v1.select(F.lit("v1").alias("v"), tail.alias("file"), "type")
+    )
+
+
+_ICEBERG_LF_SQL = """
+SELECT * FROM (VALUES
+  ('v2', '00041-414-f3c73457-bbd6-4b92-9c15-17b241171b16-00001.parquet', 'data'),
+  ('v1', '00000-411-0792dcfe-4e25-4ca3-8ada-175286069a47-00001.parquet', 'data')
+) AS t(v, file, type)
+"""
+
+
+def _iceberg_metadata_entries(spark, sf):
+    """8-column manifest/entry listing (reference iceberg_metadata.test:14-18)."""
+    from duckdb_iceberg_spark import iceberg_metadata
+
+    df = iceberg_metadata(spark, _LI_TABLE, allow_moved_paths=True)
+    return df.select(
+        F.substring_index("manifest_path", "/", -1).alias("manifest"),
+        "manifest_sequence_number",
+        "manifest_content",
+        "status",
+        "content",
+        F.substring_index("file_path", "/", -1).alias("file"),
+        "file_format",
+        "record_count",
+    )
+
+
+_ICEBERG_MD_SQL = """
+SELECT * FROM (VALUES
+  ('10eaca8a-1e1c-421e-ad6d-b232e5ee23d3-m1.avro', CAST(2 AS BIGINT), 'DATA', 'ADDED', 'EXISTING',
+   '00041-414-f3c73457-bbd6-4b92-9c15-17b241171b16-00001.parquet', 'PARQUET', CAST(51793 AS BIGINT)),
+  ('10eaca8a-1e1c-421e-ad6d-b232e5ee23d3-m0.avro', CAST(2 AS BIGINT), 'DATA', 'DELETED', 'EXISTING',
+   '00000-411-0792dcfe-4e25-4ca3-8ada-175286069a47-00001.parquet', 'PARQUET', CAST(60175 AS BIGINT))
+) AS t(manifest, manifest_sequence_number, manifest_content, status, content, file, file_format, record_count)
+"""
+
+
+def _iceberg_write_pipeline(spark, sf):
+    """Native write surface end-to-end: CTAS -> UPDATE-to-NULL ->
+    self-INSERT -> DELETE -> ADD COLUMN DEFAULT -> computed UPDATE ->
+    widen INT->BIGINT, then scan. Mirrors reference updates_v2/q01-q08
+    (its generator does these through Spark; we do them natively)."""
+    import tempfile
+
+    from duckdb_iceberg_spark import IcebergTable
+
+    path = tempfile.mkdtemp(prefix="ice_wp_") + "/t"
+    df = _t(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", F.col("s_acctbal").cast("double").alias("s_acctbal")
+    )
+    t = IcebergTable.create(spark, path, df)
+    t.update_where("s_suppkey % 7 = 0", {"s_acctbal": F.lit(None).cast("double")})
+    t.insert_sql("SELECT * FROM t WHERE s_suppkey % 13 = 0")
+    t.delete_where("s_suppkey % 11 = 0")
+    t.add_column("evolved", "int", default=42)
+    t.update_where("s_suppkey % 5 = 0", {"evolved": "CAST(s_suppkey AS INT)"})
+    t.alter_column_type("evolved", "long")
+    return t.scan().select("s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("s_acctbal"), "evolved")
+
+
+_ICEBERG_WP_SQL = """
+WITH base AS (
+  SELECT s_suppkey, s_name, s_nationkey,
+         CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE CAST(s_acctbal AS DOUBLE) END AS s_acctbal
+  FROM supplier),
+ins AS (
+  SELECT * FROM base UNION ALL SELECT * FROM base WHERE s_suppkey % 13 = 0),
+del AS (
+  SELECT * FROM ins WHERE s_suppkey % 11 <> 0)
+SELECT s_suppkey, s_name, s_nationkey, ROUND(s_acctbal, 2) AS s_acctbal,
+       CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_suppkey ELSE 42 END AS BIGINT) AS evolved
+FROM del
+"""
+
+
+def _iceberg_compaction(spark, sf):
+    """MoR deletes followed by rewrite_data_files + expire_snapshots +
+    remove_orphan_files; live rows must be unchanged by maintenance."""
+    import tempfile
+
+    from duckdb_iceberg_spark import IcebergTable
+
+    path = tempfile.mkdtemp(prefix="ice_cp_") + "/t"
+    t = IcebergTable.create(spark, path, _t(spark, sf, "nation"))
+    t.delete_where("n_nationkey % 5 = 0")
+    t.rewrite_data_files()
+    t.expire_snapshots(keep_last=1)
+    t.remove_orphan_files()
+    return t.scan()
+
+
+_ICEBERG_CP_SQL = "SELECT * FROM nation WHERE n_nationkey % 5 <> 0"
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -904,7 +1431,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_local_supplier": _q5_local_supplier,
         "q6_revenue": _q6_revenue,
+        "q7_volume_shipping": _q7_volume_shipping,
+        "q8_market_share": _q8_market_share,
+        "q9_profit_by_nation": _q9_profit_by_nation,
         "q10_returned_items": _q10_returned_items,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q15_top_supplier": _q15_top_supplier,
+        "q17_small_quantity": _q17_small_quantity,
+        "q18_large_orders": _q18_large_orders,
+        "q19_disjunctive": _q19_disjunctive,
+        "q22_inactive_customers": _q22_inactive_customers,
+        # subquery shapes
+        "corr_max_per_order": _corr_max_per_order,
+        "scalar_subquery_avg": _scalar_subquery_avg,
         # joins
         "join_anti": _join_anti,
         "join_semi": _join_semi,
@@ -916,6 +1455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_having": _agg_having,
         "agg_rollup": _agg_rollup,
         "agg_cube": _agg_cube,
+        "agg_stats": _agg_stats,
+        "agg_grouping_sets": _agg_grouping_sets,
         # window functions
         "window_topn_per_group": _window_topn_per_group,
         "window_running_sum": _window_running_sum,
@@ -929,6 +1470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semi-structured / arrays / strings / dates
         "explode_embedding": _explode_embedding,
         "string_funcs": _string_funcs,
+        "string_funcs2": _string_funcs2,
+        "array_funcs": _array_funcs,
         "date_funcs": _date_funcs,
         "events_hourly": _events_hourly,
         "events_sessionize": _events_sessionize,
@@ -959,6 +1502,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iceberg parity
         "iceberg_scan_generated": _iceberg_scan_generated,
         "iceberg_snapshots": _iceberg_snapshots_q,
+        "iceberg_time_travel": _iceberg_time_travel,
+        "iceberg_list_files": _iceberg_list_files,
+        "iceberg_metadata_entries": _iceberg_metadata_entries,
+        # iceberg write surface (native writer)
+        "iceberg_write_pipeline": _iceberg_write_pipeline,
+        "iceberg_compaction": _iceberg_compaction,
     }
 
 
@@ -1006,4 +1555,24 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_sample": _MM_FRAME_SQL,
         "iceberg_scan_generated": _ICEBERG_SCAN_SQL,
         "iceberg_snapshots": _ICEBERG_SNAPSHOTS_SQL,
+        "iceberg_time_travel": _ICEBERG_TT_SQL,
+        "iceberg_list_files": _ICEBERG_LF_SQL,
+        "iceberg_metadata_entries": _ICEBERG_MD_SQL,
+        "iceberg_write_pipeline": _ICEBERG_WP_SQL,
+        "iceberg_compaction": _ICEBERG_CP_SQL,
+        "q7_volume_shipping": _Q7_SQL,
+        "q8_market_share": _Q8_SQL,
+        "q9_profit_by_nation": _Q9_SQL,
+        "q14_promo_revenue": _Q14_SQL,
+        "q15_top_supplier": _Q15_SQL,
+        "q17_small_quantity": _Q17_SQL,
+        "q18_large_orders": _Q18_SQL,
+        "q19_disjunctive": _Q19_SQL,
+        "q22_inactive_customers": _Q22_SQL,
+        "corr_max_per_order": _CORR_MAX_SQL,
+        "scalar_subquery_avg": _SCALAR_SUBQ_SQL,
+        "agg_stats": _AGG_STATS_SQL,
+        "agg_grouping_sets": _GROUPING_SETS_SQL,
+        "array_funcs": _ARRAY_SQL,
+        "string_funcs2": _STRING2_SQL,
     }
