@@ -24,6 +24,11 @@ def get_spark(app_name: str = "duckdb_iceberg_spark", **extra) -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Dimension tables up to 32MB broadcast (conservative default is
+        # 10MB; with 100+ GiB executors a 32MB broadcast is cheap and
+        # removes a shuffle from every star join. AQE still converts
+        # larger cases at runtime from observed sizes.)
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.fieldId.read.enabled", "true")
         .config("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
