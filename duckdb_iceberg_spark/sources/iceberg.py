@@ -133,6 +133,7 @@ def iceberg_scan(
     mode: str = "default",
     skip_schema_inference: bool = False,
     unsafe_enable_version_guessing: bool = False,
+    partition_filter=None,
     _keep_position_columns: bool = False,
 ) -> DataFrame:
     """Read an Iceberg table at a snapshot, applying delete files.
@@ -141,6 +142,15 @@ def iceberg_scan(
     timestamp])`` with the same named parameters
     (iceberg_scan.cpp:301-337). Returns a DataFrame Catalyst plans
     normally (pushdown/pruning reach the parquet scan).
+
+    ``partition_filter`` prunes data files from manifest partition
+    values BEFORE the DataFrame is constructed — at 100 TB this is the
+    difference between scanning a day and scanning a decade. Accepts
+    a dict of ``{source_column: literal}`` (the matching transform is
+    applied to the literal — hidden partitioning) or a callable
+    ``partition_values_dict -> bool``. File pruning the reference
+    never does (its partial Avro schemas drop partition data,
+    reference iceberg_types.hpp:122-155; SURVEY.md §4).
     """
     meta = _load(
         path,
@@ -151,7 +161,10 @@ def iceberg_scan(
     )
     snap = _select_snapshot(meta, snapshot_id, timestamp)
     scan = load_table_scan(meta, snap, _table_root(path), allow_moved_paths)
-    data_files = [e.file_path for e in scan.data_files()]
+    data_entries = scan.data_files()
+    if partition_filter is not None:
+        data_entries = _prune_by_partition(meta, data_entries, partition_filter)
+    data_files = [e.file_path for e in data_entries]
     pos_delete_files = [e.file_path for e in scan.positional_delete_files()]
     eq_deletes = scan.equality_delete_files()
 
@@ -212,6 +225,32 @@ def iceberg_scan(
                 )
 
     return df
+
+
+def _prune_by_partition(meta: TableMetadata, entries, flt):
+    """Driver-side manifest pruning: keep entries whose partition
+    values satisfy ``flt`` (dict of source-col literals, or callable)."""
+    from ..plans.transforms import PartitionField
+
+    spec_id = meta.raw.get("default-spec-id", 0)
+    spec = next((s for s in meta.partition_specs if s.get("spec-id", 0) == spec_id), None)
+    if not spec or not spec.get("fields"):
+        return entries  # unpartitioned: nothing to prune
+    schema = meta.schemas[meta.current_schema_id]
+    id_to_name = {c.field_id: c.name for c in schema.columns}
+    pfields = [PartitionField.from_json(f, id_to_name[f["source-id"]]) for f in spec["fields"]]
+    if callable(flt):
+        return [e for e in entries if flt(e.partition)]
+    by_source = {pf.source: pf for pf in pfields}
+    targets = {}
+    for col, lit in flt.items():
+        pf = by_source.get(col)
+        if pf is None:
+            raise ValueError(
+                f"partition_filter column {col!r} is not a partition source; sources: {sorted(by_source)}"
+            )
+        targets[pf.name] = pf.apply(lit)
+    return [e for e in entries if all(e.partition.get(k) == v for k, v in targets.items())]
 
 
 def _apply_equality_deletes(

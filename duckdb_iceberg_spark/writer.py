@@ -45,6 +45,7 @@ from .plans.table_metadata import (
     load_table_metadata,
     parse_iceberg_type,
 )
+from .plans.transforms import PartitionField, spark_partition_column
 
 __all__ = ["IcebergTable"]
 
@@ -206,6 +207,77 @@ _MANIFEST_ENTRY_SCHEMA = {
     ],
 }
 
+def _parse_partition_dirs(rel: str, pfields: list[PartitionField], dtypes: dict) -> dict:
+    """`_p_name=value[/...]` path → {partition_field_name: typed_value}.
+
+    Typed per Iceberg manifest conventions: temporal transforms and
+    identity-on-date store ordinal ints; identity keeps the source type."""
+    import datetime as _dt
+    import urllib.parse
+
+    if rel == "." or not pfields:
+        return {}
+    by_dir = {f"_p_{pf.name}": pf for pf in pfields}
+    out: dict = {}
+    for seg in rel.split(os.sep):
+        if "=" not in seg:
+            continue
+        k, raw = seg.split("=", 1)
+        pf = by_dir.get(k)
+        if pf is None:
+            continue
+        raw = urllib.parse.unquote(raw)
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            out[pf.name] = None
+            continue
+        if pf.transform == "days" or (pf.transform == "identity" and dtypes.get(pf.source) == "date"):
+            out[pf.name] = (_dt.date.fromisoformat(raw) - _dt.date(1970, 1, 1)).days
+        elif pf.transform in ("months", "years", "hours", "bucket"):
+            out[pf.name] = int(raw)
+        elif pf.transform == "truncate":
+            out[pf.name] = raw if dtypes.get(pf.source) == "string" else int(raw)
+        else:  # identity
+            st = dtypes.get(pf.source, "string")
+            if st in ("int", "bigint", "smallint", "tinyint"):
+                out[pf.name] = int(raw)
+            elif st in ("double", "float"):
+                out[pf.name] = float(raw)
+            elif st == "boolean":
+                out[pf.name] = raw == "true"
+            else:
+                out[pf.name] = raw
+    return out
+
+
+def _partition_avro_fields(pfields: list[PartitionField], schema: IcebergSchema) -> list[dict]:
+    """r102 record fields for the current partition spec."""
+    by_name = {c.name: c for c in schema.columns}
+    fields = []
+    for pf in pfields:
+        src = by_name.get(pf.source)
+        st = src.spark_type.simpleString() if src else "string"
+        if pf.transform == "days" or (pf.transform == "identity" and st == "date"):
+            t: Any = {"type": "int", "logicalType": "date"}
+        elif pf.transform in ("months", "years", "hours", "bucket"):
+            t = "int"
+        elif pf.transform == "truncate":
+            t = "string" if st == "string" else ("long" if st == "bigint" else "int")
+        elif st in ("int", "smallint", "tinyint"):
+            t = "int"
+        elif st == "bigint":
+            t = "long"
+        elif st in ("double",):
+            t = "double"
+        elif st in ("float",):
+            t = "float"
+        elif st == "boolean":
+            t = "boolean"
+        else:
+            t = "string"
+        fields.append({"name": pf.name, "type": ["null", t], "default": None, "field-id": pf.field_id})
+    return fields
+
+
 def _now_ms() -> int:
     return int(time.time() * 1000)
 
@@ -228,6 +300,16 @@ class IcebergTable:
         self.path = os.path.abspath(path)
         self.meta: TableMetadata = load_table_metadata(self.path)
 
+    @property
+    def partition_fields(self) -> list[PartitionField]:
+        """Current partition-spec fields (default spec)."""
+        spec_id = self.meta.raw.get("default-spec-id", 0)
+        spec = next((s for s in self.meta.partition_specs if s.get("spec-id", 0) == spec_id), None)
+        if not spec:
+            return []
+        id_to_name = {c.field_id: c.name for c in self.schema.columns}
+        return [PartitionField.from_json(f, id_to_name[f["source-id"]]) for f in spec.get("fields", [])]
+
     # -- construction -----------------------------------------------------
 
     @classmethod
@@ -237,8 +319,14 @@ class IcebergTable:
         path: str,
         df: DataFrame,
         *,
+        partition_by: Optional[list] = None,
         properties: Optional[dict] = None,
     ) -> "IcebergTable":
+        """CTAS. ``partition_by`` entries: ``"col"`` (identity),
+        ``("days"|"months"|"years"|"hours", col)``, or
+        ``("bucket"|"truncate", N, col)`` — Iceberg hidden partitioning
+        (the reference's own provisioner uses ``days(dt)``,
+        reference scripts/provision.py:92)."""
         path = os.path.abspath(path)
         if os.path.exists(os.path.join(path, "metadata")):
             raise FileExistsError(f"Iceberg table already exists at {path}")
@@ -246,6 +334,23 @@ class IcebergTable:
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         schema = _schema_from_df(df)
         last_col = _max_field_id(schema)
+        name_to_id = {c.name: c.field_id for c in schema.columns}
+        spec_fields = []
+        for i, p in enumerate(partition_by or []):
+            if isinstance(p, str):
+                pf = PartitionField("identity", p, None, 1000 + i)
+            elif len(p) == 2:
+                pf = PartitionField(p[0], p[1], None, 1000 + i)
+            else:
+                pf = PartitionField(p[0], p[2], int(p[1]), 1000 + i)
+            spec_fields.append(
+                {
+                    "name": pf.name,
+                    "transform": pf.transform_str(),
+                    "source-id": name_to_id[pf.source],
+                    "field-id": pf.field_id,
+                }
+            )
         doc = {
             "format-version": 2,
             "table-uuid": str(uuid.uuid4()),
@@ -256,7 +361,7 @@ class IcebergTable:
             "current-schema-id": 0,
             "schemas": [_schema_to_json(schema)],
             "default-spec-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
             "last-partition-id": 999,
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
@@ -294,29 +399,50 @@ class IcebergTable:
 
     # -- low-level writers ------------------------------------------------
 
-    def _write_parquet_files(self, df: DataFrame, subdir: str = "data") -> list[dict]:
+    def _write_parquet_files(self, df: DataFrame, subdir: str = "data", partitioned: bool = False) -> list[dict]:
         """Write df as parquet via Spark executors; move part files into
-        the table tree; return manifest data_file dicts."""
+        the table tree; return manifest data_file dicts.
+
+        Partitioned tables: rows are routed by `_p_<field>` computed
+        columns (JVM-side transforms) so each output file belongs to
+        exactly one partition (Iceberg invariant); the source columns
+        stay in the file (unlike plain hive layout). Partition values
+        are recovered from the directory names into typed manifest
+        values used for read-side file pruning."""
         import pyarrow.parquet as pq
 
         self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        pfields = self.partition_fields if partitioned else []
         tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(tmp)
+        if pfields:
+            dtypes = dict(df.dtypes)
+            writer = df.select(
+                "*", *[spark_partition_column(pf, dtypes[pf.source]).alias(f"_p_{pf.name}") for pf in pfields]
+            ).write.partitionBy(*[f"_p_{pf.name}" for pf in pfields])
+        else:
+            writer = df.write
+        writer.mode("overwrite").parquet(tmp)
         out = []
-        for name in sorted(os.listdir(tmp)):
-            if not name.endswith(".parquet"):
-                continue
-            dest = os.path.join(self.path, subdir, f"{uuid.uuid4().hex}.parquet")
-            shutil.move(os.path.join(tmp, name), dest)
-            md = pq.ParquetFile(dest).metadata
-            out.append(
-                {
-                    "file_path": dest,
-                    "file_format": "PARQUET",
-                    "record_count": md.num_rows,
-                    "file_size_in_bytes": os.path.getsize(dest),
-                }
-            )
+        for root, _dirs, names in os.walk(tmp):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(root, tmp)
+                partition = _parse_partition_dirs(rel, pfields, dict(df.dtypes) if pfields else {})
+                pdir = os.path.join(self.path, subdir, rel) if rel != "." else os.path.join(self.path, subdir)
+                os.makedirs(pdir, exist_ok=True)
+                dest = os.path.join(pdir, f"{uuid.uuid4().hex}.parquet")
+                shutil.move(os.path.join(root, name), dest)
+                md = pq.ParquetFile(dest).metadata
+                out.append(
+                    {
+                        "file_path": dest,
+                        "file_format": "PARQUET",
+                        "record_count": md.num_rows,
+                        "file_size_in_bytes": os.path.getsize(dest),
+                        "partition": partition,
+                    }
+                )
         shutil.rmtree(tmp, ignore_errors=True)
         return [e for e in out if e["record_count"] > 0]
 
@@ -360,6 +486,16 @@ class IcebergTable:
         meta_dir = os.path.join(self.path, "metadata")
         manifests = self._current_manifests() if keep_previous else []
 
+        import copy
+
+        entry_schema = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+        pfields = self.partition_fields
+        if pfields:
+            r102 = next(f for f in entry_schema["fields"] if f["name"] == "data_file")["type"]
+            next(f for f in r102["fields"] if f["name"] == "partition")["type"]["fields"] = _partition_avro_fields(
+                pfields, self.schema
+            )
+
         def write_manifest(files: list[dict], content: int) -> dict:
             mpath = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m{content}.avro")
             entries = [
@@ -372,7 +508,7 @@ class IcebergTable:
                         "content": f.get("content", content),
                         "file_path": f["file_path"],
                         "file_format": f.get("file_format", "PARQUET"),
-                        "partition": {},
+                        "partition": f.get("partition") or {},
                         "record_count": f["record_count"],
                         "file_size_in_bytes": f.get("file_size_in_bytes", 0),
                         "equality_ids": f.get("equality_ids"),
@@ -382,7 +518,7 @@ class IcebergTable:
             ]
             length = write_avro_file(
                 mpath,
-                _MANIFEST_ENTRY_SCHEMA,
+                entry_schema,
                 entries,
                 metadata={
                     "schema": json.dumps(_schema_to_json(self.schema)),
@@ -462,7 +598,7 @@ class IcebergTable:
     # -- write operations -------------------------------------------------
 
     def append(self, df: DataFrame) -> None:
-        files = self._write_parquet_files(self._aligned(df))
+        files = self._write_parquet_files(self._aligned(df), partitioned=True)
         self._commit(
             operation="append",
             new_data_files=files,
@@ -514,7 +650,7 @@ class IcebergTable:
             expr = F.expr(val) if isinstance(val, str) else (val if isinstance(val, Column) else F.lit(val))
             updated = updated.withColumn(col, expr)
         updated = updated.drop("__file", "__pos")
-        new_files = self._write_parquet_files(self._aligned(updated))
+        new_files = self._write_parquet_files(self._aligned(updated), partitioned=True)
         dels = (
             matched.select(
                 F.regexp_replace(F.col("__file"), r"^file:/+", "/").alias("file_path"),
@@ -612,7 +748,7 @@ class IcebergTable:
         total_bytes = sum(e.file_size_in_bytes for e in scan.data_files()) or 1
         n_files = max(1, math.ceil(total_bytes / target_file_size_bytes))
         df = self.scan().repartition(n_files)
-        files = self._write_parquet_files(self._aligned(df))
+        files = self._write_parquet_files(self._aligned(df), partitioned=True)
         self._commit(
             operation="replace",
             new_data_files=files,
@@ -649,14 +785,15 @@ class IcebergTable:
                     referenced.add(os.path.abspath(e["data_file"]["file_path"]))
         removed = []
         for sub, exts in (("data", (".parquet",)), ("metadata", (".avro",))):
-            root = os.path.join(self.path, sub)
-            if not os.path.isdir(root):
+            top = os.path.join(self.path, sub)
+            if not os.path.isdir(top):
                 continue
-            for name in os.listdir(root):
-                p = os.path.abspath(os.path.join(root, name))
-                if p.endswith(exts) and p not in referenced:
-                    os.remove(p)
-                    removed.append(p)
+            for root, _dirs, names in os.walk(top):
+                for name in names:
+                    p = os.path.abspath(os.path.join(root, name))
+                    if p.endswith(exts) and p not in referenced:
+                        os.remove(p)
+                        removed.append(p)
         return removed
 
     # -- stats ------------------------------------------------------------
