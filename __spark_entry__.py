@@ -1221,6 +1221,49 @@ def _mm_features(spark, sf):
     return MM.extract_features(MM.synth_media(d))
 
 
+def _streaming_stateful(spark, sf):
+    """Custom stateful operator (applyInPandasWithState) — rows-only."""
+    from duckdb_iceberg_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        stateful_user_stats,
+    )
+
+    stream = read_events_stream(spark, sf)
+    out = run_stream_to_memory(stateful_user_stats(stream), "stream_stateful_entry", output_mode="update")
+    return out.select(
+        "user_id", "n_events", "sum_value", F.date_format("last_seen", "yyyy-MM-dd HH:mm:ss").alias("last_seen")
+    )
+
+
+def _streaming_to_iceberg(spark, sf):
+    """Streaming ingestion into a native Iceberg table (foreachBatch ->
+    per-batch snapshots), then scan it back — oracle: the source table."""
+    import tempfile
+
+    from duckdb_iceberg_spark import IcebergTable
+    from duckdb_iceberg_spark.streaming.events import read_events_stream, write_stream_to_iceberg
+
+    base = tempfile.mkdtemp(prefix="ice_stream_")
+    q = write_stream_to_iceberg(read_events_stream(spark, sf), base + "/t", checkpoint=base + "/ckpt")
+    q.awaitTermination()
+    t = IcebergTable(spark, base + "/t")
+    return t.scan().select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+    )
+
+
+_STREAMING_TO_ICEBERG_SQL = """
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, user_id, event_type,
+       ROUND(value, 2) AS value
+FROM events
+"""
+
+
 def _streaming_hourly(spark, sf):
     from duckdb_iceberg_spark.streaming.events import (
         hourly_rollup,
@@ -1499,6 +1542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": _mm_features,  # rows-only
         # streaming
         "streaming_hourly": _streaming_hourly,  # rows-only
+        "streaming_stateful": _streaming_stateful,  # rows-only
+        "streaming_to_iceberg": _streaming_to_iceberg,
         # iceberg parity
         "iceberg_scan_generated": _iceberg_scan_generated,
         "iceberg_snapshots": _iceberg_snapshots_q,
@@ -1560,6 +1605,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_metadata_entries": _ICEBERG_MD_SQL,
         "iceberg_write_pipeline": _ICEBERG_WP_SQL,
         "iceberg_compaction": _ICEBERG_CP_SQL,
+        "streaming_to_iceberg": _STREAMING_TO_ICEBERG_SQL,
         "q7_volume_shipping": _Q7_SQL,
         "q8_market_share": _Q8_SQL,
         "q9_profit_by_nation": _Q9_SQL,

@@ -73,7 +73,77 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def run_stream_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+def stateful_user_stats(events: DataFrame, timeout_min: int = 120) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count, value sum, and last-seen timestamp,
+    maintained across micro-batches in Arrow-batched Python state.
+
+    This is the escape hatch for semantics Spark's built-in windowed
+    aggregations can't express (per-key custom state machines); state
+    is per-user and dropped after ``timeout_min`` of event-time
+    inactivity, so memory is bounded on an unbounded stream.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, sum_value double, last_seen timestamp"
+    state_schema = "n long, s double, last long"
+
+    def update(key, pdfs, state: GroupState):
+        n, s, last = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            mx = pd.to_datetime(pdf["ts"]).max()
+            if pd.notna(mx):
+                last = max(last, int(mx.value // 1000))
+        state.update((n, s, last))
+        # timeout = inactivity horizon, clamped above the current
+        # watermark (a user's last event may already be older than it)
+        state.setTimeoutTimestamp(
+            max(last // 1000 + timeout_min * 60 * 1000, state.getCurrentWatermarkMs() + 60_000)
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [round(s, 2)],
+                "last_seen": [pd.Timestamp(last, unit="us")],
+            }
+        )
+
+    src = events.withWatermark("ts", "2 hours") if events.isStreaming else events
+    return src.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+def write_stream_to_iceberg(stream_df: DataFrame, table_path: str, checkpoint: str | None = None):
+    """Streaming ingestion into a native Iceberg table: each
+    micro-batch is appended as one Iceberg snapshot via foreachBatch —
+    the lakehouse ingestion shape (Kafka -> Iceberg) with per-batch
+    atomic commits and time travel across batches.
+    """
+    from ..writer import IcebergTable
+
+    ckpt = checkpoint or tempfile.mkdtemp(prefix="ice_stream_ckpt_")
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not os.path.exists(os.path.join(table_path, "metadata")):
+            IcebergTable.create(spark, table_path, batch_df)
+        else:
+            IcebergTable(spark, table_path).append(batch_df)
+
+    return (
+        stream_df.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Drain a stream with availableNow into an in-memory sink and
     return the materialized result (test/verification harness)."""
     spark = stream_df.sparkSession
@@ -81,7 +151,7 @@ def run_stream_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()

@@ -676,6 +676,40 @@ class IcebergTable:
             extra_summary={"added-position-deletes": str(n), "total-position-deletes": str(self._total_pos_deletes() + n)},
         )
 
+    def delete_where_equality(self, keys_df: DataFrame) -> None:
+        """Equality-delete commit: rows matching ANY row of ``keys_df``
+        (on its columns) are deleted. Writes an Iceberg
+        equality-delete file (content=2, equality_ids = the key
+        columns' field ids) scoped by sequence number.
+
+        The reference reads such tables INCORRECTLY (treats every
+        delete file as positional, reference iceberg_scan.cpp:167-169);
+        our scan applies them as a sequence-scoped anti join —
+        deliberate spec-correct divergence (SURVEY.md §7.5)."""
+        name_to_id = {c.name: c.field_id for c in self.schema.columns}
+        cols = keys_df.columns
+        unknown = [c for c in cols if c not in name_to_id]
+        if unknown:
+            raise ValueError(f"equality-delete columns not in schema: {unknown}")
+        aligned = keys_df.select(
+            *[
+                F.col(c).cast(dict((cc.name, cc.spark_type) for cc in self.schema.columns)[c])
+                .alias(c, metadata={"parquet.field.id": name_to_id[c]})
+                for c in cols
+            ]
+        ).dropDuplicates()
+        files = self._write_parquet_files(aligned)
+        for f in files:
+            f["content"] = 2
+            f["equality_ids"] = [name_to_id[c] for c in cols]
+        if not files:
+            return
+        self._commit(
+            operation="delete",
+            new_delete_files=files,
+            extra_summary={"added-equality-deletes": str(sum(f["record_count"] for f in files))},
+        )
+
     # -- DDL (schema evolution) -------------------------------------------
 
     def add_column(self, name: str, iceberg_type: str, default: Any = None) -> None:

@@ -158,3 +158,23 @@ def test_rename_and_drop_column(spark, tmp_path):
     assert t.scan().count() == df.count()
     t.drop_column("r_comment")
     assert "r_comment" not in t.scan().columns
+
+
+def test_equality_deletes_roundtrip(spark, tmp_path):
+    """Write equality-delete files; scan must apply them as a
+    sequence-scoped anti join (spec-correct, unlike the reference)."""
+    from duckdb_iceberg_spark import IcebergTable
+
+    df = spark.read.parquet(f"{SF}/customer.parquet")
+    t = IcebergTable.create(spark, str(tmp_path / "eqtab"), df)
+    n0 = t.scan().count()
+    victims = df.filter("c_custkey % 10 = 3").select("c_custkey")
+    n_victims = victims.count()
+    t.delete_where_equality(victims)
+    assert t.scan().count() == n0 - n_victims
+    assert t.scan().filter("c_custkey % 10 = 3").count() == 0
+    # rows appended AFTER the equality delete are NOT affected
+    revived = df.filter("c_custkey % 10 = 3").limit(5)
+    t.append(revived)
+    assert t.scan().filter("c_custkey % 10 = 3").count() == 5
+    assert t.scan().count() == n0 - n_victims + 5
