@@ -134,6 +134,7 @@ def iceberg_scan(
     skip_schema_inference: bool = False,
     unsafe_enable_version_guessing: bool = False,
     partition_filter=None,
+    stats_filter=None,
     _keep_position_columns: bool = False,
 ) -> DataFrame:
     """Read an Iceberg table at a snapshot, applying delete files.
@@ -151,6 +152,11 @@ def iceberg_scan(
     ``partition_values_dict -> bool``. File pruning the reference
     never does (its partial Avro schemas drop partition data,
     reference iceberg_types.hpp:122-155; SURVEY.md §4).
+
+    ``stats_filter`` is zone-map file skipping from manifest
+    lower/upper bounds: ``{column: (lo, hi)}`` with ``None`` for an
+    open side; a file is kept iff its [min,max] may intersect every
+    range. Files without stats are always kept (correctness-safe).
     """
     meta = _load(
         path,
@@ -164,6 +170,8 @@ def iceberg_scan(
     data_entries = scan.data_files()
     if partition_filter is not None:
         data_entries = _prune_by_partition(meta, data_entries, partition_filter)
+    if stats_filter is not None:
+        data_entries = _prune_by_stats(meta, data_entries, stats_filter)
     data_files = [e.file_path for e in data_entries]
     pos_delete_files = [e.file_path for e in scan.positional_delete_files()]
     eq_deletes = scan.equality_delete_files()
@@ -251,6 +259,36 @@ def _prune_by_partition(meta: TableMetadata, entries, flt):
             )
         targets[pf.name] = pf.apply(lit)
     return [e for e in entries if all(e.partition.get(k) == v for k, v in targets.items())]
+
+
+def _prune_by_stats(meta: TableMetadata, entries, flt: dict):
+    """Zone-map skipping: drop files whose [lower, upper] bounds cannot
+    intersect the requested {col: (lo, hi)} ranges."""
+    from ..plans.bounds import range_overlaps
+
+    schema = meta.schemas[meta.current_schema_id]
+    by_name = {c.name: c for c in schema.columns}
+    checks = []
+    for col, rng in flt.items():
+        c = by_name.get(col)
+        if c is None:
+            raise ValueError(f"stats_filter column {col!r} not in schema")
+        lo, hi = rng
+        checks.append((c.field_id, lo, hi, c.spark_type))
+    out = []
+    for e in entries:
+        keep = True
+        for fid, lo, hi, dt in checks:
+            lower = e.lower_bounds.get(fid) or e.lower_bounds.get(str(fid))
+            upper = e.upper_bounds.get(fid) or e.upper_bounds.get(str(fid))
+            if lower is None and upper is None:
+                continue  # no stats for this column: keep
+            if not range_overlaps(lower, upper, lo, hi, dt):
+                keep = False
+                break
+        if keep:
+            out.append(e)
+    return out
 
 
 def _apply_equality_deletes(

@@ -196,6 +196,44 @@ _MANIFEST_ENTRY_SCHEMA = {
                     {"name": "record_count", "type": "long", "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
                     {
+                        "name": "lower_bounds",
+                        "type": [
+                            "null",
+                            {
+                                "type": "array",
+                                "items": {
+                                    "type": "record",
+                                    "name": "k126_v127",
+                                    "fields": [
+                                        {"name": "key", "type": "int", "field-id": 126},
+                                        {"name": "value", "type": "bytes", "field-id": 127},
+                                    ],
+                                },
+                            },
+                        ],
+                        "default": None,
+                        "field-id": 125,
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "type": [
+                            "null",
+                            {
+                                "type": "array",
+                                "items": {
+                                    "type": "record",
+                                    "name": "k129_v130",
+                                    "fields": [
+                                        {"name": "key", "type": "int", "field-id": 129},
+                                        {"name": "value", "type": "bytes", "field-id": 130},
+                                    ],
+                                },
+                            },
+                        ],
+                        "default": None,
+                        "field-id": 128,
+                    },
+                    {
                         "name": "equality_ids",
                         "type": ["null", {"type": "array", "items": "int", "element-id": 136}],
                         "default": None,
@@ -206,6 +244,13 @@ _MANIFEST_ENTRY_SCHEMA = {
         },
     ],
 }
+
+def _cmp_lt(a, b) -> bool:
+    try:
+        return a < b
+    except TypeError:
+        return False
+
 
 def _parse_partition_dirs(rel: str, pfields: list[PartitionField], dtypes: dict) -> dict:
     """`_p_name=value[/...]` path → {partition_field_name: typed_value}.
@@ -399,6 +444,29 @@ class IcebergTable:
 
     # -- low-level writers ------------------------------------------------
 
+    def _column_bounds(self, pqmeta) -> tuple[dict, dict]:
+        """Per-file lower/upper bounds keyed by field id, from the
+        parquet footer statistics (free — the footer is already read
+        for the row count). These become Iceberg manifest
+        lower_bounds/upper_bounds used for zone-map file skipping."""
+        name_to_id = {c.name: c.field_id for c in self.schema.columns}
+        lowers: dict[int, Any] = {}
+        uppers: dict[int, Any] = {}
+        for rg in range(pqmeta.num_row_groups):
+            g = pqmeta.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                fid = name_to_id.get(col.path_in_schema)
+                st = col.statistics
+                if fid is None or st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if fid not in lowers or _cmp_lt(mn, lowers[fid]):
+                    lowers[fid] = mn
+                if fid not in uppers or _cmp_lt(uppers[fid], mx):
+                    uppers[fid] = mx
+        return lowers, uppers
+
     def _write_parquet_files(self, df: DataFrame, subdir: str = "data", partitioned: bool = False) -> list[dict]:
         """Write df as parquet via Spark executors; move part files into
         the table tree; return manifest data_file dicts.
@@ -434,6 +502,7 @@ class IcebergTable:
                 dest = os.path.join(pdir, f"{uuid.uuid4().hex}.parquet")
                 shutil.move(os.path.join(root, name), dest)
                 md = pq.ParquetFile(dest).metadata
+                lowers, uppers = self._column_bounds(md)
                 out.append(
                     {
                         "file_path": dest,
@@ -441,6 +510,8 @@ class IcebergTable:
                         "record_count": md.num_rows,
                         "file_size_in_bytes": os.path.getsize(dest),
                         "partition": partition,
+                        "lower_bounds": lowers,
+                        "upper_bounds": uppers,
                     }
                 )
         shutil.rmtree(tmp, ignore_errors=True)
@@ -496,6 +567,20 @@ class IcebergTable:
                 pfields, self.schema
             )
 
+        from .plans.bounds import serialize_bound
+
+        id_to_type = {c.field_id: c.spark_type for c in self.schema.columns}
+
+        def kv_bounds(bounds: dict | None) -> list | None:
+            if not bounds:
+                return None
+            out = []
+            for fid, v in sorted(bounds.items()):
+                b = serialize_bound(v, id_to_type[fid]) if fid in id_to_type else None
+                if b is not None:
+                    out.append({"key": fid, "value": b})
+            return out or None
+
         def write_manifest(files: list[dict], content: int) -> dict:
             mpath = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m{content}.avro")
             entries = [
@@ -511,6 +596,8 @@ class IcebergTable:
                         "partition": f.get("partition") or {},
                         "record_count": f["record_count"],
                         "file_size_in_bytes": f.get("file_size_in_bytes", 0),
+                        "lower_bounds": kv_bounds(f.get("lower_bounds")),
+                        "upper_bounds": kv_bounds(f.get("upper_bounds")),
                         "equality_ids": f.get("equality_ids"),
                     },
                 }

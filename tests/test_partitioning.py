@@ -122,3 +122,60 @@ def test_bucket_value_spec_vectors():
     assert murmur3_32(enc) == 2017239379
     # spec: hash of UTF-8 "iceberg" = 1210000089
     assert murmur3_32(b"iceberg") == 1210000089
+
+
+def test_stats_file_skipping(spark, tmp_path):
+    """Zone-map pruning: manifest lower/upper bounds written from
+    parquet footers must let iceberg_scan skip non-overlapping files."""
+    from duckdb_iceberg_spark import IcebergTable
+    from duckdb_iceberg_spark.plans.manifests import load_table_scan
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    t = IcebergTable.create(spark, str(tmp_path / "t"), o.filter("o_orderkey < 1000"))
+    t.append(o.filter("o_orderkey >= 1000 AND o_orderkey < 2000"))
+    t.append(o.filter("o_orderkey >= 2000"))
+    scan = load_table_scan(t.meta, t.meta.latest_snapshot(), t.path, False)
+    assert all(e.lower_bounds and e.upper_bounds for e in scan.data_files())
+
+    n_all = len(t.scan(mode="list_files").collect())
+    pruned = t.scan(mode="list_files", stats_filter={"o_orderkey": (1200, 1300)})
+    assert len(pruned.collect()) < n_all
+
+    got = t.scan(stats_filter={"o_orderkey": (1200, 1300)}).filter(
+        "o_orderkey BETWEEN 1200 AND 1300"
+    ).count()
+    expected = o.filter("o_orderkey BETWEEN 1200 AND 1300").count()
+    assert got == expected and expected > 0
+
+    # timestamp bounds too
+    lo = "1996-01-01"
+    got2 = t.scan(stats_filter={"o_orderdate": (lo, None)}).filter(
+        F.col("o_orderdate") >= F.lit(lo).cast("timestamp")
+    ).count()
+    exp2 = o.filter(F.col("o_orderdate") >= F.lit(lo).cast("timestamp")).count()
+    assert got2 == exp2
+
+    with pytest.raises(ValueError, match="not in schema"):
+        t.scan(stats_filter={"nope": (1, 2)})
+
+
+def test_bound_serialization_roundtrip():
+    import datetime
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from duckdb_iceberg_spark.plans.bounds import deserialize_bound, serialize_bound
+
+    cases = [
+        (42, T.IntegerType()),
+        (-7, T.IntegerType()),
+        (2**40, T.LongType()),
+        (3.5, T.DoubleType()),
+        ("abc", T.StringType()),
+        (datetime.date(2021, 3, 4), T.DateType()),
+        (True, T.BooleanType()),
+        (Decimal("12.34"), T.DecimalType(9, 2)),
+    ]
+    for v, dt in cases:
+        assert deserialize_bound(serialize_bound(v, dt), dt) == v
