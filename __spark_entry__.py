@@ -1210,6 +1210,27 @@ def _ann_lsh_topk(spark, sf):
     return SIM.lsh_topk(e.filter(F.col("vec_id") > 0), q, k=10, n_planes=4, probe_hamming=2)
 
 
+def _ann_ivf_topk(spark, sf):
+    """IVF-Flat ANN: k-means inverted lists, probe-limited scan."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    base = e.filter(F.col("vec_id") > 0)
+    centroids, assigned = SIM.ivf_build(base, n_centroids=8, iters=2)
+    return SIM.ivf_topk(assigned, centroids, q, k=10, n_probe=4)
+
+
+def _agg_approx(spark, sf):
+    """Sketch aggregates (HLL distinct, quantile sketch) — rows-only:
+    approximate by design, no exact oracle."""
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
+        F.percentile_approx("l_quantity", [0.25, 0.75], 1000).alias("qty_quartiles"),
+    )
+
+
 def _knn_join(spark, sf):
     e = _t(spark, sf, "embeddings")
     left = e.filter(F.col("vec_id") < 20)
@@ -1536,7 +1557,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": _sim_topk,
         "sim_neardup": _sim_neardup,
         "ann_lsh_topk": _ann_lsh_topk,  # rows-only
+        "ann_ivf_topk": _ann_ivf_topk,  # rows-only
         "knn_join": _knn_join,  # rows-only
+        "agg_approx": _agg_approx,  # rows-only (sketches)
         # multimodal
         "mm_frame_sample": _mm_frame_sample,
         "mm_features": _mm_features,  # rows-only

@@ -86,6 +86,91 @@ def lsh_topk(
     return scored.orderBy(F.desc("cos"), F.asc(key_col)).limit(k)
 
 
+def ivf_build(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    seed: int = 42,
+) -> tuple[list[list[float]], DataFrame]:
+    """IVF-Flat index build: k-means centroids + per-row assignment.
+
+    Assignment is fully JVM-side (higher-order functions over a literal
+    centroid array — one scan per iteration, no Python in the row
+    path); the centroid update aggregates per-dimension means, which is
+    `n_centroids x dim` numbers on the driver regardless of table size
+    — the layout every billion-vector IVF build uses.
+
+    Returns (centroids, df ⊕ centroid_id). Persist the assignment as a
+    partition/cluster column and ANN probes become partition-pruned
+    scans.
+    """
+    rows = df.select(key_col, vec_col)
+    # deterministic init: first n by hashed key (spread, seed-stable)
+    init = (
+        rows.orderBy(F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)))
+        .limit(n_centroids)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in init]
+
+    for _ in range(iters):
+        assigned = _assign(rows, centroids, vec_col)
+        means = (
+            assigned.select("centroid_id", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new = {}
+        for r in means:
+            new.setdefault(r.centroid_id, {})[r.pos] = r.m
+        centroids = [
+            [new[c][p] for p in sorted(new[c])] if c in new else centroids[c]
+            for c in range(n_centroids)
+        ]
+    return centroids, _assign(rows, centroids, vec_col)
+
+
+def _assign(rows: DataFrame, centroids: list[list[float]], vec_col: str) -> DataFrame:
+    """centroid_id = argmax cosine(vec, centroid) — JVM-side."""
+    carr = F.array(*[VEC.lit_vector(c) for c in centroids])
+    sims = F.transform(carr, lambda c: VEC.cosine(F.col(vec_col), c))
+    best = F.array_position(sims, F.array_max(sims)) - 1
+    return rows.withColumn("centroid_id", best.cast("int"))
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k over an IVF index: rank centroids against the query on
+    the driver (tiny), scan only the ``n_probe`` nearest inverted
+    lists. With the assignment as a partition column this reads
+    n_probe/n_centroids of the data."""
+    import numpy as np
+
+    q = np.asarray(list(query_vec), dtype=float)
+    qn = np.linalg.norm(q) or 1.0
+    sims = []
+    for i, c in enumerate(centroids):
+        cv = np.asarray(c)
+        denom = (np.linalg.norm(cv) * qn) or 1.0
+        sims.append((float(cv @ q / denom), i))
+    probe = [i for _, i in sorted(sims, reverse=True)[:n_probe]]
+    cands = assigned.where(F.col("centroid_id").isin(probe))
+    qcol = VEC.lit_vector(query_vec)
+    scored = cands.select(key_col, F.round(VEC.cosine(F.col(vec_col), qcol), 4).alias("cos"))
+    return scored.orderBy(F.desc("cos"), F.asc(key_col)).limit(k)
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,

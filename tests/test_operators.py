@@ -119,3 +119,21 @@ def test_streaming_session_windows(spark, sf_dir):
     rows = out.collect()
     assert len(rows) > 0
     assert all(r.session_end >= r.session_start for r in rows)
+
+
+def test_ivf_ann_recall(spark, sf_dir):
+    """IVF-Flat: full-probe equals brute force; limited probe keeps
+    recall reasonable while scanning a fraction of the lists."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    base = e.filter(F.col("vec_id") > 0)
+    centroids, assigned = SIM.ivf_build(base, n_centroids=8, iters=2)
+    assigned = assigned.cache()
+    truth = {r.vec_id for r in SIM.cosine_topk(base, q, k=10).collect()}
+    full = {r.vec_id for r in SIM.ivf_topk(assigned, centroids, q, k=10, n_probe=8).collect()}
+    assert full == truth  # probing every list == exact
+    approx = {r.vec_id for r in SIM.ivf_topk(assigned, centroids, q, k=10, n_probe=3).collect()}
+    assert len(approx & truth) >= 5  # >=50% recall probing 3/8 lists
+    # assignment covers every row exactly once
+    assert assigned.count() == base.count()
+    assert assigned.where(F.col("centroid_id").isNull()).count() == 0
