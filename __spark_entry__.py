@@ -1464,6 +1464,48 @@ FROM del
 """
 
 
+def _iceberg_equality_deletes(spark, sf):
+    """Native equality-delete write + sequence-scoped read (the
+    reference reads such tables incorrectly; we do it per spec)."""
+    import tempfile
+
+    from duckdb_iceberg_spark import IcebergTable
+
+    path = tempfile.mkdtemp(prefix="ice_eq_") + "/t"
+    part = _t(spark, sf, "part")
+    t = IcebergTable.create(spark, path, part)
+    t.delete_where_equality(part.filter("p_partkey % 4 = 1").select("p_partkey"))
+    t.delete_where_equality(part.filter("p_size > 45").select("p_brand", "p_size"))
+    return t.scan().select("p_partkey", "p_name", "p_brand", "p_size")
+
+
+_ICEBERG_EQ_SQL = """
+SELECT p_partkey, p_name, p_brand, p_size FROM part p
+WHERE p_partkey % 4 <> 1
+  AND NOT EXISTS (SELECT 1 FROM part x
+                  WHERE x.p_size > 45 AND x.p_brand = p.p_brand AND x.p_size = p.p_size)
+"""
+
+
+def _join_salted(spark, sf):
+    """Skew-resilient salted join — result must equal the plain join."""
+    from duckdb_iceberg_spark.operators.skew import salted_join
+
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").select("p_partkey", "p_brand")
+    joined = salted_join(li, p.withColumnRenamed("p_partkey", "l_partkey"), on="l_partkey", n_salts=8)
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("qty"),
+    )
+
+
+_JOIN_SALTED_SQL = """
+SELECT p_brand, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand
+"""
+
+
 def _iceberg_compaction(spark, sf):
     """MoR deletes followed by rewrite_data_files + expire_snapshots +
     remove_orphan_files; live rows must be unchanged by maintenance."""
@@ -1576,6 +1618,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iceberg write surface (native writer)
         "iceberg_write_pipeline": _iceberg_write_pipeline,
         "iceberg_compaction": _iceberg_compaction,
+        "iceberg_equality_deletes": _iceberg_equality_deletes,
+        # skew-resilient join
+        "join_salted": _join_salted,
     }
 
 
@@ -1629,6 +1674,8 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_write_pipeline": _ICEBERG_WP_SQL,
         "iceberg_compaction": _ICEBERG_CP_SQL,
         "streaming_to_iceberg": _STREAMING_TO_ICEBERG_SQL,
+        "iceberg_equality_deletes": _ICEBERG_EQ_SQL,
+        "join_salted": _JOIN_SALTED_SQL,
         "q7_volume_shipping": _Q7_SQL,
         "q8_market_share": _Q8_SQL,
         "q9_profit_by_nation": _Q9_SQL,

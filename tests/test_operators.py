@@ -137,3 +137,22 @@ def test_ivf_ann_recall(spark, sf_dir):
     # assignment covers every row exactly once
     assert assigned.count() == base.count()
     assert assigned.where(F.col("centroid_id").isNull()).count() == 0
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    from duckdb_iceberg_spark.operators.skew import salted_join, skew_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    plain = li.join(p, "l_partkey").groupBy("p_brand").count()
+    salted = salted_join(li, p, on="l_partkey", n_salts=8).groupBy("p_brand").count()
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+    # outer join keeps unmatched big-side rows exactly once
+    li_extra = li.withColumn("l_partkey", F.col("l_partkey") + 10**9).limit(50).union(li.limit(100))
+    outer = salted_join(li_extra, p, on="l_partkey", how="left", n_salts=4)
+    assert outer.count() == li_extra.count()
+    top = skew_stats(li, "l_partkey", top=3).collect()
+    assert len(top) == 3 and all(r.share > 0 for r in top)
