@@ -787,10 +787,14 @@ def _q17_small_quantity(spark, sf):
     broadcast join against the per-part aggregate."""
     li = _t(spark, sf, "lineitem")
     p = _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#1")
-    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg((F.avg("l_quantity") * 0.5).alias("half_avg"))
+    # scale note: the per-part AVG is only needed for the brand's parts,
+    # so semi-join BEFORE aggregating — shrinks the agg input ~25x
+    brand_li = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    avg_qty = brand_li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(avg_qty, li.l_partkey == avg_qty.ap_partkey)
+        brand_li.join(F.broadcast(avg_qty), brand_li.l_partkey == avg_qty.ap_partkey)
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("small_qty_revenue"))
     )

@@ -1,0 +1,75 @@
+"""Plan-shape guards: the properties that make queries survive a 100x
+scale-up, asserted on the actual executed/analyzed plans.
+
+- hot-path operators must stay JVM-side (no row-at-a-time
+  BatchEvalPython; only Arrow-batched python where declared)
+- filters and column pruning must reach the parquet scan
+- star joins must broadcast their dimension sides
+"""
+
+import os
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import __spark_entry__ as E
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# every oracle-checked relational/text/dedup/similarity read query must
+# be free of row-at-a-time Python UDFs (BatchEvalPython). Arrow-batched
+# ops (mapInPandas / applyInPandasWithState) are allowed where declared.
+_JVM_ONLY = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_revenue",
+    "q17_small_quantity",
+    "join_salted",
+    "agg_stats",
+    "window_topn_per_group",
+    "text_tokens",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_sig",
+    "sim_topk",
+    "events_sessionize",
+]
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", _JVM_ONLY)
+def test_no_python_udf_in_hot_path(spark, name):
+    plan = _plan(E.queries()[name](spark, SF))
+    assert "BatchEvalPython" not in plan, f"{name} fell off the JVM fast path"
+
+
+def test_filter_and_pruning_reach_scan(spark):
+    df = E.queries()["q6_revenue"](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    # projection pruned: q6 needs only 4 lineitem columns
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 5, m.group(0) if m else plan[:500]
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(E.queries()["q5_local_supplier"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region at least
+    assert "CartesianProduct" not in plan
+
+
+def test_scalar_subquery_is_broadcast(spark):
+    plan = _plan(E.queries()["q22_inactive_customers"](spark, SF))
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
