@@ -602,6 +602,40 @@ FROM events GROUP BY user_id
 """
 
 
+def _csv_roundtrip(spark, sf):
+    """CSV sink + source (§2B 'scan: csv golden files'): write an agg
+    to CSV via executors, read it back with an explicit schema."""
+    import tempfile
+
+    out = (
+        _t(spark, sf, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.count("*").alias("n_nations"))
+    )
+    d = tempfile.mkdtemp(prefix="csv_rt_") + "/out"
+    out.write.mode("overwrite").option("header", True).csv(d)
+    return spark.read.schema("n_regionkey int, n_nations long").option("header", True).csv(d)
+
+
+_CSV_RT_SQL = "SELECT n_regionkey, COUNT(*) AS n_nations FROM nation GROUP BY 1"
+
+
+def _json_roundtrip(spark, sf):
+    """JSON-lines sink + source with nested struct columns."""
+    import tempfile
+
+    out = _t(spark, sf, "region").select(
+        "r_regionkey", F.struct(F.col("r_name").alias("name"), F.length("r_name").alias("len")).alias("info")
+    )
+    d = tempfile.mkdtemp(prefix="json_rt_") + "/out"
+    out.write.mode("overwrite").json(d)
+    back = spark.read.schema("r_regionkey int, info struct<name:string,len:int>").json(d)
+    return back.select("r_regionkey", F.col("info.name").alias("name"), F.col("info.len").alias("len"))
+
+
+_JSON_RT_SQL = "SELECT r_regionkey, r_name AS name, CAST(LENGTH(r_name) AS INT) AS len FROM region"
+
+
 def _case_bucketing(spark, sf):
     o = _t(spark, sf, "orders")
     bucket = (
@@ -1588,6 +1622,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": _events_json,
         "events_pivot": _events_pivot,
         "case_bucketing": _case_bucketing,
+        # file sources / sinks beyond parquet
+        "csv_roundtrip": _csv_roundtrip,
+        "json_roundtrip": _json_roundtrip,
         # text analysis
         "text_tokens": _text_tokens,
         "text_quality": _text_quality,
@@ -1660,6 +1697,8 @@ def oracle_sql() -> dict[str, str]:
         "events_json": _EVENTS_JSON_SQL,
         "events_pivot": _EVENTS_PIVOT_SQL,
         "case_bucketing": _CASE_SQL,
+        "csv_roundtrip": _CSV_RT_SQL,
+        "json_roundtrip": _JSON_RT_SQL,
         "text_tokens": _TEXT_TOKENS_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "text_langid": _TEXT_LANGID_SQL,
