@@ -47,7 +47,11 @@ from .plans.table_metadata import (
 )
 from .plans.transforms import PartitionField, spark_partition_column
 
-__all__ = ["IcebergTable"]
+__all__ = ["IcebergTable", "CommitConflictError"]
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed the next metadata version first."""
 
 # ---------------------------------------------------------------------------
 # Spark type -> Iceberg JSON type
@@ -676,7 +680,18 @@ class IcebergTable:
             {"timestamp-ms": doc["last-updated-ms"], "metadata-file": self.meta.metadata_path}
         ]
         mpath = os.path.join(meta_dir, f"v{nxt}.metadata.json")
-        with open(mpath, "w") as f:
+        # optimistic concurrency: the metadata version file is the CAS
+        # token (hadoop-catalog convention). O_EXCL makes the commit
+        # atomic; a concurrent committer gets CommitConflictError and
+        # should reload + replay (real catalogs do the same swap).
+        try:
+            fd = os.open(mpath, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError as e:
+            raise CommitConflictError(
+                f"metadata version v{nxt} was committed concurrently for table {self.path}; "
+                f"reload the table and retry the operation"
+            ) from e
+        with os.fdopen(fd, "w") as f:
             json.dump(doc, f, indent=2)
         with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
             f.write(str(nxt))
@@ -857,18 +872,31 @@ class IcebergTable:
 
     # -- maintenance ------------------------------------------------------
 
-    def rewrite_data_files(self, target_file_size_bytes: int = 128 * 1024 * 1024) -> None:
+    def rewrite_data_files(
+        self,
+        target_file_size_bytes: int = 128 * 1024 * 1024,
+        sort_by: Optional[list[str]] = None,
+    ) -> None:
         """Compaction: materialize current live rows (deletes applied),
         write right-sized data files, commit a `replace` snapshot that
-        references ONLY the new files. Shuffle-free when no resize is
-        needed; otherwise one repartition sized by input bytes."""
+        references ONLY the new files.
+
+        ``sort_by`` range-partitions and sorts rows by the given
+        columns, so each output file covers a narrow value range —
+        this is what makes the manifest column bounds (zone maps)
+        selective: post-sort, a stats_filter point lookup touches one
+        file instead of all of them."""
         from .plans.manifests import load_table_scan
 
         snap = self.meta.latest_snapshot()
         scan = load_table_scan(self.meta, snap, self.path, False)
         total_bytes = sum(e.file_size_in_bytes for e in scan.data_files()) or 1
         n_files = max(1, math.ceil(total_bytes / target_file_size_bytes))
-        df = self.scan().repartition(n_files)
+        df = self.scan()
+        if sort_by:
+            df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
+        else:
+            df = df.repartition(n_files)
         files = self._write_parquet_files(self._aligned(df), partitioned=True)
         self._commit(
             operation="replace",

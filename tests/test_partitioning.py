@@ -179,3 +179,42 @@ def test_bound_serialization_roundtrip():
     ]
     for v, dt in cases:
         assert deserialize_bound(serialize_bound(v, dt), dt) == v
+
+
+def test_sorted_compaction_tightens_zone_maps(spark, tmp_path):
+    """After rewrite_data_files(sort_by=...), a stats_filter point range
+    must touch fewer files than the unsorted layout."""
+    from duckdb_iceberg_spark import IcebergTable
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    t = IcebergTable.create(spark, str(tmp_path / "t"), o)
+    # fragment into shuffled files: every file spans the full key range
+    t.rewrite_data_files(target_file_size_bytes=4 * 1024)
+    n_files = len(t.scan(mode="list_files").collect())
+    lo, hi = 10, 60
+    before = len(t.scan(mode="list_files", stats_filter={"o_orderkey": (lo, hi)}).collect())
+    assert before == n_files  # random layout: nothing prunable
+    t.rewrite_data_files(target_file_size_bytes=4 * 1024, sort_by=["o_orderkey"])
+    after_all = len(t.scan(mode="list_files").collect())
+    after = len(t.scan(mode="list_files", stats_filter={"o_orderkey": (lo, hi)}).collect())
+    assert after < after_all  # sorted layout: range hits few files
+    got = t.scan(stats_filter={"o_orderkey": (lo, hi)}).filter(
+        f"o_orderkey BETWEEN {lo} AND {hi}"
+    ).count()
+    assert got == o.filter(f"o_orderkey BETWEEN {lo} AND {hi}").count()
+
+
+def test_commit_conflict_detection(spark, tmp_path):
+    from duckdb_iceberg_spark import IcebergTable
+    from duckdb_iceberg_spark.writer import CommitConflictError
+
+    df = spark.read.parquet(f"{SF}/region.parquet")
+    t1 = IcebergTable.create(spark, str(tmp_path / "t"), df)
+    t2 = IcebergTable(spark, str(tmp_path / "t"))  # second writer, same version
+    t1.append(df)
+    with pytest.raises(CommitConflictError, match="committed concurrently"):
+        t2.append(df)
+    # conflicted writer reloads and succeeds
+    t2.meta = __import__("duckdb_iceberg_spark.plans.table_metadata", fromlist=["load_table_metadata"]).load_table_metadata(t2.path)
+    t2.append(df)
+    assert t2.scan().count() == df.count() * 3
