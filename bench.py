@@ -37,6 +37,12 @@ BENCH_QUERIES = [
     "dedup_minhash_sig",
     "sim_topk",
     "iceberg_scan_generated",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "agg_stats",
+    "join_salted",
+    "explode_embedding",
+    "iceberg_time_travel",
 ]
 
 
