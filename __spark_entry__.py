@@ -918,6 +918,48 @@ GROUP BY 1
 """
 
 
+def _q13_order_count_distribution(spark, sf):
+    """Customer-order-count distribution (Q13 shape: outer join ->
+    double aggregation)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+def _q16_supplier_cnt(spark, sf):
+    """Distinct-supplier counts per (brand, size) excluding a NOT-IN
+    set (Q16 shape)."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(~F.col("p_brand").isin("Brand#1", "Brand#2"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand NOT IN ('Brand#1', 'Brand#2')
+GROUP BY p_brand, p_size
+"""
+
+
 def _corr_max_per_order(spark, sf):
     """Rows equal to their group maximum — correlated-scalar-subquery
     shape, planned as an aggregate + join-back."""
@@ -1579,8 +1621,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": _q8_market_share,
         "q9_profit_by_nation": _q9_profit_by_nation,
         "q10_returned_items": _q10_returned_items,
+        "q13_order_count_distribution": _q13_order_count_distribution,
         "q14_promo_revenue": _q14_promo_revenue,
         "q15_top_supplier": _q15_top_supplier,
+        "q16_supplier_cnt": _q16_supplier_cnt,
         "q17_small_quantity": _q17_small_quantity,
         "q18_large_orders": _q18_large_orders,
         "q19_disjunctive": _q19_disjunctive,
@@ -1722,8 +1766,10 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": _Q7_SQL,
         "q8_market_share": _Q8_SQL,
         "q9_profit_by_nation": _Q9_SQL,
+        "q13_order_count_distribution": _Q13_SQL,
         "q14_promo_revenue": _Q14_SQL,
         "q15_top_supplier": _Q15_SQL,
+        "q16_supplier_cnt": _Q16_SQL,
         "q17_small_quantity": _Q17_SQL,
         "q18_large_orders": _Q18_SQL,
         "q19_disjunctive": _Q19_SQL,

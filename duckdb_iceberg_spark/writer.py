@@ -461,10 +461,15 @@ class IcebergTable:
             for ci in range(g.num_columns):
                 col = g.column(ci)
                 fid = name_to_id.get(col.path_in_schema)
-                st = col.statistics
-                if fid is None or st is None or not st.has_min_max:
+                if fid is None:
+                    continue  # nested leaf (a.b) or unknown column
+                try:
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    mn, mx = st.min, st.max
+                except Exception:  # unsupported physical type for stats
                     continue
-                mn, mx = st.min, st.max
                 if fid not in lowers or _cmp_lt(mn, lowers[fid]):
                     lowers[fid] = mn
                 if fid not in uppers or _cmp_lt(uppers[fid], mx):

@@ -178,3 +178,41 @@ def test_equality_deletes_roundtrip(spark, tmp_path):
     t.append(revived)
     assert t.scan().filter("c_custkey % 10 = 3").count() == 5
     assert t.scan().count() == n0 - n_victims + 5
+
+
+def test_all_types_roundtrip(spark, tmp_path):
+    """FIXTURES.md F1 shape: one column per supported Iceberg type
+    written natively, scanned back value-exact (incl. decimal bounds)."""
+    from pyspark.sql import functions as FX
+
+    from duckdb_iceberg_spark import IcebergTable
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").limit(500)
+    df = li.select(
+        (FX.col("l_orderkey") % 2 == 0).alias("c_bool"),
+        FX.col("l_partkey").cast("int").alias("c_int"),
+        FX.col("l_suppkey").cast("long").alias("c_long"),
+        FX.col("l_extendedprice").cast("float").alias("c_float"),
+        FX.col("l_extendedprice").cast("double").alias("c_double"),
+        FX.col("l_extendedprice").cast("decimal(9,2)").alias("c_dec9"),
+        FX.col("l_extendedprice").cast("decimal(18,6)").alias("c_dec18"),
+        FX.col("l_extendedprice").cast("decimal(38,10)").alias("c_dec38"),
+        FX.col("l_shipdate").cast("date").alias("c_date"),
+        FX.col("l_shipdate").cast("timestamp_ntz").alias("c_ts_ntz"),
+        FX.col("l_shipdate").cast("timestamp").alias("c_ts_tz"),
+        FX.col("l_returnflag").alias("c_string"),
+        FX.encode("l_returnflag", "utf-8").alias("c_binary"),
+        FX.array("l_linenumber", "l_linenumber").alias("c_list"),
+        FX.struct(FX.col("l_linenumber").alias("a"), FX.col("l_quantity").alias("b")).alias("c_struct"),
+        FX.create_map(FX.lit("k"), FX.col("l_quantity")).alias("c_map"),
+    )
+    t = IcebergTable.create(spark, str(tmp_path / "alltypes"), df)
+    back = t.scan()
+    assert dict(back.dtypes) == dict(df.dtypes)
+    flat = lambda d: d.select(  # noqa: E731 - map keys aren't comparable in exceptAll
+        "*", FX.col("c_struct.a").alias("sa"), FX.map_values("c_map")[0].alias("mv")
+    ).drop("c_struct", "c_map")
+    assert flat(back).exceptAll(flat(df)).count() == 0
+    assert flat(df).exceptAll(flat(back)).count() == 0
+    # schema JSON parses back with nested types + field ids intact
+    assert t.meta.schemas[0].columns[-1].spark_type.simpleString() == "map<string,double>"
