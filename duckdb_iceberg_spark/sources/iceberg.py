@@ -135,6 +135,7 @@ def iceberg_scan(
     unsafe_enable_version_guessing: bool = False,
     partition_filter=None,
     stats_filter=None,
+    where: Optional[str] = None,
     _keep_position_columns: bool = False,
 ) -> DataFrame:
     """Read an Iceberg table at a snapshot, applying delete files.
@@ -157,6 +158,13 @@ def iceberg_scan(
     lower/upper bounds: ``{column: (lo, hi)}`` with ``None`` for an
     open side; a file is kept iff its [min,max] may intersect every
     range. Files without stats are always kept (correctness-safe).
+
+    ``where`` is the one-stop predicate API: a SQL boolean expression
+    that is ALWAYS applied as an exact row filter, and — when it is a
+    conjunction of simple ``col op literal`` clauses — is also
+    translated into stats_filter ranges (and partition equality) so
+    non-matching files are skipped entirely. Anything unparseable
+    still filters correctly, it just prunes less.
     """
     meta = _load(
         path,
@@ -168,6 +176,12 @@ def iceberg_scan(
     snap = _select_snapshot(meta, snapshot_id, timestamp)
     scan = load_table_scan(meta, snap, _table_root(path), allow_moved_paths)
     data_entries = scan.data_files()
+    if where is not None:
+        w_stats, w_part = _predicate_to_pruners(meta, where)
+        if w_stats:
+            data_entries = _prune_by_stats(meta, data_entries, w_stats)
+        if w_part:
+            data_entries = _prune_by_partition(meta, data_entries, w_part, strict=False)
     if partition_filter is not None:
         data_entries = _prune_by_partition(meta, data_entries, partition_filter)
     if stats_filter is not None:
@@ -232,12 +246,17 @@ def iceberg_scan(
                     c.name, F.coalesce(F.col(c.name), F.lit(c.initial_default).cast(c.spark_type))
                 )
 
+    if where is not None:
+        df = df.filter(where)
+
     return df
 
 
-def _prune_by_partition(meta: TableMetadata, entries, flt):
+def _prune_by_partition(meta: TableMetadata, entries, flt, strict: bool = True):
     """Driver-side manifest pruning: keep entries whose partition
-    values satisfy ``flt`` (dict of source-col literals, or callable)."""
+    values satisfy ``flt`` (dict of source-col literals, or callable).
+    ``strict=False`` silently ignores non-partition columns (used for
+    pruners auto-derived from a ``where`` predicate)."""
     from ..plans.transforms import PartitionField
 
     spec_id = meta.raw.get("default-spec-id", 0)
@@ -250,15 +269,114 @@ def _prune_by_partition(meta: TableMetadata, entries, flt):
     if callable(flt):
         return [e for e in entries if flt(e.partition)]
     by_source = {pf.source: pf for pf in pfields}
+    src_types = {c.name: c.spark_type.simpleString() for c in schema.columns}
     targets = {}
     for col, lit in flt.items():
         pf = by_source.get(col)
         if pf is None:
+            if not strict:
+                continue
             raise ValueError(
                 f"partition_filter column {col!r} is not a partition source; sources: {sorted(by_source)}"
             )
+        st = src_types.get(col, "")
+        if pf.transform == "identity" and st == "date" and isinstance(lit, str):
+            import datetime as _dt
+
+            lit = _dt.date.fromisoformat(lit)
+        if pf.transform == "identity" and st.startswith("timestamp"):
+            continue  # identity-timestamp partition values aren't canonical: skip pruning
         targets[pf.name] = pf.apply(lit)
     return [e for e in entries if all(e.partition.get(k) == v for k, v in targets.items())]
+
+
+import re as _re
+
+_CLAUSE_RE = _re.compile(
+    r"^\s*(\w+)\s*(>=|<=|==|=|<|>)\s*(?:(?:DATE|TIMESTAMP)\s+)?('[^']*'|[\w.\-:]+)\s*$",
+    _re.IGNORECASE,
+)
+_BETWEEN_RE = _re.compile(
+    r"(\w+)\s+BETWEEN\s+(?:(?:DATE|TIMESTAMP)\s+)?('[^']*'|[\w.\-:]+)\s+AND\s+(?:(?:DATE|TIMESTAMP)\s+)?('[^']*'|[\w.\-:]+)",
+    _re.IGNORECASE,
+)
+
+
+def _parse_literal(tok: str):
+    tok = tok.strip()
+    if tok.startswith("'") and tok.endswith("'"):
+        return tok[1:-1]
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        return tok
+
+
+def _lit_compatible(lit, dt) -> bool:
+    """Only trust a parsed literal for pruning when its Python type
+    matches the column's domain (a bare identifier RHS — e.g.
+    ``col = other_col`` — parses as a string and must not prune a
+    numeric column)."""
+    from pyspark.sql import types as _T
+
+    if isinstance(dt, (_T.IntegerType, _T.LongType, _T.ShortType, _T.ByteType, _T.FloatType, _T.DoubleType, _T.DecimalType)):
+        return isinstance(lit, (int, float))
+    if isinstance(dt, (_T.DateType, _T.TimestampType, _T.TimestampNTZType)):
+        if not isinstance(lit, str):
+            return False
+        import datetime as _dt
+
+        try:
+            _dt.datetime.fromisoformat(lit)
+            return True
+        except ValueError:
+            return False
+    if isinstance(dt, _T.StringType):
+        return isinstance(lit, str)
+    return False
+
+
+def _predicate_to_pruners(meta: TableMetadata, where: str) -> tuple[dict, dict]:
+    """Best-effort translation of a conjunctive SQL predicate into
+    (stats_filter ranges, partition equality dict). Clauses that don't
+    parse contribute nothing — the row filter still applies them."""
+    schema = meta.schemas[meta.current_schema_id]
+    known = {c.name: c.spark_type for c in schema.columns}
+    ranges: dict[str, list] = {}
+    part_eq: dict = {}
+
+    def add(col: str, lo, hi):
+        cur = ranges.setdefault(col, [None, None])
+        if lo is not None and (cur[0] is None or lo > cur[0]):
+            cur[0] = lo
+        if hi is not None and (cur[1] is None or hi < cur[1]):
+            cur[1] = hi
+
+    rest = where
+    for m in _BETWEEN_RE.finditer(where):
+        col, lo, hi = m.group(1), _parse_literal(m.group(2)), _parse_literal(m.group(3))
+        if col in known and _lit_compatible(lo, known[col]) and _lit_compatible(hi, known[col]):
+            add(col, lo, hi)
+        rest = rest.replace(m.group(0), " 1=1 ")
+    for clause in _re.split(r"\s+AND\s+", rest, flags=_re.IGNORECASE):
+        m = _CLAUSE_RE.match(clause)
+        if not m:
+            continue
+        col, op, lit = m.group(1), m.group(2), _parse_literal(m.group(3))
+        if col not in known or not _lit_compatible(lit, known[col]):
+            continue
+        if op in ("=", "=="):
+            add(col, lit, lit)
+            part_eq[col] = lit
+        elif op in (">", ">="):
+            add(col, lit, None)
+        elif op in ("<", "<="):
+            add(col, None, lit)
+    return {c: (lo, hi) for c, (lo, hi) in ranges.items()}, part_eq
 
 
 def _prune_by_stats(meta: TableMetadata, entries, flt: dict):

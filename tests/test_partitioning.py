@@ -218,3 +218,48 @@ def test_commit_conflict_detection(spark, tmp_path):
     t2.meta = __import__("duckdb_iceberg_spark.plans.table_metadata", fromlist=["load_table_metadata"]).load_table_metadata(t2.path)
     t2.append(df)
     assert t2.scan().count() == df.count() * 3
+
+
+def test_where_predicate_prunes_and_filters(spark, tmp_path, events):
+    """where= must (a) return exactly the filtered rows and (b) skip
+    files via auto-derived stats/partition pruning."""
+    from duckdb_iceberg_spark import IcebergTable
+
+    t = _mk(spark, tmp_path, events, ["event_type"])
+    t.rewrite_data_files(target_file_size_bytes=16 * 1024, sort_by=["user_id"])
+
+    # equality on the partition column prunes at file level
+    w = "event_type = 'click' AND value >= 0"
+    got = t.scan(where=w).count()
+    expected = events.filter((F.col("event_type") == "click") & (F.col("value") >= 0)).count()
+    assert got == expected > 0
+    n_all = len(t.scan(mode="list_files").collect())
+    n_eq = len(t.scan(mode="list_files", where="event_type = 'click'").collect())
+    assert n_eq < n_all
+
+    # range on the sorted column prunes via zone maps
+    lo = events.agg(F.expr("percentile(user_id, 0.4)")).first()[0]
+    hi = events.agg(F.expr("percentile(user_id, 0.6)")).first()[0]
+    w2 = f"user_id BETWEEN {int(lo)} AND {int(hi)}"
+    n_rng = len(t.scan(mode="list_files", where=w2).collect())
+    assert n_rng < n_all
+    assert t.scan(where=w2).count() == events.filter(f"user_id BETWEEN {int(lo)} AND {int(hi)}").count()
+
+    # unparseable predicates still filter exactly (no pruning, no error)
+    w3 = "event_type = 'click' OR event_type = 'view'"
+    got3 = t.scan(where=w3).count()
+    exp3 = events.filter("event_type IN ('click', 'view')").count()
+    assert got3 == exp3
+
+
+def test_where_column_comparison_not_misparsed(spark, tmp_path, events):
+    """col-to-col comparisons and casts must never prune wrongly."""
+    from duckdb_iceberg_spark import IcebergTable
+
+    t = IcebergTable.create(spark, str(tmp_path / "t"), events)
+    w = "user_id = event_id AND value > -1e9"
+    got = t.scan(where=w).count()
+    expected = events.filter("user_id = event_id").count()
+    assert got == expected
+    got2 = t.scan(where="event_id = '3'").count()
+    assert got2 == events.filter("event_id = 3").count()
