@@ -1400,6 +1400,29 @@ FROM read_parquet('{GEN2}/expected_results/last/data/*.parquet')
 """
 
 
+def _iceberg_scan_where(spark, sf):
+    """where= pushes an exact row filter AND prunes files from
+    zone-maps/partitions before the scan."""
+    df = iceberg_scan(
+        spark,
+        f"{GEN2}/pyspark_iceberg_table",
+        allow_moved_paths=True,
+        where="l_extendedprice_double < 20000 AND l_partkey_int >= 100",
+    )
+    return df.groupBy("l_orderkey_bool").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice_double"), 2).alias("sum_price"),
+    )
+
+
+_ICEBERG_WHERE_SQL = f"""
+SELECT l_orderkey_bool, COUNT(*) AS n, ROUND(SUM(l_extendedprice_double), 2) AS sum_price
+FROM read_parquet('{GEN2}/expected_results/last/data/*.parquet')
+WHERE l_extendedprice_double < 20000 AND l_partkey_int >= 100
+GROUP BY 1
+"""
+
+
 def _iceberg_snapshots_q(spark, sf):
     from duckdb_iceberg_spark import iceberg_snapshots
 
@@ -1698,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_scan_generated": _iceberg_scan_generated,
         "iceberg_snapshots": _iceberg_snapshots_q,
         "iceberg_time_travel": _iceberg_time_travel,
+        "iceberg_scan_where": _iceberg_scan_where,
         "iceberg_list_files": _iceberg_list_files,
         "iceberg_metadata_entries": _iceberg_metadata_entries,
         # iceberg write surface (native writer)
@@ -1756,6 +1780,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_scan_generated": _ICEBERG_SCAN_SQL,
         "iceberg_snapshots": _ICEBERG_SNAPSHOTS_SQL,
         "iceberg_time_travel": _ICEBERG_TT_SQL,
+        "iceberg_scan_where": _ICEBERG_WHERE_SQL,
         "iceberg_list_files": _ICEBERG_LF_SQL,
         "iceberg_metadata_entries": _ICEBERG_MD_SQL,
         "iceberg_write_pipeline": _ICEBERG_WP_SQL,

@@ -15,6 +15,32 @@ import os
 from pyspark.sql import SparkSession
 
 
+def s3_configs(
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    path_style: bool = True,
+) -> dict:
+    """spark.hadoop.fs.s3a.* configs for object-store tables — the
+    Spark equivalent of the reference's httpfs+secrets path
+    (reference test/sql/iceberg_scan_generated_data_0_01_remote.test_slow,
+    scripts/start-rest-catalog.sh:18-26). Pass the result to
+    ``get_spark(**s3_configs(...))``; s3a:// paths then work in every
+    reader and in the metadata layer via pyarrow.fs. Untestable in
+    this container (no object store) — config surface only."""
+    out = {
+        "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+        "spark.hadoop.fs.s3a.path.style.access": str(path_style).lower(),
+    }
+    if endpoint:
+        out["spark.hadoop.fs.s3a.endpoint"] = endpoint
+    if access_key:
+        out["spark.hadoop.fs.s3a.access.key"] = access_key
+    if secret_key:
+        out["spark.hadoop.fs.s3a.secret.key"] = secret_key
+    return out
+
+
 def get_spark(app_name: str = "duckdb_iceberg_spark", **extra) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
