@@ -636,6 +636,47 @@ def _json_roundtrip(spark, sf):
 _JSON_RT_SQL = "SELECT r_regionkey, r_name AS name, CAST(LENGTH(r_name) AS INT) AS len FROM region"
 
 
+def _asof_join_events(spark, sf):
+    """As-of join (most recent purchase at or before each view) —
+    oracle is DuckDB's native ASOF LEFT JOIN."""
+    from duckdb_iceberg_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    left = ev.filter("event_type = 'view'").select("user_id", "ts", "event_id")
+    right = ev.filter("event_type = 'purchase'").select("user_id", "ts", F.col("value").alias("pv"))
+    return asof_join(left, right, key="user_id", ts="ts").select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t"),
+        "event_id",
+        F.round("pv_r", 2).alias("pv"),
+        F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss").alias("t_matched"),
+    )
+
+
+_ASOF_SQL = """
+WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+     r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT l.user_id, strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS t, l.event_id,
+       ROUND(r.value, 2) AS pv, strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS t_matched
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def _ewma_events(spark, sf):
+    """Per-user EWMA (Arrow grouped-map recurrence) — rows-only:
+    verified against a pandas reference in tests."""
+    from duckdb_iceberg_spark.operators.timeseries import ewma
+
+    ev = _t(spark, sf, "events")
+    out = ewma(ev, key="user_id", ts="ts", value="value", alpha=0.3)
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t"),
+        F.round("value", 2).alias("value"),
+        F.round("ewma", 4).alias("ewma"),
+    )
+
+
 def _case_bucketing(spark, sf):
     o = _t(spark, sf, "orders")
     bucket = (
@@ -848,11 +889,15 @@ def _q18_large_orders(spark, sf):
     li = _t(spark, sf, "lineitem")
     o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer")
-    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("sum_qty")).filter(F.col("sum_qty") > 150)
+    # one pass over lineitem: aggregate once, filter the aggregate
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("lk"))
+        .agg(F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
     return (
-        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        o.join(big, o.o_orderkey == F.col("lk"))
         .join(c, o.o_custkey == c.c_custkey)
-        .join(li.groupBy(F.col("l_orderkey").alias("lk")).agg(F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("total_qty")), F.col("o_orderkey") == F.col("lk"))
         .select("c_custkey", "c_name", "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "total_qty")
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
         .limit(50)
@@ -1689,6 +1734,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": _events_json,
         "events_pivot": _events_pivot,
         "case_bucketing": _case_bucketing,
+        # time-series operators
+        "asof_join_events": _asof_join_events,
+        "ewma_events": _ewma_events,  # rows-only (pandas-verified in tests)
         # file sources / sinks beyond parquet
         "csv_roundtrip": _csv_roundtrip,
         "json_roundtrip": _json_roundtrip,
@@ -1767,6 +1815,7 @@ def oracle_sql() -> dict[str, str]:
         "case_bucketing": _CASE_SQL,
         "csv_roundtrip": _CSV_RT_SQL,
         "json_roundtrip": _JSON_RT_SQL,
+        "asof_join_events": _ASOF_SQL,
         "text_tokens": _TEXT_TOKENS_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "text_langid": _TEXT_LANGID_SQL,
