@@ -662,6 +662,32 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def _range_join_events(spark, sf):
+    """Bucketized interval join (clicks within 2h of a signup) —
+    oracle is DuckDB's native inequality join."""
+    from duckdb_iceberg_spark.operators.ranges import range_join_points_to_intervals
+
+    ev = _t(spark, sf, "events")
+    points = ev.filter("event_type = 'click'").select("user_id", "ts", "event_id")
+    intervals = ev.filter("event_type = 'signup'").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    return range_join_points_to_intervals(
+        points, intervals, "ts", "start_ts", "end_ts", key="user_id", granularity=3600
+    ).select("user_id", "event_id", F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("s"))
+
+
+_RANGE_JOIN_SQL = """
+WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+     i AS (SELECT user_id, ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts
+           FROM events WHERE event_type = 'signup')
+SELECT p.user_id, p.event_id, strftime(i.start_ts, '%Y-%m-%d %H:%M:%S') AS s
+FROM p JOIN i ON p.user_id = i.user_id AND i.start_ts <= p.ts AND p.ts < i.end_ts
+"""
+
+
 def _ewma_events(spark, sf):
     """Per-user EWMA (Arrow grouped-map recurrence) — rows-only:
     verified against a pandas reference in tests."""
@@ -1736,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "case_bucketing": _case_bucketing,
         # time-series operators
         "asof_join_events": _asof_join_events,
+        "range_join_events": _range_join_events,
         "ewma_events": _ewma_events,  # rows-only (pandas-verified in tests)
         # file sources / sinks beyond parquet
         "csv_roundtrip": _csv_roundtrip,
@@ -1816,6 +1843,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_roundtrip": _CSV_RT_SQL,
         "json_roundtrip": _JSON_RT_SQL,
         "asof_join_events": _ASOF_SQL,
+        "range_join_events": _RANGE_JOIN_SQL,
         "text_tokens": _TEXT_TOKENS_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "text_langid": _TEXT_LANGID_SQL,

@@ -82,3 +82,43 @@ def test_ewma_matches_pandas(spark):
     want = pd.concat(outs).sort_values(["user_id", "ts"]).reset_index(drop=True)
     assert len(gpdf) == len(want)
     assert (gpdf["ewma"].round(6) == want["ewma"].round(6)).all()
+
+
+def test_range_join_matches_duckdb_inequality(spark):
+    """Bucketized range join == DuckDB's native inequality join."""
+    from duckdb_iceberg_spark.operators.ranges import range_join_points_to_intervals
+
+    ev = _events(spark)
+    points = ev.filter("event_type = 'click'").select("user_id", "ts", "event_id")
+    intervals = (
+        ev.filter("event_type = 'signup'")
+        .select(
+            "user_id",
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+        )
+    )
+    got = range_join_points_to_intervals(
+        points, intervals, "ts", "start_ts", "end_ts", key="user_id", granularity=3600
+    ).select(
+        "user_id",
+        "event_id",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("s"),
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    orows = con.execute(
+        """
+        WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+             i AS (SELECT user_id, ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts
+                   FROM events WHERE event_type = 'signup')
+        SELECT p.user_id, p.event_id, strftime(i.start_ts, '%Y-%m-%d %H:%M:%S') AS s
+        FROM p JOIN i ON p.user_id = i.user_id AND i.start_ts <= p.ts AND p.ts < i.end_ts
+        """
+    ).fetchall()
+    srows = [tuple(r) for r in got.collect()]
+    assert len(srows) == len(orows)
+    assert canon_rows(got.columns, srows) == canon_rows(["user_id", "event_id", "s"], orows)
+    # plan never degenerates into a nested-loop cross product
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

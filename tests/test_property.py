@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) for the binary metadata layers —
+the parts where a single byte off silently corrupts a table."""
+
+import datetime
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from duckdb_iceberg_spark.plans.avro import read_avro_file, write_avro_file
+from duckdb_iceberg_spark.plans.bounds import deserialize_bound, serialize_bound
+from duckdb_iceberg_spark.plans.transforms import (
+    bucket_value,
+    days_value,
+    months_value,
+    truncate_value,
+)
+
+from pyspark.sql import types as T
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-(2**31), max_value=2**31 - 1))
+def test_int_bound_roundtrip(v):
+    assert deserialize_bound(serialize_bound(v, T.IntegerType()), T.IntegerType()) == v
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_long_bound_roundtrip(v):
+    assert deserialize_bound(serialize_bound(v, T.LongType()), T.LongType()) == v
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=64))
+def test_string_bound_roundtrip(s):
+    assert deserialize_bound(serialize_bound(s, T.StringType()), T.StringType()) == s
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.dates(min_value=datetime.date(1, 1, 1), max_value=datetime.date(9999, 1, 1)))
+def test_date_bound_roundtrip(d):
+    assert deserialize_bound(serialize_bound(d, T.DateType()), T.DateType()) == d
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=-(2**62), max_value=2**62), st.integers(min_value=1, max_value=1024))
+def test_bucket_in_range_and_stable(v, n):
+    b = bucket_value(v, n)
+    assert 0 <= b < n
+    assert b == bucket_value(v, n)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=-(2**40), max_value=2**40), st.integers(min_value=1, max_value=1000))
+def test_truncate_int_props(v, w):
+    t = truncate_value(v, w)
+    assert t <= v and (v - t) < w and t % w == 0
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.dates(min_value=datetime.date(1970, 1, 1), max_value=datetime.date(2100, 1, 1)))
+def test_temporal_transform_consistency(d):
+    days = days_value(d)
+    assert datetime.date(1970, 1, 1) + datetime.timedelta(days=days) == d
+    m = months_value(d)
+    assert m == (d.year - 1970) * 12 + d.month - 1
+
+
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "rec",
+    "fields": [
+        {"name": "i", "type": "long"},
+        {"name": "s", "type": ["null", "string"], "default": None},
+        {"name": "b", "type": "boolean"},
+        {"name": "d", "type": "double"},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {
+            "name": "kv",
+            "type": ["null", {"type": "array", "items": {
+                "type": "record", "name": "pair",
+                "fields": [{"name": "key", "type": "int"}, {"name": "value", "type": "bytes"}],
+            }}],
+            "default": None,
+        },
+    ],
+}
+
+_rec = st.fixed_dictionaries(
+    {
+        "i": st.integers(min_value=-(2**62), max_value=2**62),
+        "s": st.none() | st.text(max_size=20),
+        "b": st.booleans(),
+        "d": st.floats(allow_nan=False, allow_infinity=False, width=64),
+        "arr": st.lists(st.integers(min_value=-(2**30), max_value=2**30), max_size=5),
+        "kv": st.none()
+        | st.lists(
+            st.fixed_dictionaries(
+                {"key": st.integers(min_value=0, max_value=1000), "value": st.binary(max_size=16)}
+            ),
+            max_size=3,
+        ),
+    }
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(_rec, max_size=20))
+def test_avro_writer_reader_roundtrip(records):
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".avro") as f:
+        write_avro_file(f.name, _AVRO_SCHEMA, records)
+        _, back = read_avro_file(f.name)
+    assert back == records
