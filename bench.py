@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "join_salted",
     "explode_embedding",
     "iceberg_time_travel",
+    "asof_join_events",
+    "range_join_events",
 ]
 
 

@@ -249,6 +249,17 @@ _MANIFEST_ENTRY_SCHEMA = {
     ],
 }
 
+def _dump_metadata_json(mpath: str, doc: dict, codec: str) -> None:
+    if codec == "gzip":
+        import gzip
+
+        with gzip.open(mpath, "wt") as f:
+            json.dump(doc, f, indent=2)
+    else:
+        with open(mpath, "w") as f:
+            json.dump(doc, f, indent=2)
+
+
 def _cmp_lt(a, b) -> bool:
     try:
         return a < b
@@ -344,10 +355,11 @@ class IcebergTable:
     ``expire_snapshots`` / ``remove_orphan_files``.
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, metadata_compression_codec: str = "none"):
         self.spark = spark
         self.path = os.path.abspath(path)
-        self.meta: TableMetadata = load_table_metadata(self.path)
+        self.codec = metadata_compression_codec
+        self.meta: TableMetadata = load_table_metadata(self.path, metadata_compression_codec=self.codec)
 
     @property
     def partition_fields(self) -> list[PartitionField]:
@@ -370,6 +382,7 @@ class IcebergTable:
         *,
         partition_by: Optional[list] = None,
         properties: Optional[dict] = None,
+        metadata_compression_codec: str = "none",
     ) -> "IcebergTable":
         """CTAS. ``partition_by`` entries: ``"col"`` (identity),
         ``("days"|"months"|"years"|"hours", col)``, or
@@ -420,12 +433,12 @@ class IcebergTable:
             "snapshot-log": [],
             "metadata-log": [],
         }
-        mpath = os.path.join(path, "metadata", "v1.metadata.json")
-        with open(mpath, "w") as f:
-            json.dump(doc, f, indent=2)
+        suffix = ".gz" if metadata_compression_codec == "gzip" else ""
+        mpath = os.path.join(path, "metadata", f"v1{suffix}.metadata.json")
+        _dump_metadata_json(mpath, doc, metadata_compression_codec)
         with open(os.path.join(path, "metadata", "version-hint.text"), "w") as f:
             f.write("1")
-        table = cls(spark, path)
+        table = cls(spark, path, metadata_compression_codec)
         table.append(df)
         return table
 
@@ -434,13 +447,26 @@ class IcebergTable:
     def scan(self, **kwargs) -> DataFrame:
         from .sources.iceberg import iceberg_scan
 
+        kwargs.setdefault("metadata_compression_codec", self.codec)
         return iceberg_scan(self.spark, self.path, **kwargs)
+
+    def snapshots(self, **kwargs) -> DataFrame:
+        from .sources.iceberg import iceberg_snapshots
+
+        kwargs.setdefault("metadata_compression_codec", self.codec)
+        return iceberg_snapshots(self.spark, self.path, **kwargs)
+
+    def metadata(self, **kwargs) -> DataFrame:
+        from .sources.iceberg import iceberg_metadata
+
+        kwargs.setdefault("metadata_compression_codec", self.codec)
+        return iceberg_metadata(self.spark, self.path, **kwargs)
 
     def _scan_with_pos(self) -> DataFrame:
         """Current live rows + (__file, __pos) virtual columns."""
         from .sources.iceberg import iceberg_scan
 
-        return iceberg_scan(self.spark, self.path, _keep_position_columns=True)
+        return iceberg_scan(self.spark, self.path, metadata_compression_codec=self.codec, _keep_position_columns=True)
 
     @property
     def schema(self) -> IcebergSchema:
@@ -684,7 +710,8 @@ class IcebergTable:
         doc["metadata-log"] = doc.get("metadata-log", []) + [
             {"timestamp-ms": doc["last-updated-ms"], "metadata-file": self.meta.metadata_path}
         ]
-        mpath = os.path.join(meta_dir, f"v{nxt}.metadata.json")
+        suffix = ".gz" if self.codec == "gzip" else ""
+        mpath = os.path.join(meta_dir, f"v{nxt}{suffix}.metadata.json")
         # optimistic concurrency: the metadata version file is the CAS
         # token (hadoop-catalog convention). O_EXCL makes the commit
         # atomic; a concurrent committer gets CommitConflictError and
@@ -696,11 +723,11 @@ class IcebergTable:
                 f"metadata version v{nxt} was committed concurrently for table {self.path}; "
                 f"reload the table and retry the operation"
             ) from e
-        with os.fdopen(fd, "w") as f:
-            json.dump(doc, f, indent=2)
+        os.close(fd)
+        _dump_metadata_json(mpath, doc, self.codec)
         with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
             f.write(str(nxt))
-        self.meta = load_table_metadata(self.path)
+        self.meta = load_table_metadata(self.path, metadata_compression_codec=self.codec)
 
     # -- write operations -------------------------------------------------
 

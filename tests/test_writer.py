@@ -216,3 +216,22 @@ def test_all_types_roundtrip(spark, tmp_path):
     assert flat(df).exceptAll(flat(back)).count() == 0
     # schema JSON parses back with nested types + field ids intact
     assert t.meta.schemas[0].columns[-1].spark_type.simpleString() == "map<string,double>"
+
+
+def test_gzip_metadata_write_roundtrip(spark, tmp_path):
+    """metadata_compression_codec='gzip' writes vN.metadata.json.gz that
+    our reader (and the reference's codec param semantics) resolve."""
+    import os
+
+    from duckdb_iceberg_spark import IcebergTable, iceberg_scan
+
+    df = spark.read.parquet(f"{SF}/region.parquet")
+    t = IcebergTable.create(spark, str(tmp_path / "gz"), df, metadata_compression_codec="gzip")
+    t.delete_where("r_regionkey = 0")
+    files = os.listdir(tmp_path / "gz" / "metadata")
+    assert any(".gz.metadata.json" in f for f in files)
+    assert not any(f.endswith(".metadata.json") and ".gz." not in f for f in files)
+    got = iceberg_scan(spark, str(tmp_path / "gz"), metadata_compression_codec="gzip")
+    assert got.count() == df.count() - 1
+    assert t.snapshots().count() == 2
+    assert t.metadata().count() >= 2
