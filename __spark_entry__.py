@@ -725,6 +725,60 @@ FROM orders GROUP BY 1, 2
 """
 
 
+def _q4_priority_exists(spark, sf):
+    """Order-priority counts where a late lineitem EXISTS (Q4 shape:
+    correlated EXISTS with an inequality)."""
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf, "lineitem")
+    late = li.join(o, li.l_orderkey == o.o_orderkey).where(F.col("l_shipdate") > F.col("o_orderdate")).select("l_orderkey").distinct()
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey AND l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def _q12_shipmode_counts(spark, sf):
+    """Conditional counts across a join (Q12 shape: CASE aggregation
+    bucketed by a derived attribute)."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf, "orders")
+    high = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy((F.col("l_linenumber") % 3).alias("mode_bucket"))
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT l_linenumber % 3 AS mode_bucket,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
 def _q7_volume_shipping(spark, sf):
     """Bi-nation trade volume by year (TPC-H Q7 shape: two aliased
     dimension joins + CASE-free year grouping)."""
@@ -1709,12 +1763,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TPC-H-style relational
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
+        "q4_priority_exists": _q4_priority_exists,
         "q5_local_supplier": _q5_local_supplier,
         "q6_revenue": _q6_revenue,
         "q7_volume_shipping": _q7_volume_shipping,
         "q8_market_share": _q8_market_share,
         "q9_profit_by_nation": _q9_profit_by_nation,
         "q10_returned_items": _q10_returned_items,
+        "q12_shipmode_counts": _q12_shipmode_counts,
         "q13_order_count_distribution": _q13_order_count_distribution,
         "q14_promo_revenue": _q14_promo_revenue,
         "q15_top_supplier": _q15_top_supplier,
@@ -1812,6 +1868,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": _Q1_SQL,
         "q3_shipping_priority": _Q3_SQL,
+        "q4_priority_exists": _Q4_SQL,
         "q5_local_supplier": _Q5_SQL,
         "q6_revenue": _Q6_SQL,
         "q10_returned_items": _Q10_SQL,
@@ -1868,6 +1925,7 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": _Q7_SQL,
         "q8_market_share": _Q8_SQL,
         "q9_profit_by_nation": _Q9_SQL,
+        "q12_shipmode_counts": _Q12_SQL,
         "q13_order_count_distribution": _Q13_SQL,
         "q14_promo_revenue": _Q14_SQL,
         "q15_top_supplier": _Q15_SQL,
