@@ -1275,6 +1275,16 @@ FROM documents
 """
 
 
+def _text_rolling_hash(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", TX.rolling_hash(F.col("text")).alias("rh"))
+
+
+_TEXT_RH_SQL = f"""
+SELECT doc_id, {TX.rolling_hash_sql('text')} AS rh FROM documents
+"""
+
+
 def _text_fingerprint(spark, sf):
     d = _t(spark, sf, "documents")
     return (
@@ -1828,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _text_quality,
         "text_langid": _text_langid,
         "text_fingerprint": _text_fingerprint,
+        "text_rolling_hash": _text_rolling_hash,
         # dedup
         "dedup_exact": _dedup_exact,
         "dedup_minhash_sig": _dedup_minhash_sig,
@@ -1905,6 +1916,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _TEXT_QUALITY_SQL,
         "text_langid": _TEXT_LANGID_SQL,
         "text_fingerprint": _TEXT_FP_SQL,
+        "text_rolling_hash": _TEXT_RH_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_sig": _DEDUP_MINHASH_SQL,
         "dedup_jaccard": _DEDUP_JACCARD_SQL,

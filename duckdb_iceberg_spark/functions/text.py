@@ -109,6 +109,33 @@ def fingerprint(col) -> Column:
     return F.md5(normalize(col))
 
 
+ROLLING_BASE = 257
+ROLLING_MOD = 1_000_000_007
+
+
+def rolling_hash(col) -> Column:
+    """Polynomial rolling hash of the normalized text:
+    ``h = sum(ascii(c_i) * B^i) mod M`` folded left-to-right as
+    ``h = (h*B + ascii(c)) % M`` — a JVM-side higher-order-function
+    fold (no UDF), reproducible in DuckDB with list_reduce."""
+    chars = F.split(normalize(col), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_BASE + F.ascii(c)) % ROLLING_MOD,
+    )
+
+
+def rolling_hash_sql(col: str) -> str:
+    """DuckDB twin of :func:`rolling_hash`."""
+    norm = f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"[CAST(ascii(x) AS BIGINT) for x in string_split_regex({norm}, '')]), "
+        f"(acc, c) -> (acc * {ROLLING_BASE} + c) % {ROLLING_MOD})"
+    )
+
+
 def shingles(col, n: int = 3) -> Column:
     """Word n-gram shingles -> array<string> (may contain duplicates)."""
     t = tokens(F.lower(col))

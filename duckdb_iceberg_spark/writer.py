@@ -450,7 +450,37 @@ class IcebergTable:
         kwargs.setdefault("metadata_compression_codec", self.codec)
         return iceberg_scan(self.spark, self.path, **kwargs)
 
-    def snapshots(self, **kwargs) -> DataFrame:
+    def scan_appends(self, since_snapshot_id: int, until_snapshot_id: Optional[int] = None) -> DataFrame:
+        """Incremental read: rows in data files committed AFTER
+        ``since_snapshot_id`` (exclusive) up to ``until_snapshot_id``
+        (inclusive; default latest). The lakehouse CDC primitive — a
+        downstream pipeline consumes each new snapshot's appends
+        without rescanning the table. Sequence numbers scope the file
+        set; deletes newer than the window still apply to it."""
+        from .plans.manifests import load_table_scan
+        from .sources.iceberg import iceberg_scan
+
+        lo = self.meta.snapshot_by_id(since_snapshot_id).sequence_number
+        snap = (
+            self.meta.snapshot_by_id(until_snapshot_id)
+            if until_snapshot_id is not None
+            else self.meta.latest_snapshot()
+        )
+        scan = load_table_scan(self.meta, snap, self.path, False)
+        new_files = {
+            e.file_path
+            for e in scan.data_files()
+            if (e.sequence_number or 0) > lo
+        }
+        df = iceberg_scan(
+            self.spark,
+            self.path,
+            snapshot_id=snap.snapshot_id,
+            metadata_compression_codec=self.codec,
+            _keep_position_columns=True,
+        )
+        norm = F.regexp_replace(F.col("__file"), r"^file:/+", "/")
+        return df.where(norm.isin([*new_files])).drop("__file", "__pos")
         from .sources.iceberg import iceberg_snapshots
 
         kwargs.setdefault("metadata_compression_codec", self.codec)

@@ -235,3 +235,30 @@ def test_gzip_metadata_write_roundtrip(spark, tmp_path):
     assert got.count() == df.count() - 1
     assert t.snapshots().count() == 2
     assert t.metadata().count() >= 2
+
+
+def test_incremental_scan_appends(spark, tmp_path):
+    """CDC-style incremental consumption: only post-snapshot appends."""
+    from duckdb_iceberg_spark import IcebergTable
+
+    r = spark.read.parquet(f"{SF}/region.parquet")
+    n = spark.read.parquet(f"{SF}/nation.parquet").select(
+        F.col("n_nationkey").alias("r_regionkey"),
+        F.col("n_name").alias("r_name"),
+    )
+    t = IcebergTable.create(spark, str(tmp_path / "inc"), r)
+    snap0 = t.meta.latest_snapshot().snapshot_id
+    t.append(n.filter("r_regionkey < 10"))
+    snap1 = t.meta.latest_snapshot().snapshot_id
+    t.append(n.filter("r_regionkey >= 10"))
+    # everything since table creation = both appends
+    assert t.scan_appends(snap0).count() == n.count()
+    # only the second append
+    got = t.scan_appends(snap1)
+    assert got.count() == n.filter("r_regionkey >= 10").count()
+    assert got.where("r_regionkey < 10").count() == 0
+    # bounded window [snap0, snap1] = first append only
+    assert t.scan_appends(snap0, until_snapshot_id=snap1).count() == n.filter("r_regionkey < 10").count()
+    # a delete after the window start still applies to the increment
+    t.delete_where("r_regionkey = 15")
+    assert t.scan_appends(snap1).where("r_regionkey = 15").count() == 0
