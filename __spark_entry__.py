@@ -1744,6 +1744,43 @@ FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand
 """
 
 
+def _iceberg_merge_upsert(spark, sf):
+    """MERGE INTO (update matched + insert unmatched in one snapshot)."""
+    import tempfile
+
+    from duckdb_iceberg_spark import IcebergTable
+
+    path = tempfile.mkdtemp(prefix="ice_mg_") + "/t"
+    sup = _t(spark, sf, "supplier").select("s_suppkey", "s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+    t = IcebergTable.create(spark, path, sup)
+    src = sup.filter("s_suppkey % 3 = 0").select(
+        "s_suppkey", F.lit("MERGED").alias("s_name"), (F.col("s_acctbal") + 1000).alias("s_acctbal")
+    ).union(
+        sup.filter("s_suppkey % 3 = 0").select(
+            (F.col("s_suppkey") + 1000000).alias("s_suppkey"),
+            F.lit("NEW").alias("s_name"),
+            F.lit(0.0).alias("s_acctbal"),
+        )
+    )
+    t.merge(
+        src,
+        on="s_suppkey",
+        when_matched_update={"s_name": "src.s_name", "s_acctbal": "src.s_acctbal"},
+        when_not_matched_insert=True,
+    )
+    return t.scan().select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+
+
+_ICEBERG_MERGE_SQL = """
+SELECT s_suppkey,
+       CASE WHEN s_suppkey % 3 = 0 THEN 'MERGED' ELSE s_name END AS s_name,
+       ROUND(CASE WHEN s_suppkey % 3 = 0 THEN s_acctbal + 1000 ELSE s_acctbal END, 2) AS s_acctbal
+FROM supplier
+UNION ALL
+SELECT s_suppkey + 1000000, 'NEW', 0.0 FROM supplier WHERE s_suppkey % 3 = 0
+"""
+
+
 def _iceberg_compaction(spark, sf):
     """MoR deletes followed by rewrite_data_files + expire_snapshots +
     remove_orphan_files; live rows must be unchanged by maintenance."""
@@ -1870,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_write_pipeline": _iceberg_write_pipeline,
         "iceberg_compaction": _iceberg_compaction,
         "iceberg_equality_deletes": _iceberg_equality_deletes,
+        "iceberg_merge_upsert": _iceberg_merge_upsert,
         # skew-resilient join
         "join_salted": _join_salted,
     }
@@ -1933,6 +1971,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_compaction": _ICEBERG_CP_SQL,
         "streaming_to_iceberg": _STREAMING_TO_ICEBERG_SQL,
         "iceberg_equality_deletes": _ICEBERG_EQ_SQL,
+        "iceberg_merge_upsert": _ICEBERG_MERGE_SQL,
         "join_salted": _JOIN_SALTED_SQL,
         "q7_volume_shipping": _Q7_SQL,
         "q8_market_share": _Q8_SQL,

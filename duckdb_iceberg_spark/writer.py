@@ -840,6 +840,89 @@ class IcebergTable:
             extra_summary={"added-position-deletes": str(n), "total-position-deletes": str(self._total_pos_deletes() + n)},
         )
 
+    def merge(
+        self,
+        source: DataFrame,
+        on: str | list[str],
+        *,
+        when_matched_update: Optional[dict] = None,
+        when_matched_delete: bool = False,
+        when_not_matched_insert: bool = True,
+    ) -> None:
+        """MERGE INTO (merge-on-read): one commit containing
+        position-deletes for matched target rows plus appended rows for
+        their replacements and for unmatched source rows.
+
+        - ``when_matched_update``: {col: sql_expr/Column/literal} —
+          expressions may reference target columns and source columns
+          as ``src.<col>``;
+        - ``when_matched_delete=True``: matched rows are deleted
+          (mutually exclusive with update);
+        - ``when_not_matched_insert``: source rows with no target match
+          are appended (source must be schema-compatible).
+
+        The classic upsert is ``merge(src, on=key,
+        when_matched_update={...}, when_not_matched_insert=True)``.
+        """
+        if when_matched_update and when_matched_delete:
+            raise ValueError("choose either when_matched_update or when_matched_delete")
+        keys = [on] if isinstance(on, str) else list(on)
+        tgt = self._scan_with_pos()
+        src = source.alias("src")
+        cond = None
+        for k in keys:
+            clause = tgt[k].eqNullSafe(F.col(f"src.{k}"))
+            cond = clause if cond is None else (cond & clause)
+        matched = tgt.alias("tgt").join(src, cond, "inner")
+
+        del_files: list[dict] = []
+        new_files: list[dict] = []
+        if when_matched_update or when_matched_delete:
+            dels = (
+                matched.select(
+                    F.regexp_replace(F.col("__file"), r"^file:/+", "/").alias("file_path"),
+                    F.col("__pos").alias("pos"),
+                )
+                .dropDuplicates()
+                .repartition("file_path")
+                .sortWithinPartitions("file_path", "pos")
+            )
+            dels = dels.select(
+                F.col("file_path").alias("file_path", metadata={"parquet.field.id": 2147483546}),
+                F.col("pos").cast("long").alias("pos", metadata={"parquet.field.id": 2147483545}),
+            )
+            del_files = self._write_parquet_files(dels)
+            for f in del_files:
+                f["content"] = 1
+        if when_matched_update:
+            sel = []
+            for c in (cc.name for cc in self.schema.columns):
+                if c in when_matched_update:
+                    val = when_matched_update[c]
+                    expr = F.expr(val) if isinstance(val, str) else (val if isinstance(val, Column) else F.lit(val))
+                    sel.append(expr.alias(c))
+                else:
+                    sel.append(F.col(f"tgt.{c}").alias(c))
+            new_files += self._write_parquet_files(self._aligned(matched.select(*sel)), partitioned=True)
+        if when_not_matched_insert:
+            # anti join source rows against target keys
+            tkeys = tgt.select(*[F.col(k).alias(f"__t_{k}") for k in keys])
+            acond = None
+            for k in keys:
+                clause = F.col(f"src.{k}").eqNullSafe(F.col(f"__t_{k}"))
+                acond = clause if acond is None else (acond & clause)
+            unmatched = src.join(tkeys, acond, "left_anti")
+            new_files += self._write_parquet_files(self._aligned(unmatched), partitioned=True)
+        if not del_files and not new_files:
+            return
+        n = sum(f["record_count"] for f in del_files)
+        self._commit(
+            operation="overwrite",
+            new_data_files=new_files or None,
+            new_delete_files=del_files or None,
+            extra_summary={"added-position-deletes": str(n), "total-position-deletes": str(self._total_pos_deletes() + n)},
+        )
+
     def delete_where_equality(self, keys_df: DataFrame) -> None:
         """Equality-delete commit: rows matching ANY row of ``keys_df``
         (on its columns) are deleted. Writes an Iceberg

@@ -262,3 +262,41 @@ def test_incremental_scan_appends(spark, tmp_path):
     # a delete after the window start still applies to the increment
     t.delete_where("r_regionkey = 15")
     assert t.scan_appends(snap1).where("r_regionkey = 15").count() == 0
+
+
+def test_merge_upsert(spark, tmp_path):
+    """MERGE INTO: matched rows updated, unmatched source rows inserted,
+    one atomic snapshot - differential vs a DuckDB-computed expectation."""
+    from duckdb_iceberg_spark import IcebergTable
+
+    r = spark.read.parquet(f"{SF}/region.parquet")  # r_regionkey, r_name, ...
+    t = IcebergTable.create(spark, str(tmp_path / "m"), r.select("r_regionkey", "r_name"))
+    src = spark.createDataFrame(
+        [(0, "UPDATED_0"), (2, "UPDATED_2"), (99, "NEW_99"), (100, "NEW_100")],
+        "r_regionkey int, r_name string",
+    )
+    t.merge(
+        src,
+        on="r_regionkey",
+        when_matched_update={"r_name": "src.r_name"},
+        when_not_matched_insert=True,
+    )
+    got = {(row.r_regionkey, row.r_name) for row in t.scan().collect()}
+    base = {(row.r_regionkey, row.r_name) for row in r.select("r_regionkey", "r_name").collect()}
+    want = {(k, v) for k, v in base if k not in (0, 2)} | {
+        (0, "UPDATED_0"), (2, "UPDATED_2"), (99, "NEW_99"), (100, "NEW_100")
+    }
+    assert got == want
+    # one snapshot for the whole merge
+    assert t.meta.latest_snapshot().summary["operation"] == "overwrite"
+
+
+def test_merge_delete_matched(spark, tmp_path):
+    from duckdb_iceberg_spark import IcebergTable
+
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    t = IcebergTable.create(spark, str(tmp_path / "md"), n)
+    victims = spark.createDataFrame([(1,), (3,), (999,)], "n_nationkey int")
+    t.merge(victims, on="n_nationkey", when_matched_delete=True, when_not_matched_insert=False)
+    left = {row.n_nationkey for row in t.scan().collect()}
+    assert left == {row.n_nationkey for row in n.collect()} - {1, 3}
