@@ -1409,6 +1409,13 @@ FROM documents WHERE doc_id % 3 = 2
 #    streaming, Arrow-batched python stages) --------------------------------
 
 
+def _dedup_jaccard_3gram(spark, sf):
+    """Word-trigram shingle Jaccard near-dup pairs — rows-only (the
+    trigram construction has no tractable SQL twin)."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return DD.jaccard_pairs(d, threshold=0.8, max_doc_freq=10**9, n_shingle=3)
+
+
 def _dedup_minhash_pairs(spark, sf):
     d = _t(spark, sf, "documents")
     return DD.minhash_lsh_pairs(d, num_perm=16, bands=4, threshold=0.5)
@@ -1880,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_minhash_sig": _dedup_minhash_sig,
         "dedup_jaccard": _dedup_jaccard,
+        "dedup_jaccard_3gram": _dedup_jaccard_3gram,  # rows-only
         "dedup_minhash_pairs": _dedup_minhash_pairs,  # rows-only
         "dedup_simhash_pairs": _dedup_simhash_pairs,  # rows-only
         # similarity search

@@ -486,6 +486,12 @@ class IcebergTable:
         kwargs.setdefault("metadata_compression_codec", self.codec)
         return iceberg_snapshots(self.spark, self.path, **kwargs)
 
+    def snapshots(self, **kwargs) -> DataFrame:
+        from .sources.iceberg import iceberg_snapshots
+
+        kwargs.setdefault("metadata_compression_codec", self.codec)
+        return iceberg_snapshots(self.spark, self.path, **kwargs)
+
     def metadata(self, **kwargs) -> DataFrame:
         from .sources.iceberg import iceberg_metadata
 
