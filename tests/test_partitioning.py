@@ -263,3 +263,34 @@ def test_where_column_comparison_not_misparsed(spark, tmp_path, events):
     assert got == expected
     got2 = t.scan(where="event_id = '3'").count()
     assert got2 == events.filter("event_id = 3").count()
+
+
+def test_null_partition_values(spark, tmp_path):
+    """Rows with NULL partition source land in the default partition
+    and survive the roundtrip."""
+    from duckdb_iceberg_spark import IcebergTable
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "lang", F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("lang"))
+    )
+    t = IcebergTable.create(spark, str(tmp_path / "t"), docs, partition_by=["lang"])
+    assert t.scan().count() == docs.count()
+    n_null = docs.filter("lang IS NULL").count()
+    assert t.scan().filter("lang IS NULL").count() == n_null > 0
+    # null-partition files prunable via callable filter
+    got = t.scan(partition_filter=lambda p: p.get("lang") is None).count()
+    assert got == n_null
+
+
+def test_rename_partition_source_column(spark, tmp_path):
+    """Partition specs reference field ids, so renaming the source
+    column keeps both data and pruning working."""
+    from duckdb_iceberg_spark import IcebergTable
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    t = IcebergTable.create(spark, str(tmp_path / "t"), docs, partition_by=["lang"])
+    t.rename_column("lang", "language")
+    assert t.scan().count() == docs.count()
+    lang = docs.select("lang").first()["lang"]
+    pruned = t.scan(partition_filter={"language": lang})
+    assert pruned.filter(F.col("language") == lang).count() == docs.filter(F.col("lang") == lang).count()
