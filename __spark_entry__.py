@@ -1043,6 +1043,191 @@ GROUP BY 1
 """
 
 
+def _q2_min_cost_supplier(spark, sf):
+    """Min-cost supplier per part (Q2 shape: correlated MIN subquery).
+
+    The testdata has no partsupp table, so the part-supplier cost
+    relation is derived from lineitem (min unit price per
+    partkey/suppkey pair). The correlated `cost = (SELECT MIN(cost)
+    ... WHERE same part)` is decorrelated into a single window MIN
+    partitioned by part — one shuffle, no per-row subquery, and the
+    same partitioning serves both the aggregate and the filter (scales
+    to 100 TB where a re-scanning correlated subquery would not).
+    Reference exercises the host engine for such shapes (SURVEY §2B).
+    """
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter((F.col("p_size") <= 15) & (F.col("p_type") == "ECONOMY"))
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = ps.withColumn("min_cost", F.min("cost").over(w)).filter(F.col("cost") == F.col("min_cost"))
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(s, best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round("cost", 4).alias("cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY 1, 2)
+SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, ROUND(cost, 4) AS cost
+FROM ps
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_size <= 15 AND p_type = 'ECONOMY'
+  AND cost = (SELECT MIN(cost) FROM ps ps2 WHERE ps2.l_partkey = ps.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def _q11_important_suppliers(spark, sf):
+    """Suppliers with above-average revenue share (Q11 shape:
+    GROUP BY ... HAVING > scalar subquery over the same aggregate).
+
+    One pass over lineitem builds the per-supplier aggregate; the
+    scalar threshold is a broadcast of a 1-row re-aggregation of that
+    SAME result (no second lineitem scan — at 100 TB the fact table is
+    read exactly once)."""
+    li = _t(spark, sf, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+        .cast("decimal(38,4)")
+        .alias("value")
+    )
+    thresh = per_supp.agg((F.avg("value") * 1.05).alias("cutoff"))
+    return (
+        per_supp.join(F.broadcast(thresh))
+        .filter(F.col("value") > F.col("cutoff"))
+        .select("l_suppkey", "value")
+        .orderBy(F.desc("value"), "l_suppkey")
+    )
+
+
+_Q11_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS value
+  FROM lineitem GROUP BY l_suppkey)
+SELECT l_suppkey, value FROM per_supp
+WHERE value > (SELECT AVG(value) * 1.05 FROM per_supp)
+ORDER BY value DESC, l_suppkey
+"""
+
+
+def _q20_top_shippers(spark, sf):
+    """Suppliers who shipped a large quantity of a part family in a
+    year (Q20 shape: nested IN subqueries -> semi joins).
+
+    Inner IN (part filter) is a broadcast semi join; outer IN
+    (HAVING'd aggregate) is a shuffle semi join on the already-tiny
+    qualifying-supplier set."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf, "part").filter(F.col("p_name").startswith("small")).select("p_partkey")
+    s = _t(spark, sf, "supplier")
+    qual = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("qty"))
+        .filter(F.col("qty") > 50)
+    )
+    return (
+        s.join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q20_SQL = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) > 50)
+ORDER BY s_suppkey
+"""
+
+
+def _q21_waiting_suppliers(spark, sf):
+    """Suppliers who were the sole late shipper on multi-supplier
+    finished orders (Q21 shape: EXISTS + NOT EXISTS on the same fact
+    table).
+
+    The testdata lacks l_commitdate/l_receiptdate, so "late" is
+    l_shipdate > o_orderdate + 60 days. Both correlated EXISTS
+    subqueries decorrelate into ONE per-order aggregate (distinct
+    suppliers / distinct late suppliers) — lineitem+orders are joined
+    once and re-aggregated, instead of the naive triple self-join.
+    """
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
+    )
+    per_order = (
+        lo.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(
+            F.countDistinct("l_suppkey").alias("nsupp"),
+            F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nlate"),
+        )
+        .filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+    )
+    return (
+        lo.filter(F.col("late"))
+        .join(per_order, F.col("l_orderkey") == F.col("ok"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+_Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+  AND s_nationkey = n_nationkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 def _q13_order_count_distribution(spark, sf):
     """Customer-order-count distribution (Q13 shape: outer join ->
     double aggregation)."""
@@ -1816,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # TPC-H-style relational
         "q1_pricing_summary": _q1_pricing_summary,
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
         "q3_shipping_priority": _q3_shipping_priority,
         "q4_priority_exists": _q4_priority_exists,
         "q5_local_supplier": _q5_local_supplier,
@@ -1824,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": _q8_market_share,
         "q9_profit_by_nation": _q9_profit_by_nation,
         "q10_returned_items": _q10_returned_items,
+        "q11_important_suppliers": _q11_important_suppliers,
         "q12_shipmode_counts": _q12_shipmode_counts,
         "q13_order_count_distribution": _q13_order_count_distribution,
         "q14_promo_revenue": _q14_promo_revenue,
@@ -1832,6 +2019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity": _q17_small_quantity,
         "q18_large_orders": _q18_large_orders,
         "q19_disjunctive": _q19_disjunctive,
+        "q20_top_shippers": _q20_top_shippers,
+        "q21_waiting_suppliers": _q21_waiting_suppliers,
         "q22_inactive_customers": _q22_inactive_customers,
         # subquery shapes
         "corr_max_per_order": _corr_max_per_order,
@@ -1992,6 +2181,10 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_quantity": _Q17_SQL,
         "q18_large_orders": _Q18_SQL,
         "q19_disjunctive": _Q19_SQL,
+        "q2_min_cost_supplier": _Q2_SQL,
+        "q11_important_suppliers": _Q11_SQL,
+        "q20_top_shippers": _Q20_SQL,
+        "q21_waiting_suppliers": _Q21_SQL,
         "q22_inactive_customers": _Q22_SQL,
         "corr_max_per_order": _CORR_MAX_SQL,
         "scalar_subquery_avg": _SCALAR_SUBQ_SQL,

@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "iceberg_scan_generated",
     "q18_large_orders",
     "q19_disjunctive",
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
     "agg_stats",
     "join_salted",
     "explode_embedding",
