@@ -1059,20 +1059,26 @@ def _q2_min_cost_supplier(spark, sf):
     p = _t(spark, sf, "part").filter((F.col("p_size") <= 15) & (F.col("p_type") == "ECONOMY"))
     s = _t(spark, sf, "supplier")
     n = _t(spark, sf, "nation")
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+    # per-part min is unaffected by which parts qualify, so the
+    # selective part predicate is applied FIRST (broadcast semi join)
+    # and only qualifying parts' lineitems are aggregated; the part
+    # table never re-joins (its only needed column is the key itself).
+    li_q = li.join(
+        F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi"
+    )
+    ps = li_q.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
     )
     w = Window.partitionBy("l_partkey")
     best = ps.withColumn("min_cost", F.min("cost").over(w)).filter(F.col("cost") == F.col("min_cost"))
     return (
-        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
-        .join(s, best.l_suppkey == s.s_suppkey)
+        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             F.round("s_acctbal", 2).alias("s_acctbal"),
             "s_name",
             "n_name",
-            "p_partkey",
+            F.col("l_partkey").alias("p_partkey"),
             F.round("cost", 4).alias("cost"),
         )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
@@ -1183,26 +1189,33 @@ def _q21_waiting_suppliers(spark, sf):
     o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
     s = _t(spark, sf, "supplier")
     n = _t(spark, sf, "nation")
-    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        "l_orderkey",
-        "l_suppkey",
-        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
-    )
-    per_order = (
-        lo.groupBy(F.col("l_orderkey").alias("ok"))
+    # lineitem |><| orders(F) is scanned and joined ONCE: aggregate to
+    # the (order, supplier) grain, then a window over the order key
+    # answers both EXISTS branches (other-supplier count / other-late
+    # count) without re-joining the fact table. (A collect_list +
+    # higher-order-function variant was measured and lost: hash
+    # aggregation + window beats ObjectHashAggregate here.)
+    grp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("nsupp"),
-            F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nlate"),
+            F.sum(
+                (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast("long")
+            ).alias("late_rows")
         )
-        .filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+    )
+    w = Window.partitionBy("l_orderkey")
+    per_order = (
+        grp.withColumn("nsupp", F.count("*").over(w))
+        .withColumn("nlate", F.sum((F.col("late_rows") > 0).cast("long")).over(w))
+        .filter((F.col("nsupp") > 1) & (F.col("nlate") == 1) & (F.col("late_rows") > 0))
+        .select(F.col("l_suppkey").alias("suppkey"), "late_rows")
     )
     return (
-        lo.filter(F.col("late"))
-        .join(per_order, F.col("l_orderkey") == F.col("ok"))
-        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        per_order.join(F.broadcast(s), per_order.suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("late_rows").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
