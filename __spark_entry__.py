@@ -21,6 +21,8 @@ from duckdb_iceberg_spark.functions import text as TX
 from duckdb_iceberg_spark.functions.text import lang_id_sql
 from duckdb_iceberg_spark.operators import dedup as DD
 from duckdb_iceberg_spark.operators import multimodal as MM
+from duckdb_iceberg_spark.operators import packing as PK
+from duckdb_iceberg_spark.operators import sampling as SA
 from duckdb_iceberg_spark.operators import similarity as SIM
 
 GEN2 = "/root/reference/data/iceberg/generated_spec2_0_001"
@@ -1483,6 +1485,86 @@ SELECT doc_id, {TX.rolling_hash_sql('text')} AS rh FROM documents
 """
 
 
+def _pack_sequences(spark, sf):
+    """Token-budget shard assignment per language (sequence packing
+    for training shards): one stratified window, no UDF."""
+    d = _t(spark, sf, "documents").withColumn("n_tokens", TX.token_count(F.col("text")))
+    packed = PK.pack_sequences(d, "n_tokens", "doc_id", budget=2048, strata=["lang"])
+    return (
+        packed.groupBy("lang", "shard_id")
+        .agg(F.count("*").alias("ndocs"), F.sum("n_tokens").alias("tokens"))
+        .orderBy("lang", "shard_id")
+    )
+
+
+_PACK_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, lang, LEN(regexp_split_to_array(TRIM(text), '\s+')) AS n_tokens
+  FROM documents),
+p AS (
+  SELECT lang, n_tokens, {PK.pack_sql('n_tokens', 'doc_id', 2048, 'lang')} AS shard_id
+  FROM d)
+SELECT lang, shard_id, COUNT(*) AS ndocs, SUM(n_tokens) AS tokens
+FROM p GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _sample_stratified(spark, sf):
+    """Deterministic systematic 1-in-10 sample per language."""
+    d = _t(spark, sf, "documents")
+    return SA.every_kth(d, "doc_id", 10, strata=["lang"]).select("doc_id", "lang", "n_chars")
+
+
+_SAMPLE_SQL = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE (rn - 1) % 10 = 0
+"""
+
+
+def _curate_pipeline(spark, sf):
+    """End-to-end curation: quality gate + language gate + exact
+    near-normalized dedup -> per-language corpus stats. The composite
+    of the text-analysis and dedup stages a 100 TB curation run
+    chains; everything stays JVM-side, dedup is one hash shuffle."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+    )
+    q = d.filter((F.col("quality") > 0.5) & (F.col("lang") != "und"))
+    keep = q.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    ).filter(F.col("rn") == 1)
+    return (
+        keep.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .orderBy("lang")
+    )
+
+
+_CURATE_SQL = rf"""
+WITH m AS (
+  SELECT doc_id, lang,
+    LEN(regexp_split_to_array(TRIM(text), '\s+')) AS n_tokens,
+    FLOOR((0.4 * LEAST(CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS DOUBLE) / 64.0, 1.0)
+        + 0.3 * LEAST(CAST(LEN(regexp_extract_all(LOWER(text), '\b({"|".join(TX.STOPWORDS)})\b')) AS DOUBLE)
+                      / GREATEST(CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS DOUBLE), 1.0) * 4, 1.0)
+        + 0.3 * (1.0 - LEAST(CAST(LEN(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+                      / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) * 4, 1.0))) * 10000) / 10000 AS quality,
+    md5(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents),
+q AS (SELECT * FROM m WHERE quality > 0.5 AND lang <> 'und'),
+k AS (SELECT * FROM q QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+FROM k GROUP BY lang ORDER BY lang
+"""
+
+
 def _text_fingerprint(spark, sf):
     d = _t(spark, sf, "documents")
     return (
@@ -2085,6 +2167,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _text_langid,
         "text_fingerprint": _text_fingerprint,
         "text_rolling_hash": _text_rolling_hash,
+        # training-data pipeline (packing / sampling / curation)
+        "pack_sequences": _pack_sequences,
+        "sample_stratified": _sample_stratified,
+        "curate_pipeline": _curate_pipeline,
         # dedup
         "dedup_exact": _dedup_exact,
         "dedup_minhash_sig": _dedup_minhash_sig,
@@ -2165,6 +2251,9 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _TEXT_LANGID_SQL,
         "text_fingerprint": _TEXT_FP_SQL,
         "text_rolling_hash": _TEXT_RH_SQL,
+        "pack_sequences": _PACK_SQL,
+        "sample_stratified": _SAMPLE_SQL,
+        "curate_pipeline": _CURATE_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_sig": _DEDUP_MINHASH_SQL,
         "dedup_jaccard": _DEDUP_JACCARD_SQL,

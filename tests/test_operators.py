@@ -156,3 +156,59 @@ def test_salted_join_equals_plain(spark, sf_dir):
     assert outer.count() == li_extra.count()
     top = skew_stats(li, "l_partkey", top=3).collect()
     assert len(top) == 3 and all(r.share > 0 for r in top)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing / sampling
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_budget_property(spark, sf_dir):
+    """No shard (except by a single oversized doc) exceeds budget +
+    max-doc-tokens, shards are contiguous in order, and every doc is
+    assigned."""
+    from duckdb_iceberg_spark.functions.text import token_count
+    from duckdb_iceberg_spark.operators.packing import pack_sequences
+
+    B = 512
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    packed = pack_sequences(d, "n_tokens", "doc_id", budget=B, strata=["lang"])
+    assert packed.count() == d.count()
+    per_shard = (
+        packed.groupBy("lang", "shard_id")
+        .agg(
+            F.sum("n_tokens").alias("tok"),
+            F.max("n_tokens").alias("maxdoc"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
+        .collect()
+    )
+    for r in per_shard:
+        # greedy packing: a shard holds < budget before its last doc starts
+        assert r.tok < B + r.maxdoc
+    # shards partition each stratum into contiguous doc_id ranges
+    by_lang = {}
+    for r in per_shard:
+        by_lang.setdefault(r.lang, []).append(r)
+    for rows in by_lang.values():
+        rows.sort(key=lambda r: r.shard_id)
+        for a, b in zip(rows, rows[1:]):
+            assert a.hi < b.lo
+
+
+def test_every_kth_exact_rate(spark, sf_dir):
+    from duckdb_iceberg_spark.operators.sampling import every_kth
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = every_kth(d, "doc_id", 7, strata=["lang"])
+    per = {r.lang: r for r in d.groupBy("lang").count().collect()}
+    got = {r.lang: r for r in s.groupBy("lang").count().collect()}
+    for lang, r in per.items():
+        assert got[lang]["count"] == -(-r["count"] // 7)  # ceil(n/7)
+    # deterministic: same call twice -> identical ids
+    ids1 = sorted(r.doc_id for r in s.select("doc_id").collect())
+    ids2 = sorted(r.doc_id for r in every_kth(d, "doc_id", 7, strata=["lang"]).select("doc_id").collect())
+    assert ids1 == ids2
