@@ -622,6 +622,60 @@ def _csv_roundtrip(spark, sf):
 _CSV_RT_SQL = "SELECT n_regionkey, COUNT(*) AS n_nations FROM nation GROUP BY 1"
 
 
+def _orc_roundtrip(spark, sf):
+    """ORC sink + source (columnar alternative to parquet; Spark
+    native). Executors write/read; only the path crosses the driver."""
+    import tempfile
+
+    out = (
+        _t(spark, sf, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_supp"), F.round(F.sum("s_acctbal"), 2).alias("total_bal"))
+    )
+    d = tempfile.mkdtemp(prefix="orc_rt_") + "/out"
+    out.write.mode("overwrite").orc(d)
+    return spark.read.schema("s_nationkey int, n_supp long, total_bal double").orc(d)
+
+
+_ORC_RT_SQL = """
+SELECT s_nationkey, COUNT(*) AS n_supp, ROUND(SUM(s_acctbal), 2) AS total_bal
+FROM supplier GROUP BY 1
+"""
+
+
+def _avro_roundtrip(spark, sf):
+    """Avro sink + source via the engine's own pure-Python Avro layer
+    (the same codec that reads/writes Iceberg manifests — reference
+    reads manifests with avro-cpp, src/common/iceberg.cpp:38-91).
+    Driver-size data only: Avro's role in this engine is KB-scale
+    metadata, not bulk rows."""
+    import tempfile
+
+    from duckdb_iceberg_spark.plans.avro import read_avro_file, write_avro_file
+
+    rows = (
+        _t(spark, sf, "region")
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")
+        .collect()
+    )
+    schema = {
+        "type": "record",
+        "name": "region",
+        "fields": [
+            {"name": "r_regionkey", "type": "int"},
+            {"name": "r_name", "type": "string"},
+        ],
+    }
+    path = tempfile.mkdtemp(prefix="avro_rt_") + "/region.avro"
+    write_avro_file(path, schema, [r.asDict() for r in rows])
+    _, records = read_avro_file(path)
+    return spark.createDataFrame(records, "r_regionkey int, r_name string")
+
+
+_AVRO_RT_SQL = "SELECT r_regionkey, r_name FROM region"
+
+
 def _json_roundtrip(spark, sf):
     """JSON-lines sink + source with nested struct columns."""
     import tempfile
@@ -1871,6 +1925,44 @@ _LI_TABLE = "/root/reference/data/iceberg/lineitem_iceberg"
 _LI_GZ = "/root/reference/data/iceberg/lineitem_iceberg_gz"
 
 
+def _iceberg_history_q(spark, sf):
+    """Snapshot-log ancestry (Spark `.history` metadata-table schema);
+    oracle is DuckDB's read_json + recursive CTE over the SAME
+    metadata.json — a true cross-engine check of the metadata parser."""
+    from duckdb_iceberg_spark import iceberg_history
+
+    df = iceberg_history(spark, _LI_TABLE)
+    return df.select(
+        F.date_format("made_current_at", "yyyy-MM-dd HH:mm:ss.SSS").alias("made_current_at"),
+        "snapshot_id",
+        "parent_id",
+        "is_current_ancestor",
+    )
+
+
+_ICEBERG_HISTORY_SQL = f"""
+WITH RECURSIVE meta AS (
+  SELECT * FROM read_json('{_LI_TABLE}/metadata/v2.metadata.json')
+),
+parents AS (
+  SELECT s."snapshot-id" AS sid, s."parent-snapshot-id" AS pid
+  FROM (SELECT unnest(snapshots) AS s FROM meta)
+),
+anc AS (
+  SELECT "current-snapshot-id" AS sid FROM meta
+  UNION ALL
+  SELECT parents.pid FROM anc JOIN parents ON parents.sid = anc.sid
+  WHERE parents.pid IS NOT NULL
+),
+log AS (SELECT unnest("snapshot-log") AS sl FROM meta)
+SELECT strftime(to_timestamp(sl."timestamp-ms" / 1000.0) AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S.%g') AS made_current_at,
+  sl."snapshot-id" AS snapshot_id,
+  (SELECT pid FROM parents WHERE sid = sl."snapshot-id") AS parent_id,
+  sl."snapshot-id" IN (SELECT sid FROM anc) AS is_current_ancestor
+FROM log
+"""
+
+
 def _iceberg_time_travel(spark, sf):
     """Counts across every snapshot-selection mechanism (reference
     iceberg_scan.test:17-82 golden values)."""
@@ -2161,6 +2253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # file sources / sinks beyond parquet
         "csv_roundtrip": _csv_roundtrip,
         "json_roundtrip": _json_roundtrip,
+        "orc_roundtrip": _orc_roundtrip,
+        "avro_roundtrip": _avro_roundtrip,
         # text analysis
         "text_tokens": _text_tokens,
         "text_quality": _text_quality,
@@ -2195,6 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iceberg parity
         "iceberg_scan_generated": _iceberg_scan_generated,
         "iceberg_snapshots": _iceberg_snapshots_q,
+        "iceberg_history": _iceberg_history_q,
         "iceberg_time_travel": _iceberg_time_travel,
         "iceberg_scan_where": _iceberg_scan_where,
         "iceberg_list_files": _iceberg_list_files,
@@ -2244,6 +2339,8 @@ def oracle_sql() -> dict[str, str]:
         "case_bucketing": _CASE_SQL,
         "csv_roundtrip": _CSV_RT_SQL,
         "json_roundtrip": _JSON_RT_SQL,
+        "orc_roundtrip": _ORC_RT_SQL,
+        "avro_roundtrip": _AVRO_RT_SQL,
         "asof_join_events": _ASOF_SQL,
         "range_join_events": _RANGE_JOIN_SQL,
         "text_tokens": _TEXT_TOKENS_SQL,
@@ -2262,6 +2359,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_sample": _MM_FRAME_SQL,
         "iceberg_scan_generated": _ICEBERG_SCAN_SQL,
         "iceberg_snapshots": _ICEBERG_SNAPSHOTS_SQL,
+        "iceberg_history": _ICEBERG_HISTORY_SQL,
         "iceberg_time_travel": _ICEBERG_TT_SQL,
         "iceberg_scan_where": _ICEBERG_WHERE_SQL,
         "iceberg_list_files": _ICEBERG_LF_SQL,

@@ -9,8 +9,15 @@ Public API (SURVEY.md §7.1):
 """
 
 from .session import get_spark
-from .sources.iceberg import iceberg_metadata, iceberg_scan, iceberg_snapshots
+from .sources.iceberg import iceberg_history, iceberg_metadata, iceberg_scan, iceberg_snapshots
 from .writer import IcebergTable
 
-__all__ = ["get_spark", "iceberg_scan", "iceberg_snapshots", "iceberg_metadata", "IcebergTable"]
+__all__ = [
+    "get_spark",
+    "iceberg_scan",
+    "iceberg_snapshots",
+    "iceberg_metadata",
+    "iceberg_history",
+    "IcebergTable",
+]
 __version__ = "0.1.0"

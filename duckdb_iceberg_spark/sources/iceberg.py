@@ -493,6 +493,55 @@ def iceberg_snapshots(
     return spark.createDataFrame(rows, _SNAPSHOTS_SCHEMA)
 
 
+_HISTORY_SCHEMA = "made_current_at timestamp, snapshot_id long, parent_id long, is_current_ancestor boolean"
+
+
+def iceberg_history(
+    spark: SparkSession,
+    path: str,
+    *,
+    version: Optional[str] = None,
+    version_name_format: str = DEFAULT_TABLE_VERSION_FORMAT,
+    metadata_compression_codec: str = "none",
+    unsafe_enable_version_guessing: bool = False,
+) -> DataFrame:
+    """Table history from the metadata ``snapshot-log`` — the Spark
+    ``<table>.history`` metadata-table schema (made_current_at,
+    snapshot_id, parent_id, is_current_ancestor). Beyond-reference:
+    the extension exposes snapshots but not the current-ancestry log.
+    """
+    meta = _load(
+        path,
+        version=version,
+        version_name_format=version_name_format,
+        metadata_compression_codec=metadata_compression_codec,
+        unsafe_enable_version_guessing=unsafe_enable_version_guessing,
+    )
+    parents = {
+        s["snapshot-id"]: s.get("parent-snapshot-id") for s in meta.raw.get("snapshots", [])
+    }
+    # current ancestry: walk parent links from the current snapshot
+    ancestors: set[int] = set()
+    cur = meta.current_snapshot_id
+    if cur is None and meta.snapshots:
+        cur = meta.latest_snapshot().snapshot_id
+    while cur is not None:
+        ancestors.add(cur)
+        cur = parents.get(cur)
+    rows = [
+        (
+            datetime.datetime.fromtimestamp(e["timestamp-ms"] / 1000.0, tz=datetime.timezone.utc).replace(
+                tzinfo=None
+            ),
+            e["snapshot-id"],
+            parents.get(e["snapshot-id"]),
+            e["snapshot-id"] in ancestors,
+        )
+        for e in meta.raw.get("snapshot-log", [])
+    ]
+    return spark.createDataFrame(rows, _HISTORY_SCHEMA)
+
+
 _METADATA_SCHEMA = (
     "manifest_path string, manifest_sequence_number long, manifest_content string, "
     "status string, content string, file_path string, file_format string, record_count long"

@@ -102,3 +102,17 @@ def test_mor_plan_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
     assert "Broadcast" in plan
+
+
+def test_history_ancestry(spark):
+    """history(): parent links follow the snapshot chain and every
+    logged snapshot on the linear chain is a current ancestor."""
+    from duckdb_iceberg_spark import iceberg_history
+
+    df = iceberg_history(spark, "/root/reference/data/iceberg/generated_spec2_0_001/pyspark_iceberg_table")
+    rows = sorted(df.collect(), key=lambda r: r.made_current_at)
+    assert len(rows) >= 2
+    assert rows[0].parent_id is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.parent_id == prev.snapshot_id
+    assert all(r.is_current_ancestor for r in rows)
