@@ -1841,6 +1841,54 @@ FROM events
 """
 
 
+def _funnel_join(spark, sf):
+    """Purchase->click attribution within 1 hour (batch twin of the
+    stream-stream interval join in streaming/events.py; streaming ==
+    batch equivalence is asserted in tests)."""
+    from duckdb_iceberg_spark.streaming.events import click_purchase_join
+
+    ev = _t(spark, sf, "events")
+    out = click_purchase_join(ev)
+    return out.select(
+        "p_user",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("p_ts"),
+        F.round("p_value", 4).alias("p_value"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("c_ts"),
+    )
+
+
+_FUNNEL_SQL = """
+SELECT p.user_id AS p_user,
+  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%g') AS p_ts,
+  ROUND(p.value, 4) AS p_value,
+  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%g') AS c_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+"""
+
+
+def _streaming_dedup(spark, sf):
+    """Cross-batch streaming dedup: the events file delivered twice
+    must come out once (rows-only; exactness asserted in tests)."""
+    import tempfile
+
+    from duckdb_iceberg_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        dedup_stream,
+        run_stream_to_memory,
+    )
+
+    src_dir = tempfile.mkdtemp(prefix="dedup_entry_")
+    for name in ("a.parquet", "b.parquet"):
+        os.symlink(os.path.join(sf, "events.parquet"), os.path.join(src_dir, name))
+    raw = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return run_stream_to_memory(dedup_stream(stream), "streaming_dedup_entry", output_mode="append").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
 def _streaming_hourly(spark, sf):
     from duckdb_iceberg_spark.streaming.events import (
         hourly_rollup,
@@ -2286,6 +2334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly": _streaming_hourly,  # rows-only
         "streaming_stateful": _streaming_stateful,  # rows-only
         "streaming_to_iceberg": _streaming_to_iceberg,
+        "streaming_dedup": _streaming_dedup,  # rows-only (exactness in tests)
+        "funnel_join": _funnel_join,
         # iceberg parity
         "iceberg_scan_generated": _iceberg_scan_generated,
         "iceberg_snapshots": _iceberg_snapshots_q,
@@ -2367,6 +2417,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_write_pipeline": _ICEBERG_WP_SQL,
         "iceberg_compaction": _ICEBERG_CP_SQL,
         "streaming_to_iceberg": _STREAMING_TO_ICEBERG_SQL,
+        "funnel_join": _FUNNEL_SQL,
         "iceberg_equality_deletes": _ICEBERG_EQ_SQL,
         "iceberg_merge_upsert": _ICEBERG_MERGE_SQL,
         "join_salted": _JOIN_SALTED_SQL,

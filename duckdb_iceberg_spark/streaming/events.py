@@ -118,6 +118,41 @@ def stateful_user_stats(events: DataFrame, timeout_min: int = 120) -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, key_cols: tuple = ("event_id",), within: str = "2 hours") -> DataFrame:
+    """Streaming exactly-once dedup: drop re-deliveries of the same
+    key across micro-batches. State is bounded by the watermark —
+    a key is remembered only `within` of event time, which is exactly
+    the at-least-once re-delivery horizon of sources like Kafka.
+    Batch twin: plain dropDuplicates."""
+    if not events.isStreaming:
+        return events.dropDuplicates(list(key_cols))
+    return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(list(key_cols))
+
+
+def click_purchase_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's clicks in the preceding `horizon`. Both sides carry
+    watermarks so join state is evicted once the time bound passes —
+    the canonical funnel/attribution shape. Works identically on a
+    batch DataFrame (the time predicate is the same expression)."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("c_ts", "2 hours")
+        purchases = purchases.withWatermark("p_ts", "2 hours")
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("p_user", "p_ts", "p_value", "c_ts")
+
+
 def write_stream_to_iceberg(stream_df: DataFrame, table_path: str, checkpoint: str | None = None):
     """Streaming ingestion into a native Iceberg table: each
     micro-batch is appended as one Iceberg snapshot via foreachBatch —

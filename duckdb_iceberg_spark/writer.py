@@ -1068,6 +1068,24 @@ class IcebergTable:
         doc["last-updated-ms"] = _now_ms()
         self._write_metadata(doc)
 
+    def rollback_to(self, snapshot_id: int) -> None:
+        """Point the table back at an earlier snapshot (the Spark
+        `rollback_to_snapshot` procedure): current-snapshot-id moves,
+        a new snapshot-log entry records the change, and NO data or
+        snapshot is deleted — the abandoned snapshots stay readable
+        via time travel until expire_snapshots()."""
+        doc = dict(self.meta.raw)
+        ids = {s["snapshot-id"] for s in doc.get("snapshots", [])}
+        if snapshot_id not in ids:
+            raise ValueError(f"Could not find snapshot with id {snapshot_id}")
+        ts = _now_ms()
+        doc["current-snapshot-id"] = snapshot_id
+        doc["snapshot-log"] = doc.get("snapshot-log", []) + [
+            {"timestamp-ms": ts, "snapshot-id": snapshot_id}
+        ]
+        doc["last-updated-ms"] = ts
+        self._write_metadata(doc)
+
     def remove_orphan_files(self) -> list[str]:
         """Delete data/delete/avro files referenced by NO remaining
         snapshot. Returns removed paths."""

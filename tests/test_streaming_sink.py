@@ -57,3 +57,42 @@ def test_write_stream_to_iceberg(spark, tmp_path):
     assert len(t.meta.snapshots) >= 1
     first = t.meta.snapshots[0]
     assert t.scan(snapshot_id=first.snapshot_id).count() > 0
+
+
+def test_dedup_stream_across_batches(spark, tmp_path):
+    """The same file delivered twice (two micro-batches) must come out
+    once: dedup state survives across batches."""
+    import tempfile
+
+    from duckdb_iceberg_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        dedup_stream,
+        run_stream_to_memory,
+    )
+
+    src_dir = tempfile.mkdtemp(prefix="dedup_stream_")
+    for name in ("a.parquet", "b.parquet"):
+        os.symlink(f"{SF}/events.parquet", os.path.join(src_dir, name))
+    raw = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    got = run_stream_to_memory(dedup_stream(stream), "dedup_stream_test", output_mode="append")
+    n_distinct = _events(spark).select("event_id").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from duckdb_iceberg_spark.streaming.events import (
+        click_purchase_join,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_events_stream(spark, SF)
+    got = run_stream_to_memory(
+        click_purchase_join(stream), "ss_join_test", output_mode="append"
+    )
+    batch = click_purchase_join(_events(spark))
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert len(a) > 0 and a == b

@@ -300,3 +300,27 @@ def test_merge_delete_matched(spark, tmp_path):
     t.merge(victims, on="n_nationkey", when_matched_delete=True, when_not_matched_insert=False)
     left = {row.n_nationkey for row in t.scan().collect()}
     assert left == {row.n_nationkey for row in n.collect()} - {1, 3}
+
+
+def test_rollback_to_snapshot(spark, tmp_path):
+    """rollback_to(): current pointer moves back, time travel still
+    reaches the abandoned snapshot, history ancestry updates."""
+    from duckdb_iceberg_spark import IcebergTable, iceberg_history
+
+    base = spark.read.parquet(f"{SF}/region.parquet")
+    t = IcebergTable.create(spark, str(tmp_path / "t"), base)
+    snap1 = t.meta.latest_snapshot().snapshot_id
+    t.append(base)
+    snap2 = t.meta.latest_snapshot().snapshot_id
+    assert t.scan().count() == 2 * base.count()
+
+    t.rollback_to(snap1)
+    assert t.meta.current_snapshot_id == snap1
+    assert t.scan().count() == base.count()
+    # abandoned snapshot still time-travelable
+    assert t.scan(snapshot_id=snap2).count() == 2 * base.count()
+    hist = {r.snapshot_id: r for r in iceberg_history(spark, str(tmp_path / "t")).collect()}
+    assert hist[snap1].is_current_ancestor
+    assert not hist[snap2].is_current_ancestor
+    with pytest.raises(ValueError, match="Could not find snapshot"):
+        t.rollback_to(12345)
