@@ -73,3 +73,33 @@ def test_scalar_subquery_is_broadcast(spark):
     plan = _plan(E.queries()["q22_inactive_customers"](spark, SF))
     assert "Broadcast" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q2_semi_join_before_aggregate(spark):
+    """The selective part predicate must reach lineitem BEFORE the
+    per-(part,supplier) aggregate — as a broadcast semi join — and the
+    window must not add a CartesianProduct."""
+    plan = _plan(E.queries()["q2_min_cost_supplier"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_single_fact_scan(spark):
+    """Decorrelated Q21 reads lineitem ONCE (the naive EXISTS/NOT
+    EXISTS form scans it three times)."""
+    plan = _plan(E.queries()["q21_waiting_suppliers"](spark, SF))
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+
+
+def test_pack_sequences_no_python(spark):
+    plan = _plan(E.queries()["pack_sequences"](spark, SF))
+    assert "BatchEvalPython" not in plan
+
+
+def test_curate_single_shuffle_dedup(spark):
+    """Curation's dedup is one hash partitioning by fingerprint: no
+    join, no extra exchange beyond the agg."""
+    plan = _plan(E.queries()["curate_pipeline"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
