@@ -1440,6 +1440,101 @@ FROM g
 """
 
 
+def _udtf_chunks(spark, sf):
+    """Document chunking via a registered Python UDTF in a LATERAL
+    join (Spark 4 table-function API; row-at-a-time by design — see
+    chunk_text_udtf docstring; `text_chunks` is the JVM fast path)."""
+    spark.udtf.register("chunk_text", TX.chunk_text_udtf(10))
+    _t(spark, sf, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_no, c.chunk FROM docs_udtf d, LATERAL chunk_text(d.text) c"
+    ).filter(F.col("chunk") != "")
+
+
+def _text_chunks(spark, sf):
+    """Same chunking on the JVM fast path: token-array slice +
+    posexplode, no Python in the plan."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.explode(TX.chunk_text_builtin(F.col("text"), 10)).alias("c"))
+        .select("doc_id", F.col("c.chunk_no").alias("chunk_no"), F.col("c.chunk").alias("chunk"))
+        .filter(F.col("chunk") != "")
+    )
+
+
+_CHUNKS_SQL = r"""
+SELECT doc_id, CAST(i AS INT) AS chunk_no,
+  array_to_string(arr[(i-1)*10+1 : i*10], ' ') AS chunk
+FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS arr
+      FROM documents),
+     UNNEST(generate_series(1, GREATEST(CAST(CEIL(LEN(arr) / 10.0) AS BIGINT), 1))) AS u(i)
+WHERE array_to_string(arr[(i-1)*10+1 : i*10], ' ') <> ''
+"""
+
+
+def _math_funcs(spark, sf):
+    """Scalar math surface (§2B scalar rows): all JVM-side, all
+    deterministic across engines (results floor-quantized where the
+    engines' float printing could diverge)."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(q - 25).alias("abs_d"),
+        F.floor(F.sqrt(q) * 1000).alias("sqrt_q"),
+        F.floor(F.ln(q + 1) * 1000).alias("ln_q"),
+        F.floor(F.log10(q + 1) * 1000).alias("log10_q"),
+        F.floor(F.pow(q, 2)).cast("long").alias("q_sq"),
+        F.floor(F.exp(q / 50.0) * 1000).alias("exp_q"),
+        F.signum(q - 25).cast("int").alias("sign_d"),
+        F.greatest(q, F.col("l_discount") * 100).alias("gr"),
+        F.least(q, F.col("l_tax") * 100).alias("ls"),
+        F.pmod(F.col("l_partkey"), F.lit(7)).alias("pk_mod"),
+        F.round(q / 7.0, 3).alias("q_div"),
+    )
+
+
+_MATH_SQL = """
+SELECT l_orderkey, l_linenumber,
+  ABS(l_quantity - 25) AS abs_d,
+  FLOOR(SQRT(l_quantity) * 1000) AS sqrt_q,
+  FLOOR(LN(l_quantity + 1) * 1000) AS ln_q,
+  FLOOR(LOG10(l_quantity + 1) * 1000) AS log10_q,
+  CAST(FLOOR(POW(l_quantity, 2)) AS BIGINT) AS q_sq,
+  FLOOR(EXP(l_quantity / 50.0) * 1000) AS exp_q,
+  CAST(SIGN(l_quantity - 25) AS INT) AS sign_d,
+  GREATEST(l_quantity, l_discount * 100) AS gr,
+  LEAST(l_quantity, l_tax * 100) AS ls,
+  l_partkey % 7 AS pk_mod,
+  ROUND(l_quantity / 7.0, 3) AS q_div
+FROM lineitem WHERE l_orderkey % 100 = 0
+"""
+
+
+def _map_funcs(spark, sf):
+    """Map construction + access (§2B complex types beyond list/struct)."""
+    n = _t(spark, sf, "nation")
+    m = F.create_map(F.lit("key"), F.col("n_nationkey").cast("string"), F.lit("name"), F.col("n_name"))
+    return n.select(
+        "n_nationkey",
+        F.element_at(m, "name").alias("mname"),
+        F.map_keys(m).alias("ks"),
+        F.size(F.map_values(m)).alias("nvals"),
+        F.element_at(F.map_from_arrays(F.array(F.lit("r")), F.array(F.col("n_regionkey"))), "r").alias("rk"),
+    )
+
+
+_MAP_SQL = """
+SELECT n_nationkey,
+  MAP(['key','name'], [CAST(n_nationkey AS VARCHAR), n_name])['name'][1] AS mname,
+  map_keys(MAP(['key','name'], [CAST(n_nationkey AS VARCHAR), n_name])) AS ks,
+  CAST(LEN(map_values(MAP(['key','name'], [CAST(n_nationkey AS VARCHAR), n_name]))) AS INT) AS nvals,
+  MAP(['r'], [n_regionkey])['r'][1] AS rk
+FROM nation
+"""
+
+
 def _string_funcs2(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select(
@@ -2289,6 +2384,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs2": _string_funcs2,
         "array_funcs": _array_funcs,
         "date_funcs": _date_funcs,
+        "math_funcs": _math_funcs,
+        "map_funcs": _map_funcs,
+        "udtf_chunks": _udtf_chunks,
+        "text_chunks": _text_chunks,
         "events_hourly": _events_hourly,
         "events_sessionize": _events_sessionize,
         "events_json": _events_json,
@@ -2443,4 +2542,8 @@ def oracle_sql() -> dict[str, str]:
         "agg_grouping_sets": _GROUPING_SETS_SQL,
         "array_funcs": _ARRAY_SQL,
         "string_funcs2": _STRING2_SQL,
+        "math_funcs": _MATH_SQL,
+        "map_funcs": _MAP_SQL,
+        "udtf_chunks": _CHUNKS_SQL,
+        "text_chunks": _CHUNKS_SQL,
     }

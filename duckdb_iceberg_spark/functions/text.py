@@ -146,3 +146,40 @@ def shingles(col, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
         ),
     ).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+def chunk_text_udtf(chunk_tokens: int = 10):
+    """Python UDTF (Spark 4 table function API) splitting a document
+    into fixed token-count chunks with ordinals — the context-window
+    chunking step of a RAG / training pipeline.
+
+    Row-at-a-time Python is deliberately acceptable here: this is the
+    API-coverage demo for UDTFs (the reference has no function surface
+    at all, SURVEY.md §2B "UDF/UDAF/UDTF: none"). The JVM-side
+    equivalent for the hot path is posexplode over a sequence-sliced
+    token array (same output, whole-stage codegen)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_no int, chunk string")
+    class ChunkText:
+        def eval(self, text: str):
+            toks = (text or "").split()
+            for i in range(0, len(toks), chunk_tokens):
+                yield i // chunk_tokens + 1, " ".join(toks[i : i + chunk_tokens])
+
+    return ChunkText
+
+
+def chunk_text_builtin(col, chunk_tokens: int = 10):
+    """JVM fast-path twin of :func:`chunk_text_udtf`: returns an
+    array<struct<chunk_no,chunk>> to posexplode — identical rows, no
+    Python in the plan."""
+    t = tokens(col)
+    n_chunks = F.ceil(F.size(t) / F.lit(chunk_tokens)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n_chunks, F.lit(1))),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_no"),
+            F.concat_ws(" ", F.slice(t, (i - 1) * chunk_tokens + 1, chunk_tokens)).alias("chunk"),
+        ),
+    )
