@@ -10,6 +10,7 @@ Public API (SURVEY.md §7.1):
 
 from .session import get_spark
 from .sources.iceberg import iceberg_history, iceberg_metadata, iceberg_scan, iceberg_snapshots
+from .sources.rest_catalog import RestCatalog
 from .writer import IcebergTable
 
 __all__ = [
@@ -19,5 +20,6 @@ __all__ = [
     "iceberg_metadata",
     "iceberg_history",
     "IcebergTable",
+    "RestCatalog",
 ]
 __version__ = "0.1.0"
