@@ -1882,6 +1882,30 @@ def _agg_approx(spark, sf):
     )
 
 
+def _agg_percentiles(spark, sf):
+    """Exact percentiles (continuous + discrete) and median per
+    return-flag — oracle-checked, unlike the sketch twins in
+    agg_approx. percentile() sorts within each group: one shuffle, no
+    driver collection."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_cont"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_cont"),
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25_qty"),
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT l_returnflag,
+  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_cont,
+  ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_cont,
+  ROUND(median(l_quantity), 4) AS med_qty,
+  ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def _knn_join(spark, sf):
     e = _t(spark, sf, "embeddings")
     left = e.filter(F.col("vec_id") < 20)
@@ -2426,6 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _ann_ivf_topk,  # rows-only
         "knn_join": _knn_join,  # rows-only
         "agg_approx": _agg_approx,  # rows-only (sketches)
+        "agg_percentiles": _agg_percentiles,
         # multimodal
         "mm_frame_sample": _mm_frame_sample,
         "mm_features": _mm_features,  # rows-only
@@ -2539,6 +2564,7 @@ def oracle_sql() -> dict[str, str]:
         "corr_max_per_order": _CORR_MAX_SQL,
         "scalar_subquery_avg": _SCALAR_SUBQ_SQL,
         "agg_stats": _AGG_STATS_SQL,
+        "agg_percentiles": _PERCENTILES_SQL,
         "agg_grouping_sets": _GROUPING_SETS_SQL,
         "array_funcs": _ARRAY_SQL,
         "string_funcs2": _STRING2_SQL,
