@@ -1882,6 +1882,70 @@ def _agg_approx(spark, sf):
     )
 
 
+def _join_bucketed(spark, sf):
+    """Co-located join via bucketed tables: both sides pre-hashed on
+    the join key at write time, so the join itself has no Exchange
+    (asserted in plan tests). The one-time bucket write is the
+    amortized shuffle."""
+    from duckdb_iceberg_spark.operators.bucketed import bucketed_join
+
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    j = bucketed_join(spark, o, c, "o_custkey", "c_custkey", names=("be_orders", "be_cust"))
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("total"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_JOIN_BUCKETED_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _agg_listagg(spark, sf):
+    """Ordered string aggregation (listagg/string_agg): sorted inside
+    the group so both engines produce identical strings."""
+    n = _t(spark, sf, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+        F.count("*").alias("n"),
+    )
+
+
+_LISTAGG_SQL = """
+SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations, COUNT(*) AS n
+FROM nation GROUP BY 1
+"""
+
+
+def _agg_regression(spark, sf):
+    """Regression/correlation aggregates (regr_slope/intercept/corr)
+    per group — JVM-side in Spark, identical math in DuckDB."""
+    li = _t(spark, sf, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.corr(y, x), 6).alias("r"),
+        F.regr_count(y, x).alias("n"),
+    )
+
+
+_REGR_SQL = """
+SELECT l_linestatus,
+  ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+  ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+  ROUND(corr(l_extendedprice, l_quantity), 6) AS r,
+  regr_count(l_extendedprice, l_quantity) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
 def _agg_percentiles(spark, sf):
     """Exact percentiles (continuous + discrete) and median per
     return-flag — oracle-checked, unlike the sketch twins in
@@ -2451,6 +2515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _knn_join,  # rows-only
         "agg_approx": _agg_approx,  # rows-only (sketches)
         "agg_percentiles": _agg_percentiles,
+        "agg_listagg": _agg_listagg,
+        "agg_regression": _agg_regression,
         # multimodal
         "mm_frame_sample": _mm_frame_sample,
         "mm_features": _mm_features,  # rows-only
@@ -2475,6 +2541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_merge_upsert": _iceberg_merge_upsert,
         # skew-resilient join
         "join_salted": _join_salted,
+        # co-located (bucketed) join
+        "join_bucketed": _join_bucketed,
     }
 
 
@@ -2545,6 +2613,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_equality_deletes": _ICEBERG_EQ_SQL,
         "iceberg_merge_upsert": _ICEBERG_MERGE_SQL,
         "join_salted": _JOIN_SALTED_SQL,
+        "join_bucketed": _JOIN_BUCKETED_SQL,
         "q7_volume_shipping": _Q7_SQL,
         "q8_market_share": _Q8_SQL,
         "q9_profit_by_nation": _Q9_SQL,
@@ -2565,6 +2634,8 @@ def oracle_sql() -> dict[str, str]:
         "scalar_subquery_avg": _SCALAR_SUBQ_SQL,
         "agg_stats": _AGG_STATS_SQL,
         "agg_percentiles": _PERCENTILES_SQL,
+        "agg_listagg": _LISTAGG_SQL,
+        "agg_regression": _REGR_SQL,
         "agg_grouping_sets": _GROUPING_SETS_SQL,
         "array_funcs": _ARRAY_SQL,
         "string_funcs2": _STRING2_SQL,

@@ -1,0 +1,59 @@
+"""Bucketed (co-located) joins: pre-shuffle once at write time, join
+shuffle-free forever after.
+
+At 100 TB the dominant join cost is the exchange of the fact table.
+Spark's bucketed tables (`bucketBy(N, key).sortBy(key)`) persist the
+hash partitioning in the catalog, so a join of two tables bucketed by
+the same key with the same N compiles to a SortMergeJoin with NO
+Exchange on either side — the physical realization of "co-located
+join" (the Iceberg equivalent is the `bucket[N]` partition transform,
+implemented in plans/transforms.py with identical murmur3 hashing).
+
+`tests/test_plan_shapes.py::test_bucketed_join_no_exchange` asserts
+the exchange-free plan.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    num_buckets: int = 8,
+    path: str | None = None,
+) -> None:
+    """Persist `df` as a bucketed+sorted catalog table (external, under
+    `path`), replacing any previous definition."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    loc = path or tempfile.mkdtemp(prefix=f"bucketed_{table}_")
+    (
+        df.write.mode("overwrite")
+        .option("path", loc)
+        .bucketBy(num_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    num_buckets: int = 8,
+    names: tuple[str, str] = ("bucketed_left", "bucketed_right"),
+) -> DataFrame:
+    """Bucket both sides on their join keys and return the co-located
+    join. The write is the one-time shuffle; every subsequent join on
+    the bucket key is exchange-free."""
+    write_bucketed(left, names[0], left_key, num_buckets)
+    write_bucketed(right, names[1], right_key, num_buckets)
+    lt, rt = spark.table(names[0]), spark.table(names[1])
+    return lt.join(rt, lt[left_key] == rt[right_key])

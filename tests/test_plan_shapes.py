@@ -103,3 +103,22 @@ def test_curate_single_shuffle_dedup(spark):
     plan = _plan(E.queries()["curate_pipeline"](spark, SF))
     assert "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_bucketed_join_no_exchange(spark):
+    """Both sides bucketed on the join key with the same bucket count:
+    the join plan must contain NO shuffle Exchange and no broadcast —
+    the co-located join a 100 TB fact-fact join needs."""
+    from duckdb_iceberg_spark.operators.bucketed import bucketed_join
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, o, c, "o_custkey", "c_custkey", names=("bt_orders", "bt_cust"))
+        plan = _plan(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, plan[:800]
+    assert "BroadcastHashJoin" not in plan
