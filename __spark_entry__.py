@@ -581,6 +581,39 @@ FROM events GROUP BY 1
 """
 
 
+def _events_unpivot(spark, sf):
+    """UNPIVOT/melt: wide per-user event counts back to long form."""
+    ev = _t(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+    return (
+        wide.unpivot("user_id", types, "event_type", "n")
+        .filter(F.col("n") > 0)
+        .orderBy("user_id", "event_type")
+    )
+
+
+_EVENTS_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT user_id,
+    COUNT(*) FILTER (event_type = 'click') AS click,
+    COUNT(*) FILTER (event_type = 'error') AS error,
+    COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+    COUNT(*) FILTER (event_type = 'signup') AS signup,
+    COUNT(*) FILTER (event_type = 'view') AS view
+  FROM events GROUP BY user_id)
+SELECT user_id, event_type, n FROM (
+  UNPIVOT wide ON click, error, purchase, signup, view
+  INTO NAME event_type VALUE n)
+WHERE n > 0 ORDER BY user_id, event_type
+"""
+
+
 def _events_pivot(spark, sf):
     ev = _t(spark, sf, "events")
     types = ["click", "error", "purchase", "signup", "view"]
@@ -2122,6 +2155,50 @@ def _iceberg_scan_where(spark, sf):
     )
 
 
+_PRUNED_TABLES: dict[str, str] = {}
+
+
+def _pruned_table(spark, sf) -> str:
+    """One hidden-partitioned (years(l_shipdate)) Iceberg table per
+    (process, sf), built from the sf lineitem — memoized so bench
+    timings measure the pruned READ, not the one-time write."""
+    if sf not in _PRUNED_TABLES:
+        import tempfile
+
+        from duckdb_iceberg_spark import IcebergTable
+
+        path = tempfile.mkdtemp(prefix="pruned_bench_") + "/t"
+        IcebergTable.create(spark, path, _t(spark, sf, "lineitem"), partition_by=["years(l_shipdate)"])
+        _PRUNED_TABLES[sf] = path
+    return _PRUNED_TABLES[sf]
+
+
+def _iceberg_pruned_scan(spark, sf):
+    """Partition-pruned aggregate over a years(l_shipdate)-partitioned
+    table: the where= predicate prunes non-1997 files at the manifest
+    level, so Spark schedules ~1/7 of the tasks a full scan would.
+    (The reference reads manifests but never prunes — SURVEY §4.)"""
+    t = _pruned_table(spark, sf)
+    df = iceberg_scan(
+        spark,
+        t,
+        where="l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'",
+    )
+    return df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_price"),
+    )
+
+
+_ICEBERG_PRUNED_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
 _ICEBERG_WHERE_SQL = f"""
 SELECT l_orderkey_bool, COUNT(*) AS n, ROUND(SUM(l_extendedprice_double), 2) AS sum_price
 FROM read_parquet('{GEN2}/expected_results/last/data/*.parquet')
@@ -2480,6 +2557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _events_sessionize,
         "events_json": _events_json,
         "events_pivot": _events_pivot,
+        "events_unpivot": _events_unpivot,
         "case_bucketing": _case_bucketing,
         # time-series operators
         "asof_join_events": _asof_join_events,
@@ -2532,6 +2610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_history": _iceberg_history_q,
         "iceberg_time_travel": _iceberg_time_travel,
         "iceberg_scan_where": _iceberg_scan_where,
+        "iceberg_pruned_scan": _iceberg_pruned_scan,
         "iceberg_list_files": _iceberg_list_files,
         "iceberg_metadata_entries": _iceberg_metadata_entries,
         # iceberg write surface (native writer)
@@ -2578,6 +2657,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _EVENTS_SESSION_SQL,
         "events_json": _EVENTS_JSON_SQL,
         "events_pivot": _EVENTS_PIVOT_SQL,
+        "events_unpivot": _EVENTS_UNPIVOT_SQL,
         "case_bucketing": _CASE_SQL,
         "csv_roundtrip": _CSV_RT_SQL,
         "json_roundtrip": _JSON_RT_SQL,
@@ -2604,6 +2684,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_history": _ICEBERG_HISTORY_SQL,
         "iceberg_time_travel": _ICEBERG_TT_SQL,
         "iceberg_scan_where": _ICEBERG_WHERE_SQL,
+        "iceberg_pruned_scan": _ICEBERG_PRUNED_SQL,
         "iceberg_list_files": _ICEBERG_LF_SQL,
         "iceberg_metadata_entries": _ICEBERG_MD_SQL,
         "iceberg_write_pipeline": _ICEBERG_WP_SQL,

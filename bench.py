@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "join_salted",
     "explode_embedding",
     "iceberg_time_travel",
+    "iceberg_pruned_scan",
     "asof_join_events",
     "range_join_events",
 ]

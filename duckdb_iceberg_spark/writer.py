@@ -399,6 +399,11 @@ class IcebergTable:
         name_to_id = {c.name: c.field_id for c in schema.columns}
         spec_fields = []
         for i, p in enumerate(partition_by or []):
+            if isinstance(p, str) and "(" in p:
+                # SQL-style transform syntax: "years(col)", "bucket(16, col)"
+                tname, _, rest = p.partition("(")
+                args = [a.strip() for a in rest.rstrip(")").split(",")]
+                p = (tname.strip(), *args) if len(args) == 1 else (tname.strip(), int(args[0]), args[1])
             if isinstance(p, str):
                 pf = PartitionField("identity", p, None, 1000 + i)
             elif len(p) == 2:
