@@ -2199,6 +2199,31 @@ GROUP BY 1
 """
 
 
+def _iceberg_partitions_q(spark, sf):
+    """`partitions` metadata table on the years(l_shipdate) table:
+    manifest-derived per-partition record counts must equal the
+    data-derived counts (oracle groups the raw parquet by year).
+    Partition value is the Iceberg years-transform ordinal
+    (year - 1970)."""
+    from duckdb_iceberg_spark.sources.iceberg import iceberg_partitions
+
+    t = _pruned_table(spark, sf)
+    return (
+        iceberg_partitions(spark, t)
+        .select(
+            F.element_at("partition", "l_shipdate_year").cast("int").alias("year_off"),
+            "record_count",
+        )
+        .orderBy("year_off")
+    )
+
+
+_ICEBERG_PARTITIONS_SQL = """
+SELECT CAST(year(l_shipdate) - 1970 AS INT) AS year_off, COUNT(*) AS record_count
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
 _ICEBERG_WHERE_SQL = f"""
 SELECT l_orderkey_bool, COUNT(*) AS n, ROUND(SUM(l_extendedprice_double), 2) AS sum_price
 FROM read_parquet('{GEN2}/expected_results/last/data/*.parquet')
@@ -2611,6 +2636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_time_travel": _iceberg_time_travel,
         "iceberg_scan_where": _iceberg_scan_where,
         "iceberg_pruned_scan": _iceberg_pruned_scan,
+        "iceberg_partitions": _iceberg_partitions_q,
         "iceberg_list_files": _iceberg_list_files,
         "iceberg_metadata_entries": _iceberg_metadata_entries,
         # iceberg write surface (native writer)
@@ -2685,6 +2711,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_time_travel": _ICEBERG_TT_SQL,
         "iceberg_scan_where": _ICEBERG_WHERE_SQL,
         "iceberg_pruned_scan": _ICEBERG_PRUNED_SQL,
+        "iceberg_partitions": _ICEBERG_PARTITIONS_SQL,
         "iceberg_list_files": _ICEBERG_LF_SQL,
         "iceberg_metadata_entries": _ICEBERG_MD_SQL,
         "iceberg_write_pipeline": _ICEBERG_WP_SQL,

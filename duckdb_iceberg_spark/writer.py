@@ -449,9 +449,11 @@ class IcebergTable:
 
     # -- read-side helpers ------------------------------------------------
 
-    def scan(self, **kwargs) -> DataFrame:
+    def scan(self, *, tag: Optional[str] = None, branch: Optional[str] = None, **kwargs) -> DataFrame:
         from .sources.iceberg import iceberg_scan
 
+        if tag is not None or branch is not None:
+            kwargs["snapshot_id"] = self.ref_snapshot_id(tag if tag is not None else branch)
         kwargs.setdefault("metadata_compression_codec", self.codec)
         return iceberg_scan(self.spark, self.path, **kwargs)
 
@@ -502,6 +504,18 @@ class IcebergTable:
 
         kwargs.setdefault("metadata_compression_codec", self.codec)
         return iceberg_metadata(self.spark, self.path, **kwargs)
+
+    def partitions(self, **kwargs) -> DataFrame:
+        from .sources.iceberg import iceberg_partitions
+
+        kwargs.setdefault("metadata_compression_codec", self.codec)
+        return iceberg_partitions(self.spark, self.path, **kwargs)
+
+    def history(self, **kwargs) -> DataFrame:
+        from .sources.iceberg import iceberg_history
+
+        kwargs.setdefault("metadata_compression_codec", self.codec)
+        return iceberg_history(self.spark, self.path, **kwargs)
 
     def _scan_with_pos(self) -> DataFrame:
         """Current live rows + (__file, __pos) virtual columns."""
@@ -1072,6 +1086,50 @@ class IcebergTable:
         doc["snapshot-log"] = [e for e in doc.get("snapshot-log", []) if e["snapshot-id"] in keep_ids]
         doc["last-updated-ms"] = _now_ms()
         self._write_metadata(doc)
+
+    # -- refs: tags & branches (Iceberg v2 `refs` map) --------------------
+
+    def create_tag(self, name: str, snapshot_id: Optional[int] = None) -> None:
+        """Name a snapshot (immutable ref). Tagged snapshots survive
+        expire_snapshots-by-count semantics in real Iceberg; here they
+        give stable names for time travel: ``scan(tag="v1.0")``."""
+        self._set_ref(name, snapshot_id, "tag")
+
+    def create_branch(self, name: str, snapshot_id: Optional[int] = None) -> None:
+        """Name a movable ref (branch head). This engine's writes
+        always advance `main`; a branch is a named alternative head
+        for reads."""
+        self._set_ref(name, snapshot_id, "branch")
+
+    def _set_ref(self, name: str, snapshot_id: Optional[int], ref_type: str) -> None:
+        doc = dict(self.meta.raw)
+        sid = snapshot_id if snapshot_id is not None else self.meta.latest_snapshot().snapshot_id
+        if sid not in {s["snapshot-id"] for s in doc.get("snapshots", [])}:
+            raise ValueError(f"Could not find snapshot with id {sid}")
+        refs = dict(doc.get("refs", {}))
+        refs[name] = {"snapshot-id": sid, "type": ref_type}
+        doc["refs"] = refs
+        doc["last-updated-ms"] = _now_ms()
+        self._write_metadata(doc)
+
+    def drop_ref(self, name: str) -> None:
+        doc = dict(self.meta.raw)
+        refs = dict(doc.get("refs", {}))
+        if name not in refs:
+            raise ValueError(f"Ref {name} does not exist")
+        del refs[name]
+        doc["refs"] = refs
+        doc["last-updated-ms"] = _now_ms()
+        self._write_metadata(doc)
+
+    def refs(self) -> dict:
+        return dict(self.meta.raw.get("refs", {}))
+
+    def ref_snapshot_id(self, name: str) -> int:
+        refs = self.refs()
+        if name not in refs:
+            raise ValueError(f"Ref {name} does not exist")
+        return refs[name]["snapshot-id"]
 
     def rollback_to(self, snapshot_id: int) -> None:
         """Point the table back at an earlier snapshot (the Spark

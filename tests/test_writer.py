@@ -324,3 +324,27 @@ def test_rollback_to_snapshot(spark, tmp_path):
     assert not hist[snap2].is_current_ancestor
     with pytest.raises(ValueError, match="Could not find snapshot"):
         t.rollback_to(12345)
+
+
+def test_tags_and_branches(spark, tmp_path):
+    """Refs: tag names a fixed snapshot readable after more writes;
+    drop_ref removes it; unknown refs error."""
+    from duckdb_iceberg_spark import IcebergTable
+
+    base = spark.read.parquet(f"{SF}/region.parquet")
+    t = IcebergTable.create(spark, str(tmp_path / "t"), base)
+    t.create_tag("v1.0")
+    t.append(base)
+    t.create_branch("audit")
+    assert t.scan(tag="v1.0").count() == base.count()
+    assert t.scan(branch="audit").count() == 2 * base.count()
+    assert t.scan().count() == 2 * base.count()
+    assert t.refs()["v1.0"]["type"] == "tag"
+    # refs survive reload from disk (they live in metadata.json)
+    t2 = IcebergTable(spark, str(tmp_path / "t"))
+    assert t2.scan(tag="v1.0").count() == base.count()
+    t2.drop_ref("v1.0")
+    with pytest.raises(ValueError, match="does not exist"):
+        t2.scan(tag="v1.0")
+    with pytest.raises(ValueError, match="Could not find snapshot"):
+        t2.create_tag("bad", snapshot_id=999)
