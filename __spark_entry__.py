@@ -2199,6 +2199,37 @@ GROUP BY 1
 """
 
 
+def _iceberg_zorder(spark, sf):
+    """Z-order compaction roundtrip: Morton-clustered rewrite must
+    preserve contents exactly (aggregate fingerprint vs raw parquet
+    oracle); multi-dimension pruning selectivity is asserted in
+    tests/test_partitioning.py::test_zorder_compaction_prunes_both_dims."""
+    import tempfile
+
+    from duckdb_iceberg_spark import IcebergTable
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    t = IcebergTable.create(spark, tempfile.mkdtemp(prefix="zorder_entry_") + "/t", li)
+    t.rewrite_data_files(target_file_size_bytes=4 * 1024 * 1024, zorder_by=["l_partkey", "l_suppkey"])
+    return (
+        t.scan()
+        .groupBy((F.col("l_partkey") % 10).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_orderkey").alias("sum_ok"),
+            F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_ICEBERG_ZORDER_SQL = """
+SELECT l_partkey % 10 AS bucket, COUNT(*) AS n, SUM(l_orderkey) AS sum_ok,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
 def _iceberg_partitions_q(spark, sf):
     """`partitions` metadata table on the years(l_shipdate) table:
     manifest-derived per-partition record counts must equal the
@@ -2637,6 +2668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_scan_where": _iceberg_scan_where,
         "iceberg_pruned_scan": _iceberg_pruned_scan,
         "iceberg_partitions": _iceberg_partitions_q,
+        "iceberg_zorder": _iceberg_zorder,
         "iceberg_list_files": _iceberg_list_files,
         "iceberg_metadata_entries": _iceberg_metadata_entries,
         # iceberg write surface (native writer)
@@ -2712,6 +2744,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_scan_where": _ICEBERG_WHERE_SQL,
         "iceberg_pruned_scan": _ICEBERG_PRUNED_SQL,
         "iceberg_partitions": _ICEBERG_PARTITIONS_SQL,
+        "iceberg_zorder": _ICEBERG_ZORDER_SQL,
         "iceberg_list_files": _ICEBERG_LF_SQL,
         "iceberg_metadata_entries": _ICEBERG_MD_SQL,
         "iceberg_write_pipeline": _ICEBERG_WP_SQL,

@@ -1046,6 +1046,7 @@ class IcebergTable:
         self,
         target_file_size_bytes: int = 128 * 1024 * 1024,
         sort_by: Optional[list[str]] = None,
+        zorder_by: Optional[list[str]] = None,
     ) -> None:
         """Compaction: materialize current live rows (deletes applied),
         write right-sized data files, commit a `replace` snapshot that
@@ -1055,15 +1056,50 @@ class IcebergTable:
         columns, so each output file covers a narrow value range —
         this is what makes the manifest column bounds (zone maps)
         selective: post-sort, a stats_filter point lookup touches one
-        file instead of all of them."""
+        file instead of all of them.
+
+        ``zorder_by`` clusters on a Morton (Z-order) curve over 2+
+        numeric columns: each column is min-max-quantized to 16 bits
+        and the bits interleaved (pure JVM expressions), then files
+        are range-partitioned by the z-value — zone maps become
+        selective on EVERY z-ordered column at once, where sort_by
+        only helps its leading column. The min/max normalization
+        scalars are the only driver-side data (2 numbers per column).
+        """
         from .plans.manifests import load_table_scan
 
+        if sort_by and zorder_by:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
         snap = self.meta.latest_snapshot()
         scan = load_table_scan(self.meta, snap, self.path, False)
         total_bytes = sum(e.file_size_in_bytes for e in scan.data_files()) or 1
         n_files = max(1, math.ceil(total_bytes / target_file_size_bytes))
         df = self.scan()
-        if sort_by:
+        if zorder_by:
+            stats = df.agg(
+                *[F.min(c).alias(f"mn_{c}") for c in zorder_by],
+                *[F.max(c).alias(f"mx_{c}") for c in zorder_by],
+            ).first()
+            k = len(zorder_by)
+            z = F.lit(0).cast("long")
+            for j, c in enumerate(zorder_by):
+                mn, mx = float(stats[f"mn_{c}"]), float(stats[f"mx_{c}"])
+                span = (mx - mn) or 1.0
+                q = F.least(
+                    F.lit(65535),
+                    F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * 65535).cast("long"),
+                )
+                for i in range(16):
+                    z = z.bitwiseOR(
+                        F.shiftleft(F.shiftright(q, i).bitwiseAND(F.lit(1)), i * k + j)
+                    )
+            df = (
+                df.withColumn("__z", z)
+                .repartitionByRange(n_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif sort_by:
             df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
         else:
             df = df.repartition(n_files)

@@ -294,3 +294,32 @@ def test_rename_partition_source_column(spark, tmp_path):
     lang = docs.select("lang").first()["lang"]
     pruned = t.scan(partition_filter={"language": lang})
     assert pruned.filter(F.col("language") == lang).count() == docs.filter(F.col("lang") == lang).count()
+
+
+def test_zorder_compaction_prunes_both_dims(spark, tmp_path):
+    """After rewrite_data_files(zorder_by=[a, b]), zone-map pruning is
+    selective on BOTH columns (sort_by would only help its leading
+    column), and data survives byte-identically."""
+    from duckdb_iceberg_spark import IcebergTable
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    t = IcebergTable.create(spark, str(tmp_path / "t"), li)
+    total = sum(
+        r.record_count for r in t.metadata().filter("content = 'EXISTING'").collect()
+    )
+    t.rewrite_data_files(target_file_size_bytes=8 * 1024, zorder_by=["l_partkey", "l_suppkey"])
+    assert t.scan().count() == li.count() == total
+
+    n_files = t.scan(mode="list_files").filter("type = 'data'").count()
+    assert n_files >= 4
+    pk = li.agg(F.max("l_partkey")).first()[0]
+    sk = li.agg(F.max("l_suppkey")).first()[0]
+    pruned_a = t.scan(mode="list_files", stats_filter={"l_partkey": (1, pk // 8)}).count()
+    pruned_b = t.scan(mode="list_files", stats_filter={"l_suppkey": (1, max(sk // 8, 1))}).count()
+    assert pruned_a < n_files
+    assert pruned_b < n_files
+    # correctness of a pruned read
+    got = t.scan(stats_filter={"l_partkey": (1, pk // 8)}).filter(F.col("l_partkey") <= pk // 8)
+    assert got.count() == li.filter(F.col("l_partkey") <= pk // 8).count()
