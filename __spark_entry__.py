@@ -1815,6 +1815,44 @@ WHERE ROUND(i / (a.sz + b.sz - i), 4) >= 0.9
 """
 
 
+def _dedup_clusters(spark, sf):
+    """Near-duplicate pairs -> duplicate GROUPS via iterative
+    min-label connected components (one shuffle per round, converges
+    in O(diameter)); oracle is a DuckDB recursive-CTE transitive
+    closure over the identical pair set."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    pairs = DD.jaccard_pairs(d, threshold=0.9, max_doc_freq=10**9).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    return DD.connected_components(pairs, "a", "b").orderBy("node")
+
+
+_DEDUP_CLUSTERS_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS tok
+  FROM documents WHERE doc_id < 300),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+  FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes a ON id_a = a.doc_id JOIN sizes b ON id_b = b.doc_id
+  WHERE ROUND(i / (a.sz + b.sz - i), 4) >= 0.9),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs),
+reach AS (
+  SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT reach.node, sym.v FROM reach JOIN sym ON sym.u = reach.r
+)
+SELECT node, MIN(r) AS component FROM reach GROUP BY node ORDER BY node
+"""
+
+
 def _sim_topk(spark, sf):
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -2638,6 +2676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_minhash_sig": _dedup_minhash_sig,
         "dedup_jaccard": _dedup_jaccard,
+        "dedup_clusters": _dedup_clusters,
         "dedup_jaccard_3gram": _dedup_jaccard_3gram,  # rows-only
         "dedup_minhash_pairs": _dedup_minhash_pairs,  # rows-only
         "dedup_simhash_pairs": _dedup_simhash_pairs,  # rows-only
@@ -2734,6 +2773,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_sig": _DEDUP_MINHASH_SQL,
         "dedup_jaccard": _DEDUP_JACCARD_SQL,
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "sim_topk": _SIM_TOPK_SQL,
         "sim_neardup": _SIM_NEARDUP_SQL,
         "mm_frame_sample": _MM_FRAME_SQL,

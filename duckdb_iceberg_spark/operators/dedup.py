@@ -223,3 +223,76 @@ def embedding_neardup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return pairs.where(F.col("cos") >= threshold)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list — the
+    cluster step that turns near-duplicate PAIRS into duplicate
+    GROUPS. Returns (node long, component long) with component = the
+    minimum node id reachable from `node`.
+
+    Algorithm: iterative min-label propagation (each round, every
+    node adopts the smallest label among itself and its neighbors),
+    converging in O(graph diameter) rounds — dedup graphs are
+    near-cliques, so 2-4 rounds in practice. Each round is one
+    shuffle (join + groupBy on node); nothing touches the driver but
+    the convergence counter. `max_iter` bounds worst-case chains.
+    """
+    F_ = F
+    sym = (
+        edges.select(F_.col(src).alias("u"), F_.col(dst).alias("v"))
+        .union(edges.select(F_.col(dst).alias("u"), F_.col(src).alias("v")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F_.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F_.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy(F_.col("u").alias("node"))
+            .agg(F_.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F_.least(
+                    F_.col("component"), F_.coalesce(F_.col("nmin"), F_.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F_.col("n.component") != F_.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut the growing lineage
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "doc_id",
+    pair_cols: tuple = ("a", "b"),
+) -> DataFrame:
+    """Resolve near-duplicate pairs into groups and pick one canonical
+    survivor (min key) per group: returns df with only survivors —
+    singletons (no pair) survive unchanged."""
+    comp = connected_components(pairs, *pair_cols)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(key_col)
+    )
+    return df.join(losers, key_col, "left_anti")

@@ -212,3 +212,26 @@ def test_every_kth_exact_rate(spark, sf_dir):
     ids1 = sorted(r.doc_id for r in s.select("doc_id").collect())
     ids2 = sorted(r.doc_id for r in every_kth(d, "doc_id", 7, strata=["lang"]).select("doc_id").collect())
     assert ids1 == ids2
+
+
+def test_connected_components_known_graph(spark):
+    from duckdb_iceberg_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11), (20, 21)], "a long, b long"
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_groups_keeps_min_survivor(spark, docs_with_dups):
+    from duckdb_iceberg_spark.operators.dedup import dedup_groups, jaccard_pairs
+
+    pairs = jaccard_pairs(docs_with_dups, threshold=0.99, max_doc_freq=10**9).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    out = dedup_groups(docs_with_dups, pairs)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    # planted exact copies (100000+i duplicates of i<5) lose to the original
+    assert not any(100000 <= i < 100005 for i in ids)
+    assert all(i in ids for i in range(5))
