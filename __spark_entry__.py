@@ -2268,6 +2268,37 @@ FROM lineitem GROUP BY 1 ORDER BY 1
 """
 
 
+def _iceberg_overwrite_partition(spark, sf):
+    """Dynamic partition overwrite: replace one lang partition with
+    re-scored rows; untouched partitions carried by metadata only.
+    Oracle simulates the same replacement on raw parquet."""
+    import tempfile
+
+    from duckdb_iceberg_spark import IcebergTable
+
+    docs = _t(spark, sf, "documents")
+    t = IcebergTable.create(
+        spark, tempfile.mkdtemp(prefix="ow_entry_") + "/t", docs, partition_by=["lang"]
+    )
+    target = docs.select(F.min("lang")).first()[0]
+    repl = docs.filter(F.col("lang") == target).withColumn("n_chars", F.col("n_chars") + 1000000)
+    t.overwrite_partitions(repl)
+    return (
+        t.scan()
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang")
+    )
+
+
+_ICEBERG_OVERWRITE_SQL = """
+WITH target AS (SELECT MIN(lang) AS tl FROM documents)
+SELECT lang, COUNT(*) AS n,
+  SUM(CASE WHEN lang = (SELECT tl FROM target) THEN n_chars + 1000000 ELSE n_chars END) AS sum_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def _iceberg_partitions_q(spark, sf):
     """`partitions` metadata table on the years(l_shipdate) table:
     manifest-derived per-partition record counts must equal the
@@ -2708,6 +2739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_pruned_scan": _iceberg_pruned_scan,
         "iceberg_partitions": _iceberg_partitions_q,
         "iceberg_zorder": _iceberg_zorder,
+        "iceberg_overwrite_partition": _iceberg_overwrite_partition,
         "iceberg_list_files": _iceberg_list_files,
         "iceberg_metadata_entries": _iceberg_metadata_entries,
         # iceberg write surface (native writer)
@@ -2785,6 +2817,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_pruned_scan": _ICEBERG_PRUNED_SQL,
         "iceberg_partitions": _ICEBERG_PARTITIONS_SQL,
         "iceberg_zorder": _ICEBERG_ZORDER_SQL,
+        "iceberg_overwrite_partition": _ICEBERG_OVERWRITE_SQL,
         "iceberg_list_files": _ICEBERG_LF_SQL,
         "iceberg_metadata_entries": _ICEBERG_MD_SQL,
         "iceberg_write_pipeline": _ICEBERG_WP_SQL,

@@ -666,7 +666,12 @@ class IcebergTable:
                 return None
             out = []
             for fid, v in sorted(bounds.items()):
-                b = serialize_bound(v, id_to_type[fid]) if fid in id_to_type else None
+                if isinstance(v, bytes):
+                    # already spec-serialized (entry carried over from an
+                    # existing manifest, e.g. overwrite_partitions keep-list)
+                    b = v
+                else:
+                    b = serialize_bound(v, id_to_type[fid]) if fid in id_to_type else None
                 if b is not None:
                     out.append({"key": fid, "value": b})
             return out or None
@@ -798,6 +803,59 @@ class IcebergTable:
         """INSERT INTO t <select> with the current table visible as `t`."""
         self.scan().createOrReplaceTempView("t")
         self.append(self.spark.sql(select_sql))
+
+    def overwrite_partitions(self, df: DataFrame) -> None:
+        """Dynamic partition overwrite (INSERT OVERWRITE semantics):
+        atomically replace exactly the partitions present in `df`,
+        keeping every other partition's files untouched (file-level
+        metadata swap — untouched partitions are never read or
+        rewritten, so the cost is O(changed partitions) at any table
+        size).
+
+        Tables with outstanding delete files must be compacted first
+        (`rewrite_data_files()`): carrying old delete files across an
+        overwrite while re-sequencing kept data files would corrupt
+        sequence-scoped delete semantics, so this refuses instead."""
+        from .plans.manifests import load_table_scan
+
+        if not self.partition_fields:
+            raise ValueError("overwrite_partitions requires a partitioned table")
+        snap = self.meta.latest_snapshot() if self.meta.snapshots else None
+        kept: list[dict] = []
+        if snap is not None:
+            scan = load_table_scan(self.meta, snap, self.path, False)
+            if scan.positional_delete_files() or scan.equality_delete_files():
+                raise ValueError(
+                    "overwrite_partitions on a table with delete files: run "
+                    "rewrite_data_files() first to materialize deletes"
+                )
+            new_files = self._write_parquet_files(self._aligned(df), partitioned=True)
+            targets = {tuple(sorted(f["partition"].items())) for f in new_files}
+            for e in scan.data_files():
+                if tuple(sorted((e.partition or {}).items())) not in targets:
+                    kept.append(
+                        {
+                            "file_path": e.file_path,
+                            "file_format": e.file_format,
+                            "record_count": e.record_count,
+                            "file_size_in_bytes": e.file_size_in_bytes,
+                            "partition": e.partition,
+                            "lower_bounds": e.lower_bounds,
+                            "upper_bounds": e.upper_bounds,
+                        }
+                    )
+        else:
+            new_files = self._write_parquet_files(self._aligned(df), partitioned=True)
+            targets = {tuple(sorted(f["partition"].items())) for f in new_files}
+        self._commit(
+            operation="overwrite",
+            new_data_files=kept + new_files,
+            keep_previous=False,
+            extra_summary={
+                "replaced-partitions": str(len(targets)),
+                "kept-data-files": str(len(kept)),
+            },
+        )
 
     def delete_where(self, condition) -> None:
         """Merge-on-read DELETE: write position-delete files for matched

@@ -323,3 +323,35 @@ def test_zorder_compaction_prunes_both_dims(spark, tmp_path):
     # correctness of a pruned read
     got = t.scan(stats_filter={"l_partkey": (1, pk // 8)}).filter(F.col("l_partkey") <= pk // 8)
     assert got.count() == li.filter(F.col("l_partkey") <= pk // 8).count()
+
+
+def test_overwrite_partitions(spark, tmp_path):
+    """INSERT OVERWRITE: only the incoming partitions change; other
+    partitions' files are metadata-carried (same paths, not
+    rewritten); deletes-outstanding tables refuse."""
+    from duckdb_iceberg_spark import IcebergTable
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    t = IcebergTable.create(spark, str(tmp_path / "t"), docs, partition_by=["lang"])
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    target = sorted(langs)[0]
+    other_files_before = {
+        r.file for r in t.scan(mode="list_files").collect() if f"_p_lang={target}" not in r.file
+    }
+
+    repl = docs.filter(F.col("lang") == target).withColumn("n_chars", F.lit(-1))
+    t.overwrite_partitions(repl)
+    got = t.scan()
+    assert got.filter(F.col("lang") == target).count() == repl.count()
+    assert got.filter((F.col("lang") == target) & (F.col("n_chars") != -1)).count() == 0
+    for lang in langs:
+        if lang != target:
+            assert got.filter(F.col("lang") == lang).count() == docs.filter(F.col("lang") == lang).count()
+    other_files_after = {
+        r.file for r in t.scan(mode="list_files").collect() if f"_p_lang={target}" not in r.file
+    }
+    assert other_files_before == other_files_after  # untouched partitions not rewritten
+
+    t.delete_where(F.col("doc_id") % 50 == 0)
+    with pytest.raises(ValueError, match="rewrite_data_files"):
+        t.overwrite_partitions(repl)
