@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "iceberg_pruned_scan",
     "asof_join_events",
     "range_join_events",
+    "pack_sequences",
+    "curate_pipeline",
+    "funnel_join",
 ]
 
 
