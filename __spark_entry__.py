@@ -398,6 +398,38 @@ FROM orders
 """
 
 
+def _window_navigation(spark, sf):
+    """Navigation window functions (first/last/nth value) over an
+    explicit full-partition frame (same frame spelled out in both
+    engines so defaults can't diverge)."""
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first_value("o_orderkey").over(w).alias("first_ok"),
+        F.last_value("o_orderkey").over(w).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+        F.count("*").over(w).alias("n_orders"),
+    )
+
+
+_WIN_NAV_SQL = """
+SELECT o_orderkey, o_custkey,
+  FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+  LAST_VALUE(o_orderkey) OVER w AS last_ok,
+  NTH_VALUE(o_orderkey, 2) OVER w AS second_ok,
+  COUNT(*) OVER w AS n_orders
+FROM orders WHERE o_orderkey % 50 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 def _sort_topk(spark, sf):
     li = _t(spark, sf, "lineitem")
     return (
@@ -2662,6 +2694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topn_per_group": _window_topn_per_group,
         "window_running_sum": _window_running_sum,
         "window_lag_delta": _window_lag_delta,
+        "window_navigation": _window_navigation,
         # sort / limit / set ops / distinct
         "sort_topk": _sort_topk,
         "setop_union": _setop_union,
@@ -2774,6 +2807,7 @@ def oracle_sql() -> dict[str, str]:
         "window_topn_per_group": _WIN_TOPN_SQL,
         "window_running_sum": _WIN_RUN_SQL,
         "window_lag_delta": _WIN_LAG_SQL,
+        "window_navigation": _WIN_NAV_SQL,
         "sort_topk": _SORT_TOPK_SQL,
         "setop_union": _SETOP_UNION_SQL,
         "setop_intersect": _SETOP_INTERSECT_SQL,

@@ -136,6 +136,7 @@ def iceberg_scan(
     partition_filter=None,
     stats_filter=None,
     where: Optional[str] = None,
+    ref: Optional[str] = None,
     _keep_position_columns: bool = False,
 ) -> DataFrame:
     """Read an Iceberg table at a snapshot, applying delete files.
@@ -173,6 +174,11 @@ def iceberg_scan(
         metadata_compression_codec=metadata_compression_codec,
         unsafe_enable_version_guessing=unsafe_enable_version_guessing,
     )
+    if ref is not None:
+        refs = meta.raw.get("refs", {})
+        if ref not in refs:
+            raise ValueError(f"Ref {ref} does not exist")
+        snapshot_id = refs[ref]["snapshot-id"]
     snap = _select_snapshot(meta, snapshot_id, timestamp)
     scan = load_table_scan(meta, snap, _table_root(path), allow_moved_paths)
     data_entries = scan.data_files()

@@ -799,6 +799,49 @@ class IcebergTable:
             extra_summary={"added-data-files": str(len(files)), "added-records": str(sum(f["record_count"] for f in files))},
         )
 
+    def add_files(self, parquet_paths: list[str]) -> None:
+        """Register existing parquet files into the table WITHOUT
+        rewriting them (Iceberg's `add_files` migration procedure):
+        footers are read for record counts and zone-map bounds, a new
+        append snapshot references the files in place. O(#files)
+        driver work, zero data movement — the way to adopt an existing
+        100 TB parquet lake into Iceberg metadata.
+
+        Files must match the table schema (verified against footer
+        column names) and the table must be unpartitioned (partition
+        values can't be derived from externally-laid-out files)."""
+        import pyarrow.parquet as pq
+
+        if self.partition_fields:
+            raise ValueError("add_files requires an unpartitioned table")
+        cols = {c.name for c in self.schema.columns}
+        entries = []
+        for p in parquet_paths:
+            p = os.path.abspath(p)
+            md = pq.ParquetFile(p).metadata
+            got = set(md.schema.to_arrow_schema().names)
+            if not cols <= got:
+                raise ValueError(
+                    f"File {p} is missing table columns {sorted(cols - got)}"
+                )
+            lowers, uppers = self._column_bounds(md)
+            entries.append(
+                {
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "record_count": md.num_rows,
+                    "file_size_in_bytes": os.path.getsize(p),
+                    "partition": {},
+                    "lower_bounds": lowers,
+                    "upper_bounds": uppers,
+                }
+            )
+        self._commit(
+            operation="append",
+            new_data_files=entries,
+            extra_summary={"added-data-files": str(len(entries)), "added-files-imported": "true"},
+        )
+
     def insert_sql(self, select_sql: str) -> None:
         """INSERT INTO t <select> with the current table visible as `t`."""
         self.scan().createOrReplaceTempView("t")

@@ -348,3 +348,29 @@ def test_tags_and_branches(spark, tmp_path):
         t2.scan(tag="v1.0")
     with pytest.raises(ValueError, match="Could not find snapshot"):
         t2.create_tag("bad", snapshot_id=999)
+
+
+def test_add_files_imports_in_place(spark, tmp_path):
+    """add_files registers external parquet without copying: scan sees
+    the rows, file paths stay outside the table tree, zone maps from
+    the imported footers prune."""
+    from duckdb_iceberg_spark import IcebergTable, iceberg_scan
+
+    region = spark.read.parquet(f"{SF}/region.parquet")
+    t = IcebergTable.create(spark, str(tmp_path / "t"), region)
+    ext = str(tmp_path / "external")
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    nation.select(
+        F.col("n_nationkey").alias("r_regionkey"), F.col("n_name").alias("r_name")
+    ).coalesce(1).write.parquet(ext)
+    files = [str(p) for p in (tmp_path / "external").glob("*.parquet")]
+    t.add_files(files)
+    assert t.scan().count() == region.count() + nation.count()
+    listed = {r.file for r in t.scan(mode="list_files").collect()}
+    assert set(files) <= listed
+    # ref-based time travel reaches the pre-import state
+    pre = t.meta.snapshots[0].snapshot_id
+    t.create_tag("pre-import", pre)
+    assert iceberg_scan(spark, str(tmp_path / "t"), ref="pre-import").count() == region.count()
+    with pytest.raises(ValueError, match="missing table columns"):
+        t.add_files([f"{SF}/orders.parquet"])
