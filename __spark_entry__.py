@@ -1794,6 +1794,78 @@ FROM documents GROUP BY 1
 """
 
 
+def _text_repetition(spark, sf):
+    """Gopher-style repetition filters: duplicate-line fraction and
+    duplicate word-bigram fraction, floor-quantized to 4 decimals so
+    both engines hash identically."""
+    d = _t(spark, sf, "documents")
+    q = lambda c: F.floor(c * 10000) / 10000  # noqa: E731
+    return d.select(
+        "doc_id",
+        q(TX.dup_line_fraction(F.col("text"))).alias("dup_line_frac"),
+        q(TX.dup_ngram_fraction(F.col("text"), 2)).alias("dup_ngram_frac"),
+    )
+
+
+_REP = TX.repetition_sql("text", 2)
+_TEXT_REP_SQL = f"""
+SELECT doc_id,
+  FLOOR(CAST(({_REP['dup_line_frac']}) AS DOUBLE) * 10000) / 10000 AS dup_line_frac,
+  FLOOR(CAST(({_REP['dup_ngram_frac']}) AS DOUBLE) * 10000) / 10000 AS dup_ngram_frac
+FROM documents
+"""
+
+
+def _text_pii_scrub(spark, sf):
+    """PII redaction pass (email/phone/IPv4/SSN -> typed tokens) —
+    chained JVM regexp_replace over the full documents table."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", TX.pii_scrub(F.col("text")).alias("clean_text"))
+
+
+_TEXT_PII_SQL = f"""
+SELECT doc_id, {TX.pii_scrub_sql('text')} AS clean_text FROM documents
+"""
+
+
+def _contamination(spark, sf):
+    """Eval-decontamination: fraction of each doc's distinct word
+    3-grams found in a 'benchmark' corpus (every 97th doc). Benchmark
+    gram set is deduped + broadcast — corpus side never shuffles for
+    the join."""
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return DD.ngram_contamination(d.filter(F.col("doc_id") < 500), bench, n=3)
+
+
+_CONTAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS t
+  FROM documents WHERE doc_id < 500),
+dg AS (
+  SELECT DISTINCT doc_id,
+    unnest(CASE WHEN len(t) >= 3
+      THEN [array_to_string(t[i+1:i+3], ' ') for i in range(0, len(t) - 2)]
+      ELSE [array_to_string(t, ' ')] END) AS g
+  FROM toks),
+bt AS (
+  SELECT regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS t
+  FROM documents WHERE doc_id % 97 = 0),
+bg AS (
+  SELECT DISTINCT
+    unnest(CASE WHEN len(t) >= 3
+      THEN [array_to_string(t[i+1:i+3], ' ') for i in range(0, len(t) - 2)]
+      ELSE [array_to_string(t, ' ')] END) AS g
+  FROM bt)
+SELECT dg.doc_id,
+  COUNT(*) AS n_grams,
+  COUNT(bg.g) AS n_hit,
+  FLOOR(CAST(COUNT(bg.g) AS DOUBLE) / COUNT(*) * 10000) / 10000 AS contamination
+FROM dg LEFT JOIN bg ON dg.g = bg.g
+GROUP BY dg.doc_id
+"""
+
+
 def _dedup_exact(spark, sf):
     d = _t(spark, sf, "documents")
     return DD.exact_dedup(d).select("doc_id", "source")
@@ -2644,6 +2716,28 @@ def _iceberg_compaction(spark, sf):
 _ICEBERG_CP_SQL = "SELECT * FROM nation WHERE n_nationkey % 5 <> 0"
 
 
+def _iceberg_rewrite_manifests(spark, sf):
+    """Three appends + a MoR delete build a 4-manifest tree; the
+    rewrite_manifests procedure merges it to one manifest per content
+    type (pure metadata, zero data movement) and the scan must be
+    byte-identical after."""
+    import tempfile
+
+    from duckdb_iceberg_spark import IcebergTable
+
+    n = _t(spark, sf, "nation")
+    path = tempfile.mkdtemp(prefix="ice_rm_") + "/t"
+    t = IcebergTable.create(spark, path, n.filter("n_nationkey < 10"))
+    t.append(n.filter("n_nationkey >= 10 AND n_nationkey < 20"))
+    t.append(n.filter("n_nationkey >= 20"))
+    t.delete_where("n_nationkey % 7 = 0")
+    t.rewrite_manifests()
+    return t.scan()
+
+
+_ICEBERG_RM_SQL = "SELECT * FROM nation WHERE n_nationkey % 7 <> 0"
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2732,6 +2826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _text_langid,
         "text_fingerprint": _text_fingerprint,
         "text_rolling_hash": _text_rolling_hash,
+        "text_repetition": _text_repetition,
+        "text_pii_scrub": _text_pii_scrub,
+        "contamination": _contamination,
         # training-data pipeline (packing / sampling / curation)
         "pack_sequences": _pack_sequences,
         "sample_stratified": _sample_stratified,
@@ -2778,6 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iceberg write surface (native writer)
         "iceberg_write_pipeline": _iceberg_write_pipeline,
         "iceberg_compaction": _iceberg_compaction,
+        "iceberg_rewrite_manifests": _iceberg_rewrite_manifests,
         "iceberg_equality_deletes": _iceberg_equality_deletes,
         "iceberg_merge_upsert": _iceberg_merge_upsert,
         # skew-resilient join
@@ -2833,6 +2931,9 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _TEXT_LANGID_SQL,
         "text_fingerprint": _TEXT_FP_SQL,
         "text_rolling_hash": _TEXT_RH_SQL,
+        "text_repetition": _TEXT_REP_SQL,
+        "text_pii_scrub": _TEXT_PII_SQL,
+        "contamination": _CONTAM_SQL,
         "pack_sequences": _PACK_SQL,
         "sample_stratified": _SAMPLE_SQL,
         "curate_pipeline": _CURATE_SQL,
@@ -2856,6 +2957,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_metadata_entries": _ICEBERG_MD_SQL,
         "iceberg_write_pipeline": _ICEBERG_WP_SQL,
         "iceberg_compaction": _ICEBERG_CP_SQL,
+        "iceberg_rewrite_manifests": _ICEBERG_RM_SQL,
         "streaming_to_iceberg": _STREAMING_TO_ICEBERG_SQL,
         "funnel_join": _FUNNEL_SQL,
         "iceberg_equality_deletes": _ICEBERG_EQ_SQL,

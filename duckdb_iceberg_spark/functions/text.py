@@ -148,6 +148,74 @@ def shingles(col, n: int = 3) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", t)))
 
 
+def dup_line_fraction(col) -> Column:
+    """Gopher-style repetition signal: fraction of a document's lines
+    that are repeats of an earlier line (0 for single-line docs).
+    Pure array expressions — codegen'd, no shuffle, no UDF."""
+    lines = F.filter(F.split(col, r"\n"), lambda x: F.trim(x) != "")
+    n = F.size(lines)
+    return F.when(n > 0, (n - F.size(F.array_distinct(lines))) / n).otherwise(F.lit(0.0))
+
+
+def dup_ngram_fraction(col, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram
+    — high values flag boilerplate / template spam documents."""
+    sh = shingles(col, n)
+    cnt = F.size(sh)
+    return F.when(cnt > 0, (cnt - F.size(F.array_distinct(sh))) / cnt).otherwise(F.lit(0.0))
+
+
+def repetition_sql(col: str, n: int = 2) -> dict[str, str]:
+    """DuckDB-SQL twins of the two repetition measures (same line
+    filter, same shingle construction)."""
+    lines = rf"list_filter(string_split({col}, chr(10)), x -> trim(x) <> '')"
+    toks = rf"regexp_split_to_array(trim(lower({col})), '\s+')"
+    sh = (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"[array_to_string({toks}[i+1:i+{n}], ' ') for i in range(0, len({toks}) - {n} + 1)] "
+        f"ELSE [array_to_string({toks}, ' ')] END"
+    )
+    return {
+        "dup_line_frac": (
+            f"CASE WHEN len({lines}) > 0 THEN "
+            f"(len({lines}) - len(list_distinct({lines}))) / len({lines}) ELSE 0.0 END"
+        ),
+        "dup_ngram_frac": (
+            f"CASE WHEN len({sh}) > 0 THEN "
+            f"(len({sh}) - len(list_distinct({sh}))) / len({sh}) ELSE 0.0 END"
+        ),
+    }
+
+
+# PII patterns: valid in BOTH Java regex (Spark) and RE2 (DuckDB) —
+# no backreferences, no lookaround.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def pii_scrub(col) -> Column:
+    """Replace common PII shapes (email, NANP phone, IPv4, SSN) with
+    typed placeholder tokens — the redaction pass of a training-data
+    pipeline. Chained JVM regexp_replace, order matters (emails first
+    so their digits are not later misread as phones)."""
+    out = col if isinstance(col, Column) else F.col(col)
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_scrub_sql(col: str) -> str:
+    """DuckDB twin of :func:`pii_scrub` (same patterns, same order)."""
+    out = col
+    for pat, repl in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
 def chunk_text_udtf(chunk_tokens: int = 10):
     """Python UDTF (Spark 4 table function API) splitting a document
     into fixed token-count chunks with ordinals — the context-window

@@ -141,6 +141,48 @@ def jaccard_pairs(
     return j.where(F.col("jaccard") >= threshold)
 
 
+def ngram_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: per document, the fraction of
+    its distinct word n-grams that occur anywhere in a benchmark
+    corpus (the standard eval-decontamination pass before training).
+
+    Returns (key_col, n_grams, n_hit, contamination) sorted-free.
+
+    Scale shape: the benchmark n-gram set is small (eval suites are
+    KBs-MBs, the corpus is the 100 TB side) — it is deduped and
+    broadcast, so the corpus side is a single scan + per-row explode
+    with NO shuffle on the data; the only shuffle is the per-doc
+    groupBy, which a map-side partial count keeps narrow.
+    """
+    bench = (
+        benchmark.select(F.explode(TX.shingles(F.col(bench_text_col), n)).alias("tok"))
+        .dropDuplicates(["tok"])
+        .withColumn("__hit", F.lit(1))
+    )
+    doc_grams = _doc_tokens(df, key_col, text_col, n)
+    return (
+        doc_grams.join(F.broadcast(bench), "tok", "left")
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .select(
+            key_col,
+            "n_grams",
+            "n_hit",
+            (F.floor(F.col("n_hit") / F.col("n_grams") * 10000) / 10000).alias("contamination"),
+        )
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", key_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """Per-document SimHash (md5-derived token hashes, sign-sum bits).
 

@@ -1212,6 +1212,124 @@ class IcebergTable:
             extra_summary={"total-position-deletes": "0", "rewritten-to-files": str(len(files))},
         )
 
+    def rewrite_manifests(self) -> None:
+        """Consolidate the manifest tree: merge all live manifest
+        entries into ONE manifest per content type (data / deletes)
+        and commit a snapshot referencing only the merged manifests
+        (Spark's `rewrite_manifests` procedure,
+        reference scripts/provision.py uses the same runtime surface).
+
+        A long-lived table accumulates one manifest Avro file per
+        commit; at 100 TB that is thousands of small metadata files
+        the driver must open serially before ANY scan can plan.
+        Merging them is pure metadata work — zero data movement,
+        O(#entries) driver time — and restores O(1) manifest opens
+        per scan.
+
+        Entry identity is preserved exactly: each carried entry keeps
+        its original ``sequence_number`` / ``file_sequence_number`` /
+        ``snapshot_id`` and is re-marked status=EXISTING, so
+        sequence-scoped delete application is unaffected.
+        """
+        import copy
+
+        from .plans.avro import read_avro_file
+
+        snap = self.meta.latest_snapshot()
+        by_content: dict[int, list[dict]] = {0: [], 1: []}
+        _, manifests = read_avro_file(snap.manifest_list)
+        for m in manifests:
+            _, entries = read_avro_file(m["manifest_path"])
+            for e in entries:
+                if e.get("status") == 2:  # DELETED: drop from merged view
+                    continue
+                by_content[m.get("content", 0) or 0].append(
+                    {
+                        "status": 0,  # EXISTING
+                        "snapshot_id": e.get("snapshot_id"),
+                        "sequence_number": e.get("sequence_number", m.get("sequence_number", 0)),
+                        "file_sequence_number": e.get("file_sequence_number"),
+                        "data_file": e["data_file"],
+                    }
+                )
+
+        entry_schema = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+        pfields = self.partition_fields
+        if pfields:
+            r102 = next(f for f in entry_schema["fields"] if f["name"] == "data_file")["type"]
+            next(f for f in r102["fields"] if f["name"] == "partition")["type"]["fields"] = _partition_avro_fields(
+                pfields, self.schema
+            )
+
+        meta_dir = os.path.join(self.path, "metadata")
+        seq = self.meta.raw.get("last-sequence-number", 0) + 1
+        snap_id = _new_snapshot_id()
+        merged = []
+        for content, entries in by_content.items():
+            if not entries:
+                continue
+            mpath = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m{content}.avro")
+            length = write_avro_file(
+                mpath,
+                entry_schema,
+                entries,
+                metadata={
+                    "schema": json.dumps(_schema_to_json(self.schema)),
+                    "partition-spec": "[]",
+                    "partition-spec-id": "0",
+                    "format-version": "2",
+                    "content": "data" if content == 0 else "deletes",
+                },
+            )
+            rows = sum(e["data_file"]["record_count"] for e in entries)
+            merged.append(
+                {
+                    "manifest_path": mpath,
+                    "manifest_length": length,
+                    "partition_spec_id": 0,
+                    "content": content,
+                    "sequence_number": seq,
+                    "min_sequence_number": min(e["sequence_number"] for e in entries),
+                    "added_snapshot_id": snap_id,
+                    "added_files_count": 0,
+                    "existing_files_count": len(entries),
+                    "deleted_files_count": 0,
+                    "added_rows_count": 0,
+                    "existing_rows_count": rows,
+                    "deleted_rows_count": 0,
+                }
+            )
+
+        ml_path = os.path.join(meta_dir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro")
+        write_avro_file(
+            ml_path,
+            _MANIFEST_FILE_SCHEMA,
+            merged,
+            metadata={"format-version": "2", "snapshot-id": str(snap_id), "sequence-number": str(seq)},
+        )
+        ts = _now_ms()
+        doc = dict(self.meta.raw)
+        doc["last-sequence-number"] = seq
+        doc["last-updated-ms"] = ts
+        doc["current-snapshot-id"] = snap_id
+        doc["snapshots"] = doc.get("snapshots", []) + [
+            {
+                "snapshot-id": snap_id,
+                "sequence-number": seq,
+                "timestamp-ms": ts,
+                "manifest-list": ml_path,
+                "schema-id": doc.get("current-schema-id", 0),
+                "summary": {
+                    "operation": "replace",
+                    "manifests-replaced": str(len(manifests)),
+                    "manifests-created": str(len(merged)),
+                    "total-position-deletes": str(self._total_pos_deletes()),
+                },
+            }
+        ]
+        doc["snapshot-log"] = doc.get("snapshot-log", []) + [{"timestamp-ms": ts, "snapshot-id": snap_id}]
+        self._write_metadata(doc)
+
     def expire_snapshots(self, keep_last: int = 1) -> None:
         """Drop all but the newest `keep_last` snapshots from metadata
         (pair with remove_orphan_files to reclaim storage)."""

@@ -235,3 +235,58 @@ def test_dedup_groups_keeps_min_survivor(spark, docs_with_dups):
     # planted exact copies (100000+i duplicates of i<5) lose to the original
     assert not any(100000 <= i < 100005 for i in ids)
     assert all(i in ids for i in range(5))
+
+
+def test_repetition_fractions_planted(spark):
+    from duckdb_iceberg_spark.functions import text as TX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same line\nsame line\nsame line\nsame line"),  # 3/4 dup lines
+            (2, "all lines differ\nsecond line\nthird line"),
+            (3, "go go go go go"),  # bigrams: 4x "go go" -> 3/4 dup
+            (4, "one"),  # single token: fallback gram, no dups
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            TX.dup_line_fraction(F.col("text")).alias("dl"),
+            TX.dup_ngram_fraction(F.col("text"), 2).alias("dn"),
+        ).collect()
+    }
+    assert out[1].dl == pytest.approx(0.75)
+    assert out[2].dl == 0.0
+    assert out[3].dn == pytest.approx(0.75)
+    assert out[4].dl == 0.0 and out[4].dn == 0.0
+
+
+def test_pii_scrub_planted(spark):
+    from duckdb_iceberg_spark.functions import text as TX
+
+    docs = spark.createDataFrame(
+        [(1, "mail a.user+x@example.co.uk or call 555-123-4567, host 10.0.0.1, ssn 123-45-6789 ok")],
+        "doc_id long, text string",
+    )
+    txt = docs.select(TX.pii_scrub(F.col("text")).alias("t")).first().t
+    assert txt == "mail <EMAIL> or call <PHONE>, host <IP>, ssn <SSN> ok"
+
+
+def test_contamination_planted(spark):
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # fully contained
+            (2, "completely unrelated sentence about spark engines"),
+            (3, "prefix words then the quick brown fox appears here"),  # partial
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in DD.ngram_contamination(docs, bench, n=3).collect()}
+    assert out[1].contamination == pytest.approx(1.0)
+    assert out[2].contamination == 0.0
+    assert 0.0 < out[3].contamination < 1.0

@@ -374,3 +374,44 @@ def test_add_files_imports_in_place(spark, tmp_path):
     assert iceberg_scan(spark, str(tmp_path / "t"), ref="pre-import").count() == region.count()
     with pytest.raises(ValueError, match="missing table columns"):
         t.add_files([f"{SF}/orders.parquet"])
+
+
+def test_rewrite_manifests_merges_metadata_only(spark, tmp_path):
+    """rewrite_manifests collapses N manifests -> 1 per content type,
+    preserves entry sequence numbers (delete scoping), touches zero
+    data files, and leaves the scan byte-identical."""
+    from duckdb_iceberg_spark import IcebergTable
+    from duckdb_iceberg_spark.plans.avro import read_avro_file
+    from duckdb_iceberg_spark.plans.manifests import load_table_scan
+
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    t = IcebergTable.create(spark, str(tmp_path / "t"), n.filter("n_nationkey < 10"))
+    t.append(n.filter("n_nationkey >= 10 AND n_nationkey < 20"))
+    t.append(n.filter("n_nationkey >= 20"))
+    t.delete_where("n_nationkey % 7 = 0")
+    before = canon_rows(t.scan().columns, [tuple(r) for r in t.scan().collect()])
+    data_paths_before = sorted(e.file_path for e in _live_entries(t))
+    _, manifests_before = read_avro_file(t.meta.latest_snapshot().manifest_list)
+    assert len(manifests_before) >= 4  # 3 data commits + 1 delete commit
+
+    t.rewrite_manifests()
+
+    _, manifests_after = read_avro_file(t.meta.latest_snapshot().manifest_list)
+    by_content = {}
+    for m in manifests_after:
+        by_content.setdefault(m.get("content", 0) or 0, []).append(m)
+    assert len(by_content[0]) == 1 and len(by_content[1]) == 1
+    # all carried entries are EXISTING with their original sequence numbers
+    _, entries = read_avro_file(by_content[0][0]["manifest_path"])
+    assert {e["status"] for e in entries} == {0}
+    assert len({e["sequence_number"] for e in entries}) == 3
+    assert by_content[0][0]["min_sequence_number"] == 1
+    # zero data movement: identical data file set, identical rows
+    assert sorted(e.file_path for e in _live_entries(t)) == data_paths_before
+    after = canon_rows(t.scan().columns, [tuple(r) for r in t.scan().collect()])
+    assert before == after
+    # deletes still applied post-merge
+    assert t.scan().filter("n_nationkey % 7 = 0").count() == 0
+    # time travel to pre-rewrite snapshot still works
+    prev = t.meta.snapshots[-2].snapshot_id
+    assert t.scan(snapshot_id=prev).count() == t.scan().count()
