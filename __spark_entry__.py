@@ -2738,6 +2738,33 @@ def _iceberg_rewrite_manifests(spark, sf):
 _ICEBERG_RM_SQL = "SELECT * FROM nation WHERE n_nationkey % 7 <> 0"
 
 
+def _iceberg_refs(spark, sf):
+    """`refs` metadata surface: a tag pinned before a delete and a
+    branch created after must resolve (via ref= time travel) to the
+    pre- and post-delete row counts respectively."""
+    import tempfile
+
+    from duckdb_iceberg_spark import IcebergTable, iceberg_scan
+
+    path = tempfile.mkdtemp(prefix="ice_refs_") + "/t"
+    t = IcebergTable.create(spark, path, _t(spark, sf, "nation"))
+    t.create_tag("v1")
+    t.delete_where("n_nationkey % 3 = 0")
+    t.create_branch("dev")
+    rows = [
+        (name, t.refs()[name]["type"], iceberg_scan(spark, path, ref=name).count())
+        for name in ("v1", "dev")
+    ]
+    return spark.createDataFrame(rows, "ref_name string, ref_type string, row_count long")
+
+
+_ICEBERG_REFS_SQL = """
+SELECT 'v1' AS ref_name, 'tag' AS ref_type, COUNT(*) AS row_count FROM nation
+UNION ALL
+SELECT 'dev', 'branch', COUNT(*) FROM nation WHERE n_nationkey % 3 <> 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2876,6 +2903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_write_pipeline": _iceberg_write_pipeline,
         "iceberg_compaction": _iceberg_compaction,
         "iceberg_rewrite_manifests": _iceberg_rewrite_manifests,
+        "iceberg_refs": _iceberg_refs,
         "iceberg_equality_deletes": _iceberg_equality_deletes,
         "iceberg_merge_upsert": _iceberg_merge_upsert,
         # skew-resilient join
@@ -2958,6 +2986,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_write_pipeline": _ICEBERG_WP_SQL,
         "iceberg_compaction": _ICEBERG_CP_SQL,
         "iceberg_rewrite_manifests": _ICEBERG_RM_SQL,
+        "iceberg_refs": _ICEBERG_REFS_SQL,
         "streaming_to_iceberg": _STREAMING_TO_ICEBERG_SQL,
         "funnel_join": _FUNNEL_SQL,
         "iceberg_equality_deletes": _ICEBERG_EQ_SQL,

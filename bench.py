@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "pack_sequences",
     "curate_pipeline",
     "funnel_join",
+    "text_repetition",
+    "contamination",
 ]
 
 

@@ -37,9 +37,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") 
 
 
 def _doc_tokens(df: DataFrame, key_col: str, text_col: str, n_shingle: int) -> DataFrame:
-    """(key, token) pairs, distinct — token = word or n-gram shingle."""
+    """(key, token) pairs, distinct — token = word or n-gram shingle.
+
+    Distinctness is PER DOCUMENT, so it is computed locally with
+    array_distinct before the explode — a dropDuplicates afterwards
+    would be a full (key, tok) shuffle of the exploded corpus, by far
+    the largest intermediate in the pipeline at 100 TB."""
     col = TX.shingles(F.col(text_col), n_shingle) if n_shingle > 1 else TX.tokens(F.lower(F.col(text_col)))
-    return df.select(key_col, F.explode(col).alias("tok")).dropDuplicates([key_col, "tok"])
+    return df.select(key_col, F.explode(F.array_distinct(col)).alias("tok"))
 
 
 def minhash_signatures(
