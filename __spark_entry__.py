@@ -809,6 +809,41 @@ FROM p JOIN i ON p.user_id = i.user_id AND i.start_ts <= p.ts AND p.ts < i.end_t
 """
 
 
+def _resample_events(spark, sf):
+    """Fixed-grid resampling with last-observation-carried-forward
+    gap fill: per user, hourly buckets densified over the user's span
+    (JVM sequence+explode, no driver loop), one window per key."""
+    from duckdb_iceberg_spark.operators.timeseries import resample
+
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 50)
+    r = resample(ev, key="user_id", ts="ts", value="value", interval_sec=3600, tiebreak="event_id")
+    return r.select(
+        "user_id",
+        F.col("bucket_ts").cast("long").alias("bucket_s"),
+        F.round("value", 4).alias("value"),
+        "is_gap",
+    )
+
+
+_RESAMPLE_SQL = """
+WITH src AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS b, ts, event_id,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE user_id < 50),
+pb AS (
+  SELECT user_id, b, v FROM src
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, b ORDER BY ts DESC, event_id DESC) = 1),
+spans AS (SELECT user_id, MIN(b) AS b0, MAX(b) AS b1 FROM pb GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(b0, b1, 3600)) AS b FROM spans)
+SELECT g.user_id, g.b AS bucket_s,
+  ROUND(last_value(pb.v IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.b
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value,
+  pb.v IS NULL AS is_gap
+FROM grid g LEFT JOIN pb ON g.user_id = pb.user_id AND g.b = pb.b
+"""
+
+
 def _ewma_events(spark, sf):
     """Per-user EWMA (Arrow grouped-map recurrence) — rows-only:
     verified against a pandas reference in tests."""
@@ -1537,6 +1572,37 @@ WHERE array_to_string(arr[(i-1)*10+1 : i*10], ' ') <> ''
 """
 
 
+def _bitwise_funcs(spark, sf):
+    """Bitwise scalar surface: and/or/xor/not, shifts, popcount."""
+    l = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 1000)
+    a = F.col("l_orderkey").cast("long")
+    b = F.col("l_partkey").cast("long")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        a.bitwiseAND(b).alias("band"),
+        a.bitwiseOR(b).alias("bor"),
+        a.bitwiseXOR(b).alias("bxor"),
+        F.bitwise_not(a).alias("bnot"),
+        F.shiftleft(a, 3).alias("shl"),
+        F.shiftright(a, 2).alias("shr"),
+        F.bit_count(a).alias("bc"),
+    )
+
+
+_BITWISE_SQL = """
+SELECT l_orderkey, l_linenumber,
+  CAST(l_orderkey AS BIGINT) & CAST(l_partkey AS BIGINT) AS band,
+  CAST(l_orderkey AS BIGINT) | CAST(l_partkey AS BIGINT) AS bor,
+  xor(CAST(l_orderkey AS BIGINT), CAST(l_partkey AS BIGINT)) AS bxor,
+  ~CAST(l_orderkey AS BIGINT) AS bnot,
+  CAST(l_orderkey AS BIGINT) << 3 AS shl,
+  CAST(l_orderkey AS BIGINT) >> 2 AS shr,
+  CAST(bit_count(CAST(l_orderkey AS BIGINT)) AS INT) AS bc
+FROM lineitem WHERE l_orderkey < 1000
+"""
+
+
 def _math_funcs(spark, sf):
     """Scalar math surface (§2B scalar rows): all JVM-side, all
     deterministic across engines (results floor-quantized where the
@@ -1974,6 +2040,35 @@ dots AS (
 qn AS (SELECT SUM(x * x) AS qn2 FROM qx)
 SELECT vec_id, ROUND(dot / (SQRT(n2) * SQRT(qn2)), 4) AS cos
 FROM dots, qn ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
+def _sim_quantized(spark, sf):
+    """Top-k cosine over int8-quantized codes (4x less embedding IO;
+    scale cancels out of cosine). Quantization is floor(x/s + 0.5) —
+    explicit half-up — so the oracle reproduces every code, and the
+    integer dot products are exact in doubles (no summation-order
+    issues)."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return SIM.cosine_topk_int8(e.filter(F.col("vec_id") > 0), q, k=10)
+
+
+_SIM_QUANT_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qx AS (SELECT generate_subscripts(qv, 1) AS i, CAST(unnest(qv) AS DOUBLE) AS x FROM q),
+qs AS (SELECT GREATEST(MAX(ABS(x)) / 127.0, 1e-30) AS s FROM qx),
+qc AS (SELECT i, FLOOR(x / s + 0.5) AS c FROM qx, qs),
+ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
+       FROM embeddings WHERE vec_id > 0),
+es AS (SELECT vec_id, GREATEST(MAX(ABS(x)) / 127.0, 1e-30) AS s FROM ex GROUP BY vec_id),
+ec AS (SELECT ex.vec_id, i, FLOOR(x / s + 0.5) AS c FROM ex JOIN es ON ex.vec_id = es.vec_id),
+dots AS (
+  SELECT e.vec_id, SUM(e.c * qc.c) AS dot, SUM(e.c * e.c) AS n2
+  FROM ec e JOIN qc ON e.i = qc.i GROUP BY e.vec_id),
+qn AS (SELECT SUM(c * c) AS qn2 FROM qc)
+SELECT vec_id, ROUND(dot / (SQRT(n2) * SQRT(qn2)), 4) AS qcos
+FROM dots, qn ORDER BY qcos DESC, vec_id LIMIT 10
 """
 
 
@@ -2765,6 +2860,52 @@ SELECT 'dev', 'branch', COUNT(*) FROM nation WHERE n_nationkey % 3 <> 0
 """
 
 
+def _iceberg_changelog(spark, sf):
+    """Net row-level CDC between two snapshots (append + MoR delete in
+    the window), computed from the manifest diff — unchanged files are
+    never read."""
+    import tempfile
+
+    from duckdb_iceberg_spark import IcebergTable
+
+    n = _t(spark, sf, "nation")
+    path = tempfile.mkdtemp(prefix="ice_cl_") + "/t"
+    t = IcebergTable.create(spark, path, n.filter("n_nationkey < 15"))
+    base = t.meta.latest_snapshot().snapshot_id
+    t.append(n.filter("n_nationkey >= 15"))
+    t.delete_where("n_nationkey % 4 = 0")
+    return t.scan_changelog(base)
+
+
+_ICEBERG_CL_SQL = """
+SELECT 'insert' AS change_type, * FROM nation
+WHERE n_nationkey >= 15 AND n_nationkey % 4 <> 0
+UNION ALL
+SELECT 'delete', * FROM nation WHERE n_nationkey < 15 AND n_nationkey % 4 = 0
+"""
+
+
+def _iceberg_partition_evolution(spark, sf):
+    """Partition evolution: unpartitioned -> add identity(lang) ->
+    append; a mixed-spec predicate read (old files row-filtered, new
+    files pruned) must be row-exact."""
+    import tempfile
+
+    from duckdb_iceberg_spark import IcebergTable
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "source")
+    path = tempfile.mkdtemp(prefix="ice_pe_") + "/t"
+    t = IcebergTable.create(spark, path, docs.filter("doc_id < 250"))
+    t.add_partition_field("lang")
+    t.append(docs.filter("doc_id >= 250"))
+    return t.scan(where="lang = 'en'")
+
+
+_ICEBERG_PE_SQL = """
+SELECT doc_id, lang, source FROM documents WHERE lang = 'en'
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2829,6 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_funcs": _array_funcs,
         "date_funcs": _date_funcs,
         "math_funcs": _math_funcs,
+        "bitwise_funcs": _bitwise_funcs,
         "map_funcs": _map_funcs,
         "udtf_chunks": _udtf_chunks,
         "text_chunks": _text_chunks,
@@ -2842,6 +2984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": _asof_join_events,
         "range_join_events": _range_join_events,
         "ewma_events": _ewma_events,  # rows-only (pandas-verified in tests)
+        "resample_events": _resample_events,
         # file sources / sinks beyond parquet
         "csv_roundtrip": _csv_roundtrip,
         "json_roundtrip": _json_roundtrip,
@@ -2870,6 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _dedup_simhash_pairs,  # rows-only
         # similarity search
         "sim_topk": _sim_topk,
+        "sim_quantized": _sim_quantized,
         "sim_neardup": _sim_neardup,
         "ann_lsh_topk": _ann_lsh_topk,  # rows-only
         "ann_ivf_topk": _ann_ivf_topk,  # rows-only
@@ -2904,6 +3048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_compaction": _iceberg_compaction,
         "iceberg_rewrite_manifests": _iceberg_rewrite_manifests,
         "iceberg_refs": _iceberg_refs,
+        "iceberg_changelog": _iceberg_changelog,
+        "iceberg_partition_evolution": _iceberg_partition_evolution,
         "iceberg_equality_deletes": _iceberg_equality_deletes,
         "iceberg_merge_upsert": _iceberg_merge_upsert,
         # skew-resilient join
@@ -2953,6 +3099,7 @@ def oracle_sql() -> dict[str, str]:
         "orc_roundtrip": _ORC_RT_SQL,
         "avro_roundtrip": _AVRO_RT_SQL,
         "asof_join_events": _ASOF_SQL,
+        "resample_events": _RESAMPLE_SQL,
         "range_join_events": _RANGE_JOIN_SQL,
         "text_tokens": _TEXT_TOKENS_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
@@ -2970,6 +3117,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "sim_topk": _SIM_TOPK_SQL,
+        "sim_quantized": _SIM_QUANT_SQL,
         "sim_neardup": _SIM_NEARDUP_SQL,
         "mm_frame_sample": _MM_FRAME_SQL,
         "iceberg_scan_generated": _ICEBERG_SCAN_SQL,
@@ -2987,6 +3135,8 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_compaction": _ICEBERG_CP_SQL,
         "iceberg_rewrite_manifests": _ICEBERG_RM_SQL,
         "iceberg_refs": _ICEBERG_REFS_SQL,
+        "iceberg_changelog": _ICEBERG_CL_SQL,
+        "iceberg_partition_evolution": _ICEBERG_PE_SQL,
         "streaming_to_iceberg": _STREAMING_TO_ICEBERG_SQL,
         "funnel_join": _FUNNEL_SQL,
         "iceberg_equality_deletes": _ICEBERG_EQ_SQL,
@@ -3019,6 +3169,7 @@ def oracle_sql() -> dict[str, str]:
         "array_funcs": _ARRAY_SQL,
         "string_funcs2": _STRING2_SQL,
         "math_funcs": _MATH_SQL,
+        "bitwise_funcs": _BITWISE_SQL,
         "map_funcs": _MAP_SQL,
         "udtf_chunks": _CHUNKS_SQL,
         "text_chunks": _CHUNKS_SQL,

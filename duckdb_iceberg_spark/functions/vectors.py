@@ -33,6 +33,24 @@ def lit_vector(values) -> Column:
     return F.array(*[F.lit(float(v)) for v in values])
 
 
+def quantize_int8(a) -> Column:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127,
+    q_i = floor(x_i/scale + 0.5) — explicit half-up rounding so the
+    DuckDB oracle reproduces every code exactly (built-in round()
+    tie-breaking differs between engines).
+
+    Returns struct(scale double, codes array<int>). 4x smaller than
+    float32 on disk/wire; cosine is scale-invariant, so ranking
+    against quantized vectors needs only the codes.
+    """
+    absmax = F.aggregate(
+        a, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    scale = F.greatest(absmax / F.lit(127.0), F.lit(1e-30))
+    codes = F.transform(a, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"))
+    return F.struct(scale.alias("scale"), codes.alias("codes"))
+
+
 def sign_bits(a, hyperplanes) -> Column:
     """Random-hyperplane LSH bucket key: one sign bit per hyperplane,
     packed into a string key. ``hyperplanes`` is a list of python

@@ -16,6 +16,7 @@ Two paths, mirroring how ANN works on a real cluster:
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -45,6 +46,30 @@ def cosine_topk(
     q = VEC.lit_vector(query_vec)
     scored = df.select(key_col, F.round(VEC.cosine(F.col(vec_col), q), 4).alias("cos"))
     return scored.orderBy(F.desc("cos"), F.asc(key_col)).limit(k)
+
+
+def cosine_topk_int8(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k cosine over int8-quantized vectors (4x less IO than
+    float32 — the storage-bound regime at 100 TB of embeddings).
+    Cosine is scale-invariant, so the per-vector quantization scale
+    cancels and ranking needs only the integer codes; the query is
+    quantized once on the driver.
+
+    Returns (key_col, qcos) — k rows, deterministic tie-break on key.
+    """
+    absmax = max(max(abs(float(v)) for v in query_vec), 1e-30)
+    qscale = absmax / 127.0
+    qcodes = [int(math.floor(float(v) / qscale + 0.5)) for v in query_vec]
+    codes = VEC.quantize_int8(F.col(vec_col))["codes"]
+    qlit = VEC.lit_vector(qcodes)
+    scored = df.select(key_col, F.round(VEC.cosine(codes, qlit), 4).alias("qcos"))
+    return scored.orderBy(F.desc("qcos"), F.asc(key_col)).limit(k)
 
 
 def lsh_topk(

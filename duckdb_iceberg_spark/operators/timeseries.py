@@ -50,3 +50,60 @@ def ewma(
         .groupBy(key)
         .applyInPandas(fold, schema)
     )
+
+
+def resample(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    interval_sec: int = 3600,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Resample an irregular series onto a fixed grid with
+    last-observation-carried-forward gap filling.
+
+    Per key: bucket timestamps to `interval_sec`, keep the LAST value
+    per bucket (by event time), densify to every grid point between
+    the key's first and last bucket (sequence + explode — generated
+    JVM-side, no driver loop), and forward-fill empty buckets with
+    the window `last(value, ignorenulls=True)`.
+
+    Returns (key, bucket_ts, value, is_gap).
+
+    Scale shape: one shuffle on the key for the bucket aggregation,
+    then ONE window over (key, bucket) — the densified grid is at
+    most span/interval rows per key and never materializes globally.
+    The window is per-key ordered state, exactly what Spark's window
+    exchange already partitions by; nothing touches the driver.
+    """
+    from pyspark.sql import Window
+
+    bucket = (F.floor(F.col(ts).cast("long") / interval_sec) * interval_sec).cast("long")
+    order = [F.desc(ts)] + ([F.desc(tiebreak)] if tiebreak else [])
+    keep = [F.col(key), bucket.alias("b"), F.col(ts), F.col(value).cast("double").alias("v")]
+    if tiebreak:
+        keep.append(F.col(tiebreak))
+    per_bucket = (
+        df.select(*keep)
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy(key, "b").orderBy(*order)),
+        )
+        .filter(F.col("rn") == 1)
+        .select(key, "b", "v")
+    )
+    spans = per_bucket.groupBy(key).agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+    grid = spans.select(
+        key, F.explode(F.sequence(F.col("b0"), F.col("b1"), F.lit(interval_sec))).alias("b")
+    )
+    w = Window.partitionBy(key).orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.join(per_bucket, [key, "b"], "left")
+        .select(
+            F.col(key),
+            F.col("b").cast("timestamp").alias("bucket_ts"),
+            F.last("v", ignorenulls=True).over(w).alias(value),
+            F.col("v").isNull().alias("is_gap"),
+        )
+    )

@@ -293,7 +293,16 @@ def _prune_by_partition(meta: TableMetadata, entries, flt, strict: bool = True):
         if pf.transform == "identity" and st.startswith("timestamp"):
             continue  # identity-timestamp partition values aren't canonical: skip pruning
         targets[pf.name] = pf.apply(lit)
-    return [e for e in entries if all(e.partition.get(k) == v for k, v in targets.items())]
+    # an entry written under an OLDER spec lacks the key entirely (vs a
+    # present-but-null partition value): its rows may still match, so
+    # it must be kept — the Iceberg mixed-spec scan rule after
+    # partition evolution. Null partition values (key present) can
+    # never equal a literal and are pruned.
+    return [
+        e
+        for e in entries
+        if all(k not in e.partition or e.partition[k] == v for k, v in targets.items())
+    ]
 
 
 import re as _re

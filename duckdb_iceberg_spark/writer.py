@@ -338,6 +338,21 @@ def _partition_avro_fields(pfields: list[PartitionField], schema: IcebergSchema)
     return fields
 
 
+def _parse_spec_entry(p, field_id: int) -> PartitionField:
+    """One partition_by entry -> PartitionField: ``"col"`` (identity),
+    ``"years(col)"`` / ``"bucket(16, col)"`` SQL syntax, or the tuple
+    forms ``(transform, col)`` / ``(transform, N, col)``."""
+    if isinstance(p, str) and "(" in p:
+        tname, _, rest = p.partition("(")
+        args = [a.strip() for a in rest.rstrip(")").split(",")]
+        p = (tname.strip(), *args) if len(args) == 1 else (tname.strip(), int(args[0]), args[1])
+    if isinstance(p, str):
+        return PartitionField("identity", p, None, field_id)
+    if len(p) == 2:
+        return PartitionField(p[0], p[1], None, field_id)
+    return PartitionField(p[0], p[2], int(p[1]), field_id)
+
+
 def _now_ms() -> int:
     return int(time.time() * 1000)
 
@@ -399,17 +414,7 @@ class IcebergTable:
         name_to_id = {c.name: c.field_id for c in schema.columns}
         spec_fields = []
         for i, p in enumerate(partition_by or []):
-            if isinstance(p, str) and "(" in p:
-                # SQL-style transform syntax: "years(col)", "bucket(16, col)"
-                tname, _, rest = p.partition("(")
-                args = [a.strip() for a in rest.rstrip(")").split(",")]
-                p = (tname.strip(), *args) if len(args) == 1 else (tname.strip(), int(args[0]), args[1])
-            if isinstance(p, str):
-                pf = PartitionField("identity", p, None, 1000 + i)
-            elif len(p) == 2:
-                pf = PartitionField(p[0], p[1], None, 1000 + i)
-            else:
-                pf = PartitionField(p[0], p[2], int(p[1]), 1000 + i)
+            pf = _parse_spec_entry(p, 1000 + i)
             spec_fields.append(
                 {
                     "name": pf.name,
@@ -488,10 +493,70 @@ class IcebergTable:
         )
         norm = F.regexp_replace(F.col("__file"), r"^file:/+", "/")
         return df.where(norm.isin([*new_files])).drop("__file", "__pos")
-        from .sources.iceberg import iceberg_snapshots
 
-        kwargs.setdefault("metadata_compression_codec", self.codec)
-        return iceberg_snapshots(self.spark, self.path, **kwargs)
+    def scan_changelog(self, from_snapshot_id: int, to_snapshot_id: Optional[int] = None) -> DataFrame:
+        """Net row-level changelog between two snapshots: the current
+        rows added ('insert') and removed ('delete') going from
+        ``from_snapshot_id`` (exclusive baseline) to ``to_snapshot_id``
+        (inclusive; default latest). Schema: change_type + table columns.
+
+        Scale design: a naive changelog is
+        ``new EXCEPT ALL old  /  old EXCEPT ALL new`` over two FULL
+        table reads — 2 x 100 TB scanned and shuffled. Here the
+        manifest diff bounds the work first: a data file live in both
+        snapshots and subject to the same delete files contributes
+        identical rows to both sides, so it cancels from both EXCEPTs
+        and is never read. Only added/removed files (plus, when the
+        delete-file set changed, the surviving common files) are
+        scanned — O(changed data), not O(table).
+
+        Rewrite-neutrality falls out of the EXCEPT ALL: compaction
+        moves rows between files without changing content, and those
+        rows cancel.
+        """
+        from .plans.manifests import load_table_scan
+        from .sources.iceberg import iceberg_scan
+
+        old_snap = self.meta.snapshot_by_id(from_snapshot_id)
+        new_snap = (
+            self.meta.snapshot_by_id(to_snapshot_id)
+            if to_snapshot_id is not None
+            else self.meta.latest_snapshot()
+        )
+        old_scan = load_table_scan(self.meta, old_snap, self.path, False)
+        new_scan = load_table_scan(self.meta, new_snap, self.path, False)
+        old_files = {e.file_path for e in old_scan.data_files()}
+        new_files = {e.file_path for e in new_scan.data_files()}
+        old_deletes = {e.file_path for e in old_scan.positional_delete_files()}
+        new_deletes = {e.file_path for e in new_scan.positional_delete_files()}
+        cand_old = old_files - new_files
+        cand_new = new_files - old_files
+        if old_deletes != new_deletes:
+            # common files' live rows may differ through new/removed
+            # delete files — pull them into the diff (still only the
+            # affected snapshot window, never the whole table)
+            common = old_files & new_files
+            cand_old |= common
+            cand_new |= common
+
+        def _read(snap_id: int, files: set[str]) -> DataFrame:
+            df = iceberg_scan(
+                self.spark,
+                self.path,
+                snapshot_id=snap_id,
+                metadata_compression_codec=self.codec,
+                _keep_position_columns=True,
+            )
+            norm = F.regexp_replace(F.col("__file"), r"^file:/+", "/")
+            return df.where(norm.isin([*files])).drop("__file", "__pos")
+
+        rows_old = _read(old_snap.snapshot_id, cand_old)
+        rows_new = _read(new_snap.snapshot_id, cand_new)
+        inserts = rows_new.exceptAll(rows_old)
+        deletes = rows_old.exceptAll(rows_new)
+        return inserts.select(F.lit("insert").alias("change_type"), "*").unionAll(
+            deletes.select(F.lit("delete").alias("change_type"), "*")
+        )
 
     def snapshots(self, **kwargs) -> DataFrame:
         from .sources.iceberg import iceberg_snapshots
@@ -676,6 +741,8 @@ class IcebergTable:
                     out.append({"key": fid, "value": b})
             return out or None
 
+        spec_id = doc.get("default-spec-id", 0)
+
         def write_manifest(files: list[dict], content: int) -> dict:
             mpath = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m{content}.avro")
             entries = [
@@ -705,7 +772,7 @@ class IcebergTable:
                 metadata={
                     "schema": json.dumps(_schema_to_json(self.schema)),
                     "partition-spec": "[]",
-                    "partition-spec-id": "0",
+                    "partition-spec-id": str(spec_id),
                     "format-version": "2",
                     "content": "data" if content == 0 else "deletes",
                 },
@@ -714,7 +781,7 @@ class IcebergTable:
             return {
                 "manifest_path": mpath,
                 "manifest_length": length,
-                "partition_spec_id": 0,
+                "partition_spec_id": spec_id,
                 "content": 0 if content == 0 else 1,
                 "sequence_number": seq,
                 "min_sequence_number": seq,
@@ -1130,6 +1197,49 @@ class IcebergTable:
         cols = [c for c in self.schema.columns if c.name != name]
         self._evolve_schema(cols, last_column_id=self.meta.raw.get("last-column-id"))
 
+    def add_partition_field(self, spec_entry) -> None:
+        """Partition evolution (`ALTER TABLE ... ADD PARTITION FIELD`):
+        append a field to the partition spec as a NEW spec-id and make
+        it the default. Metadata-only — existing data files keep their
+        old-spec partition structs; only future writes are routed (and
+        prunable) by the new field. The read side keeps old-spec files
+        on a new-field partition_filter (their rows may match), which
+        is exactly the Iceberg spec's mixed-spec scan behavior.
+
+        Accepts the same syntax as ``create(partition_by=...)``:
+        ``"col"``, ``"years(col)"``, ``("bucket", 4, "col")`` ...
+        """
+        doc = dict(self.meta.raw)
+        specs = doc.get("partition-specs", [])
+        cur_id = doc.get("default-spec-id", 0)
+        cur = next((s for s in specs if s.get("spec-id", 0) == cur_id), {"fields": []})
+        max_pfid = max(
+            (f["field-id"] for s in specs for f in s.get("fields", [])), default=999
+        )
+        pf = _parse_spec_entry(spec_entry, max_pfid + 1)
+        name_to_id = {c.name: c.field_id for c in self.schema.columns}
+        if pf.source not in name_to_id:
+            raise ValueError(f"partition source column {pf.source!r} not in schema")
+        if any(f["name"] == pf.name for f in cur.get("fields", [])):
+            raise ValueError(f"partition field {pf.name!r} already exists")
+        new_spec = {
+            "spec-id": max((s.get("spec-id", 0) for s in specs), default=-1) + 1,
+            "fields": list(cur.get("fields", []))
+            + [
+                {
+                    "name": pf.name,
+                    "transform": pf.transform_str(),
+                    "source-id": name_to_id[pf.source],
+                    "field-id": pf.field_id,
+                }
+            ],
+        }
+        doc["partition-specs"] = specs + [new_spec]
+        doc["default-spec-id"] = new_spec["spec-id"]
+        doc["last-partition-id"] = pf.field_id
+        doc["last-updated-ms"] = _now_ms()
+        self._write_metadata(doc)
+
     def _evolve_schema(self, cols: list[IcebergColumn], last_column_id: Optional[int]) -> None:
         doc = dict(self.meta.raw)
         new_schema_id = max(self.meta.schemas) + 1
@@ -1214,7 +1324,7 @@ class IcebergTable:
 
     def rewrite_manifests(self) -> None:
         """Consolidate the manifest tree: merge all live manifest
-        entries into ONE manifest per content type (data / deletes)
+        entries into ONE manifest per (content type, partition spec)
         and commit a snapshot referencing only the merged manifests
         (Spark's `rewrite_manifests` procedure,
         reference scripts/provision.py uses the same runtime surface).
@@ -1223,27 +1333,33 @@ class IcebergTable:
         commit; at 100 TB that is thousands of small metadata files
         the driver must open serially before ANY scan can plan.
         Merging them is pure metadata work — zero data movement,
-        O(#entries) driver time — and restores O(1) manifest opens
+        O(#entries) driver time — and restores O(specs) manifest opens
         per scan.
 
         Entry identity is preserved exactly: each carried entry keeps
         its original ``sequence_number`` / ``file_sequence_number`` /
         ``snapshot_id`` and is re-marked status=EXISTING, so
-        sequence-scoped delete application is unaffected.
+        sequence-scoped delete application is unaffected. Manifests
+        are merged per spec-id (never across): an Iceberg manifest's
+        partition struct is typed by its spec, and collapsing specs
+        would turn "field absent" (old-spec file, must survive
+        pruning on the new field) into "field null" (prunable).
         """
         import copy
 
         from .plans.avro import read_avro_file
+        from .plans.transforms import PartitionField
 
         snap = self.meta.latest_snapshot()
-        by_content: dict[int, list[dict]] = {0: [], 1: []}
+        groups: dict[tuple[int, int], list[dict]] = {}
         _, manifests = read_avro_file(snap.manifest_list)
         for m in manifests:
             _, entries = read_avro_file(m["manifest_path"])
+            key = (m.get("content", 0) or 0, m.get("partition_spec_id", 0) or 0)
             for e in entries:
                 if e.get("status") == 2:  # DELETED: drop from merged view
                     continue
-                by_content[m.get("content", 0) or 0].append(
+                groups.setdefault(key, []).append(
                     {
                         "status": 0,  # EXISTING
                         "snapshot_id": e.get("snapshot_id"),
@@ -1253,30 +1369,36 @@ class IcebergTable:
                     }
                 )
 
-        entry_schema = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
-        pfields = self.partition_fields
-        if pfields:
-            r102 = next(f for f in entry_schema["fields"] if f["name"] == "data_file")["type"]
-            next(f for f in r102["fields"] if f["name"] == "partition")["type"]["fields"] = _partition_avro_fields(
-                pfields, self.schema
+        id_to_name = {c.field_id: c.name for c in self.schema.columns}
+
+        def entry_schema_for(spec_id: int) -> dict:
+            es = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+            spec = next(
+                (s for s in self.meta.partition_specs if s.get("spec-id", 0) == spec_id), None
             )
+            fields = spec.get("fields", []) if spec else []
+            if fields:
+                pfields = [PartitionField.from_json(f, id_to_name[f["source-id"]]) for f in fields]
+                r102 = next(f for f in es["fields"] if f["name"] == "data_file")["type"]
+                next(f for f in r102["fields"] if f["name"] == "partition")["type"]["fields"] = (
+                    _partition_avro_fields(pfields, self.schema)
+                )
+            return es
 
         meta_dir = os.path.join(self.path, "metadata")
         seq = self.meta.raw.get("last-sequence-number", 0) + 1
         snap_id = _new_snapshot_id()
         merged = []
-        for content, entries in by_content.items():
-            if not entries:
-                continue
+        for (content, spec_id), entries in sorted(groups.items()):
             mpath = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m{content}.avro")
             length = write_avro_file(
                 mpath,
-                entry_schema,
+                entry_schema_for(spec_id),
                 entries,
                 metadata={
                     "schema": json.dumps(_schema_to_json(self.schema)),
                     "partition-spec": "[]",
-                    "partition-spec-id": "0",
+                    "partition-spec-id": str(spec_id),
                     "format-version": "2",
                     "content": "data" if content == 0 else "deletes",
                 },
@@ -1286,7 +1408,7 @@ class IcebergTable:
                 {
                     "manifest_path": mpath,
                     "manifest_length": length,
-                    "partition_spec_id": 0,
+                    "partition_spec_id": spec_id,
                     "content": content,
                     "sequence_number": seq,
                     "min_sequence_number": min(e["sequence_number"] for e in entries),

@@ -290,3 +290,20 @@ def test_contamination_planted(spark):
     assert out[1].contamination == pytest.approx(1.0)
     assert out[2].contamination == 0.0
     assert 0.0 < out[3].contamination < 1.0
+
+
+def test_int8_quantized_topk_recall(spark, sf_dir):
+    """int8 codes keep cosine ranking: recall@10 vs exact must be
+    high, and every quantized code must fit int8."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    body = e.filter(F.col("vec_id") > 0)
+    exact = {r.vec_id for r in SIM.cosine_topk(body, q, k=10).collect()}
+    quant = {r.vec_id for r in SIM.cosine_topk_int8(body, q, k=10).collect()}
+    assert len(exact & quant) >= 8
+
+    from duckdb_iceberg_spark.functions import vectors as VEC
+
+    codes = body.select(F.explode(VEC.quantize_int8(F.col("embedding"))["codes"]).alias("c"))
+    mn, mx = codes.agg(F.min("c"), F.max("c")).first()
+    assert -128 <= mn and mx <= 127

@@ -355,3 +355,50 @@ def test_overwrite_partitions(spark, tmp_path):
     t.delete_where(F.col("doc_id") % 50 == 0)
     with pytest.raises(ValueError, match="rewrite_data_files"):
         t.overwrite_partitions(repl)
+
+
+def test_partition_evolution_add_field(spark, tmp_path):
+    """add_partition_field: metadata-only spec bump; new writes are
+    routed + prunable by the new field, old-spec files survive
+    new-field pruning (their rows may match), and rewrite_manifests
+    keeps specs separate so that survival is preserved after a
+    metadata compaction."""
+    from duckdb_iceberg_spark import IcebergTable
+    from duckdb_iceberg_spark.plans.avro import read_avro_file
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang", "text")
+    t = IcebergTable.create(spark, str(tmp_path / "t"), docs.filter("doc_id < 100"))
+    old_files = {r.file for r in t.scan(mode="list_files").collect()}
+    t.add_partition_field("lang")
+    assert [pf.name for pf in t.partition_fields] == ["lang"]
+    assert t.meta.raw["default-spec-id"] == 1
+
+    t.append(docs.filter("doc_id >= 100 AND doc_id < 200"))
+    assert t.scan().count() == 200
+    new_files = {r.file for r in t.scan(mode="list_files").collect()} - old_files
+    assert len(new_files) > 1  # routed into one file per lang value
+
+    langs = {r.lang for r in docs.filter("doc_id >= 100 AND doc_id < 200").select("lang").distinct().collect()}
+    some_lang = sorted(langs)[0]
+    pruned = {
+        r.file
+        for r in t.scan(mode="list_files", partition_filter={"lang": some_lang}).collect()
+    }
+    # every old-spec file kept; exactly one new-spec file (that lang's)
+    assert old_files <= pruned
+    assert len(pruned - old_files) == 1
+
+    # row-exact read across mixed specs
+    expect = docs.filter("doc_id < 200").filter(F.col("lang") == some_lang).count()
+    assert t.scan(where=f"lang = '{some_lang}'").count() == expect
+
+    # manifest compaction preserves the per-spec split and pruning
+    t.rewrite_manifests()
+    _, manifests = read_avro_file(t.meta.latest_snapshot().manifest_list)
+    assert sorted(m.get("partition_spec_id", 0) for m in manifests) == [0, 1]
+    pruned2 = {
+        r.file
+        for r in t.scan(mode="list_files", partition_filter={"lang": some_lang}).collect()
+    }
+    assert pruned2 == pruned
+    assert t.scan().count() == 200

@@ -415,3 +415,42 @@ def test_rewrite_manifests_merges_metadata_only(spark, tmp_path):
     # time travel to pre-rewrite snapshot still works
     prev = t.meta.snapshots[-2].snapshot_id
     assert t.scan(snapshot_id=prev).count() == t.scan().count()
+
+
+def test_changelog_manifest_diff_prunes_unchanged_files(spark, tmp_path):
+    """scan_changelog returns the exact net diff AND its plan reads
+    only changed files: the base snapshot's untouched data file never
+    appears in the union's input files when no delete touches it."""
+    from duckdb_iceberg_spark import IcebergTable
+
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    t = IcebergTable.create(spark, str(tmp_path / "t"), n.filter("n_nationkey < 15"))
+    base = t.meta.latest_snapshot().snapshot_id
+    t.append(n.filter("n_nationkey >= 15"))
+    mid = t.meta.latest_snapshot().snapshot_id
+
+    # append-only window: diff = pure inserts, base file not read
+    cl = t.scan_changelog(base, mid)
+    got = {(r.change_type, r.n_nationkey) for r in cl.collect()}
+    assert got == {("insert", k) for k in range(15, 25)}
+    base_files = {e.file_path for e in _live_entries_at(t, base)}
+    read_files = {f.replace("file:", "") for f in cl.inputFiles()}
+    assert not (base_files & read_files)
+
+    # delete in the window drags common files back into the diff
+    t.delete_where("n_nationkey % 4 = 0")
+    cl2 = t.scan_changelog(base)
+    got2 = {(r.change_type, r.n_nationkey) for r in cl2.collect()}
+    want_ins = {("insert", k) for k in range(15, 25) if k % 4 != 0}
+    want_del = {("delete", k) for k in range(0, 15) if k % 4 == 0}
+    assert got2 == want_ins | want_del
+
+    # identical endpoints -> empty changelog
+    assert t.scan_changelog(t.meta.latest_snapshot().snapshot_id).count() == 0
+
+
+def _live_entries_at(t, snapshot_id):
+    from duckdb_iceberg_spark.plans.manifests import load_table_scan
+
+    snap = t.meta.snapshot_by_id(snapshot_id)
+    return load_table_scan(t.meta, snap, t.path, False).data_files()
