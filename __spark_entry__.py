@@ -196,6 +196,45 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 """
 
 
+def _cross_join_small(spark, sf):
+    """Explicit CROSS JOIN (small x small — the calendar-x-dims
+    shape; big-side cross joins are deliberately absent everywhere
+    else and plan-guarded against)."""
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+_CROSS_JOIN_SQL = "SELECT r_name, n_name FROM region CROSS JOIN nation"
+
+
+def _not_in_nulls(spark, sf):
+    """NOT IN three-valued-logic parity: a NULL in the subquery makes
+    NOT IN never-true (0 rows); the null-free variant counts rows.
+    Engines differ here historically — this pins the ANSI behavior."""
+    _t(spark, sf, "orders").createOrReplaceTempView("_niv_orders")
+    _t(spark, sf, "customer").createOrReplaceTempView("_niv_customer")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM _niv_orders WHERE o_custkey NOT IN
+             (SELECT CASE WHEN c_custkey % 1000 = 0 THEN NULL ELSE c_custkey END
+              FROM _niv_customer)) AS n_with_null,
+          (SELECT COUNT(*) FROM _niv_orders WHERE o_custkey NOT IN
+             (SELECT c_custkey FROM _niv_customer WHERE c_custkey % 1000 <> 0)) AS n_without_null
+        """
+    )
+
+
+_NOT_IN_NULLS_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+     (SELECT CASE WHEN c_custkey % 1000 = 0 THEN NULL ELSE c_custkey END FROM customer)) AS n_with_null,
+  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+     (SELECT c_custkey FROM customer WHERE c_custkey % 1000 <> 0)) AS n_without_null
+"""
+
+
 def _join_anti(spark, sf):
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
@@ -1860,6 +1899,35 @@ FROM documents GROUP BY 1
 """
 
 
+def _text_entropy(spark, sf):
+    """Character Shannon entropy per document (perplexity proxy for
+    quality filtering): H = log2(N) - sum(c*log2 c)/N over character
+    counts — explode + two keyed aggregations, the scalable shape
+    (no per-row O(alphabet^2) array work)."""
+    d = _t(spark, sf, "documents")
+    chars = d.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")).filter(
+        F.col("ch") != ""
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(F.sum("c").alias("n"), F.sum(F.col("c") * F.log2("c")).alias("s"))
+        .select(
+            "doc_id",
+            (F.floor((F.log2("n") - F.col("s") / F.col("n")) * 10000) / 10000).alias("entropy"),
+        )
+    )
+
+
+_TEXT_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents),
+cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars WHERE ch <> '' GROUP BY doc_id, ch),
+agg AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n, SUM(c * log2(c)) AS s FROM cnt GROUP BY doc_id)
+SELECT doc_id, FLOOR((log2(n) - s / n) * 10000) / 10000 AS entropy FROM agg
+"""
+
+
 def _text_repetition(spark, sf):
     """Gopher-style repetition filters: duplicate-line fraction and
     duplicate word-bigram fraction, floor-quantized to 4 decimals so
@@ -2941,6 +3009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_subquery_avg": _scalar_subquery_avg,
         # joins
         "join_anti": _join_anti,
+        "cross_join_small": _cross_join_small,
+        "not_in_nulls": _not_in_nulls,
         "join_semi": _join_semi,
         "join_left_outer_counts": _join_left_outer_counts,
         "join_full_outer": _join_full_outer,
@@ -2997,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "text_rolling_hash": _text_rolling_hash,
         "text_repetition": _text_repetition,
+        "text_entropy": _text_entropy,
         "text_pii_scrub": _text_pii_scrub,
         "contamination": _contamination,
         # training-data pipeline (packing / sampling / curation)
@@ -3068,6 +3139,8 @@ def oracle_sql() -> dict[str, str]:
         "q6_revenue": _Q6_SQL,
         "q10_returned_items": _Q10_SQL,
         "join_anti": _JOIN_ANTI_SQL,
+        "cross_join_small": _CROSS_JOIN_SQL,
+        "not_in_nulls": _NOT_IN_NULLS_SQL,
         "join_semi": _JOIN_SEMI_SQL,
         "join_left_outer_counts": _JOIN_LEFT_SQL,
         "join_full_outer": _JOIN_FULL_SQL,
@@ -3107,6 +3180,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _TEXT_FP_SQL,
         "text_rolling_hash": _TEXT_RH_SQL,
         "text_repetition": _TEXT_REP_SQL,
+        "text_entropy": _TEXT_ENTROPY_SQL,
         "text_pii_scrub": _TEXT_PII_SQL,
         "contamination": _CONTAM_SQL,
         "pack_sequences": _PACK_SQL,

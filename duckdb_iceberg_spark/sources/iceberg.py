@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import datetime
 import os
-from typing import Optional
+from typing import Any, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -265,34 +265,45 @@ def _prune_by_partition(meta: TableMetadata, entries, flt, strict: bool = True):
     pruners auto-derived from a ``where`` predicate)."""
     from ..plans.transforms import PartitionField
 
-    spec_id = meta.raw.get("default-spec-id", 0)
-    spec = next((s for s in meta.partition_specs if s.get("spec-id", 0) == spec_id), None)
-    if not spec or not spec.get("fields"):
-        return entries  # unpartitioned: nothing to prune
+    # prune against the UNION of every spec's fields (by field name),
+    # not just the default spec: after partition evolution, files
+    # written under retired specs are still prunable through their own
+    # spec's fields, and a filter on a just-dropped field must keep
+    # working for the old files that carry it.
     schema = meta.schemas[meta.current_schema_id]
     id_to_name = {c.field_id: c.name for c in schema.columns}
-    pfields = [PartitionField.from_json(f, id_to_name[f["source-id"]]) for f in spec["fields"]]
+    seen: dict[str, Any] = {}
+    for s in meta.partition_specs:
+        for f in s.get("fields", []):
+            if f["name"] not in seen and f["source-id"] in id_to_name:
+                seen[f["name"]] = PartitionField.from_json(f, id_to_name[f["source-id"]])
+    if not seen:
+        return entries  # never partitioned: nothing to prune
     if callable(flt):
         return [e for e in entries if flt(e.partition)]
-    by_source = {pf.source: pf for pf in pfields}
+    by_source: dict[str, list] = {}
+    for pf in seen.values():
+        by_source.setdefault(pf.source, []).append(pf)
     src_types = {c.name: c.spark_type.simpleString() for c in schema.columns}
     targets = {}
     for col, lit in flt.items():
-        pf = by_source.get(col)
-        if pf is None:
+        pfs = by_source.get(col)
+        if not pfs:
             if not strict:
                 continue
             raise ValueError(
                 f"partition_filter column {col!r} is not a partition source; sources: {sorted(by_source)}"
             )
         st = src_types.get(col, "")
-        if pf.transform == "identity" and st == "date" and isinstance(lit, str):
-            import datetime as _dt
+        for pf in pfs:
+            plit = lit
+            if pf.transform == "identity" and st == "date" and isinstance(plit, str):
+                import datetime as _dt
 
-            lit = _dt.date.fromisoformat(lit)
-        if pf.transform == "identity" and st.startswith("timestamp"):
-            continue  # identity-timestamp partition values aren't canonical: skip pruning
-        targets[pf.name] = pf.apply(lit)
+                plit = _dt.date.fromisoformat(plit)
+            if pf.transform == "identity" and st.startswith("timestamp"):
+                continue  # identity-timestamp partition values aren't canonical: skip pruning
+            targets[pf.name] = pf.apply(plit)
     # an entry written under an OLDER spec lacks the key entirely (vs a
     # present-but-null partition value): its rows may still match, so
     # it must be kept — the Iceberg mixed-spec scan rule after

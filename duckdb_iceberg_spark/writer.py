@@ -703,6 +703,7 @@ class IcebergTable:
         current_schema_id: Optional[int] = None,
         last_column_id: Optional[int] = None,
         extra_summary: Optional[dict] = None,
+        doc_updates: Optional[dict] = None,
     ) -> None:
         """Write manifests + manifest list + next vN metadata json."""
         doc = dict(self.meta.raw)
@@ -828,6 +829,8 @@ class IcebergTable:
             doc["current-schema-id"] = current_schema_id
         if last_column_id is not None:
             doc["last-column-id"] = last_column_id
+        if doc_updates:
+            doc.update(doc_updates)
         self._write_metadata(doc)
 
     def _write_metadata(self, doc: dict) -> None:
@@ -1240,6 +1243,26 @@ class IcebergTable:
         doc["last-updated-ms"] = _now_ms()
         self._write_metadata(doc)
 
+    def remove_partition_field(self, name: str) -> None:
+        """Partition evolution (`DROP PARTITION FIELD`): new default
+        spec without the field. Metadata-only; existing files keep
+        their partition values and stay prunable through their own
+        spec, new writes stop routing by the dropped field."""
+        doc = dict(self.meta.raw)
+        specs = doc.get("partition-specs", [])
+        cur_id = doc.get("default-spec-id", 0)
+        cur = next((s for s in specs if s.get("spec-id", 0) == cur_id), {"fields": []})
+        if not any(f["name"] == name for f in cur.get("fields", [])):
+            raise ValueError(f"partition field {name!r} not in current spec")
+        new_spec = {
+            "spec-id": max((s.get("spec-id", 0) for s in specs), default=-1) + 1,
+            "fields": [f for f in cur.get("fields", []) if f["name"] != name],
+        }
+        doc["partition-specs"] = specs + [new_spec]
+        doc["default-spec-id"] = new_spec["spec-id"]
+        doc["last-updated-ms"] = _now_ms()
+        self._write_metadata(doc)
+
     def _evolve_schema(self, cols: list[IcebergColumn], last_column_id: Optional[int]) -> None:
         doc = dict(self.meta.raw)
         new_schema_id = max(self.meta.schemas) + 1
@@ -1315,11 +1338,35 @@ class IcebergTable:
         else:
             df = df.repartition(n_files)
         files = self._write_parquet_files(self._aligned(df), partitioned=True)
+        doc_updates = None
+        if sort_by:
+            # record the write order in table metadata (Iceberg
+            # sort-orders), so readers/planners know files are
+            # clustered by these columns
+            name_to_id = {c.name: c.field_id for c in self.schema.columns}
+            orders = list(self.meta.raw.get("sort-orders", []))
+            order_id = max((o.get("order-id", 0) for o in orders), default=0) + 1
+            orders.append(
+                {
+                    "order-id": order_id,
+                    "fields": [
+                        {
+                            "transform": "identity",
+                            "source-id": name_to_id[c],
+                            "direction": "asc",
+                            "null-order": "nulls-first",
+                        }
+                        for c in sort_by
+                    ],
+                }
+            )
+            doc_updates = {"sort-orders": orders, "default-sort-order-id": order_id}
         self._commit(
             operation="replace",
             new_data_files=files,
             keep_previous=False,
             extra_summary={"total-position-deletes": "0", "rewritten-to-files": str(len(files))},
+            doc_updates=doc_updates,
         )
 
     def rewrite_manifests(self) -> None:

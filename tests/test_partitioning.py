@@ -402,3 +402,21 @@ def test_partition_evolution_add_field(spark, tmp_path):
     }
     assert pruned2 == pruned
     assert t.scan().count() == 200
+
+
+def test_partition_evolution_remove_field(spark, tmp_path):
+    from duckdb_iceberg_spark import IcebergTable
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang", "text")
+    t = IcebergTable.create(spark, str(tmp_path / "t"), docs.filter("doc_id < 100"), partition_by=["lang"])
+    t.remove_partition_field("lang")
+    assert t.partition_fields == []
+    t.append(docs.filter("doc_id >= 100 AND doc_id < 150"))
+    assert t.scan().count() == 150
+    # old files still prunable through their own spec; new (unpartitioned-
+    # spec) files lack the key and survive the filter
+    all_files = {r.file for r in t.scan(mode="list_files").collect()}
+    kept = {r.file for r in t.scan(mode="list_files", partition_filter={"lang": "en"}).collect()}
+    assert kept < all_files  # some old-spec files pruned
+    with pytest.raises(ValueError, match="not in current spec"):
+        t.remove_partition_field("lang")

@@ -454,3 +454,19 @@ def _live_entries_at(t, snapshot_id):
 
     snap = t.meta.snapshot_by_id(snapshot_id)
     return load_table_scan(t.meta, snap, t.path, False).data_files()
+
+
+def test_sorted_compaction_records_sort_order(spark, tmp_path):
+    from duckdb_iceberg_spark import IcebergTable
+
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    t = IcebergTable.create(spark, str(tmp_path / "t"), n)
+    t.rewrite_data_files(sort_by=["n_name"], target_file_size_bytes=1 << 30)
+    doc = t.meta.raw
+    assert doc["default-sort-order-id"] == 1
+    order = next(o for o in doc["sort-orders"] if o["order-id"] == 1)
+    name_id = next(c.field_id for c in t.schema.columns if c.name == "n_name")
+    assert order["fields"] == [
+        {"transform": "identity", "source-id": name_id, "direction": "asc", "null-order": "nulls-first"}
+    ]
+    assert t.scan().count() == n.count()
