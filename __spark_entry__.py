@@ -2410,6 +2410,40 @@ def _streaming_dedup(spark, sf):
     )
 
 
+def _streaming_enrich(spark, sf):
+    """Stream-static enrichment: events stream broadcast-joined to the
+    customer dimension per micro-batch (stateless, no shuffle on the
+    stream side), aggregated per nation. Drained with availableNow —
+    the result is deterministic, so this streaming query is checked
+    against the batch SQL oracle directly."""
+    from duckdb_iceberg_spark.streaming.events import (
+        enrich_with_dim,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    cust = _t(spark, sf, "customer").select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+    enriched = enrich_with_dim(read_events_stream(spark, sf), cust, "user_id")
+    agg = enriched.groupBy("c_nationkey", "event_type").agg(
+        F.count("*").alias("n"), F.sum("value").alias("sv")
+    )
+    out = run_stream_to_memory(agg, "stream_enrich_entry")
+    return out.select(
+        "c_nationkey",
+        "event_type",
+        "n",
+        F.round("sv", 2).cast("decimal(38,2)").alias("sum_value"),
+    )
+
+
+_STREAM_ENRICH_SQL = """
+SELECT c_nationkey, event_type, COUNT(*) AS n,
+  CAST(ROUND(SUM(value), 2) AS DECIMAL(38,2)) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 def _streaming_hourly(spark, sf):
     from duckdb_iceberg_spark.streaming.events import (
         hourly_rollup,
@@ -3098,6 +3132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": _mm_features,  # rows-only
         # streaming
         "streaming_hourly": _streaming_hourly,  # rows-only
+        "streaming_enrich": _streaming_enrich,
         "streaming_stateful": _streaming_stateful,  # rows-only
         "streaming_to_iceberg": _streaming_to_iceberg,
         "streaming_dedup": _streaming_dedup,  # rows-only (exactness in tests)
@@ -3212,6 +3247,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_changelog": _ICEBERG_CL_SQL,
         "iceberg_partition_evolution": _ICEBERG_PE_SQL,
         "streaming_to_iceberg": _STREAMING_TO_ICEBERG_SQL,
+        "streaming_enrich": _STREAM_ENRICH_SQL,
         "funnel_join": _FUNNEL_SQL,
         "iceberg_equality_deletes": _ICEBERG_EQ_SQL,
         "iceberg_merge_upsert": _ICEBERG_MERGE_SQL,

@@ -153,6 +153,16 @@ def click_purchase_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame
     ).select("p_user", "p_ts", "p_value", "c_ts")
 
 
+def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static enrichment: join a stream against a static
+    dimension table. The static side is broadcast — every micro-batch
+    joins map-side with NO shuffle and NO state (stream-static inner
+    joins are stateless by definition: the dim is re-resolvable at any
+    time). The canonical Kafka-enrichment shape; identical expression
+    works on a batch DataFrame, which is how the oracle checks it."""
+    return events.join(F.broadcast(dim), on, "inner")
+
+
 def write_stream_to_iceberg(stream_df: DataFrame, table_path: str, checkpoint: str | None = None):
     """Streaming ingestion into a native Iceberg table: each
     micro-batch is appended as one Iceberg snapshot via foreachBatch —

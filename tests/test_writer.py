@@ -470,3 +470,43 @@ def test_sorted_compaction_records_sort_order(spark, tmp_path):
         {"transform": "identity", "source-id": name_id, "direction": "asc", "null-order": "nulls-first"}
     ]
     assert t.scan().count() == n.count()
+
+
+def test_changelog_equals_full_diff_random_histories(spark, tmp_path):
+    """Randomized (seeded) mutation histories: the manifest-diff
+    changelog must equal the naive full-table EXCEPT ALL diff for
+    every snapshot pair, including windows spanning compactions."""
+    import random
+
+    from duckdb_iceberg_spark import IcebergTable
+
+    rng = random.Random(42)
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select("c_custkey", "c_nationkey")
+    for trial in range(3):
+        t = IcebergTable.create(spark, str(tmp_path / f"t{trial}"), cust.filter("c_custkey % 3 = 0"))
+        snaps = [t.meta.latest_snapshot().snapshot_id]
+        for _ in range(4):
+            op = rng.choice(["append", "delete", "compact"])
+            if op == "append":
+                m = rng.randrange(2, 7)
+                t.append(cust.filter(f"c_custkey % 3 = 1 AND c_custkey % {m} = 0"))
+            elif op == "delete":
+                m = rng.randrange(5, 12)
+                t.delete_where(f"c_custkey % {m} = 0")
+            else:
+                t.rewrite_data_files(target_file_size_bytes=1 << 30)
+            snaps.append(t.meta.latest_snapshot().snapshot_id)
+        a, b = sorted(rng.sample(range(len(snaps)), 2))
+        old = t.scan(snapshot_id=snaps[a])
+        new = t.scan(snapshot_id=snaps[b])
+        want_ins = canon_rows(new.columns, [tuple(r) for r in new.exceptAll(old).collect()])
+        want_del = canon_rows(old.columns, [tuple(r) for r in old.exceptAll(new).collect()])
+        cl = t.scan_changelog(snaps[a], snaps[b])
+        got_ins = canon_rows(
+            cust.columns, [tuple(r)[1:] for r in cl.filter("change_type = 'insert'").collect()]
+        )
+        got_del = canon_rows(
+            cust.columns, [tuple(r)[1:] for r in cl.filter("change_type = 'delete'").collect()]
+        )
+        assert got_ins == want_ins, f"trial {trial}: inserts diverge"
+        assert got_del == want_del, f"trial {trial}: deletes diverge"
