@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "funnel_join",
     "text_repetition",
     "contamination",
+    "sim_quantized",
+    "resample_events",
 ]
 
 

@@ -9,7 +9,14 @@ Public API (SURVEY.md §7.1):
 """
 
 from .session import get_spark
-from .sources.iceberg import iceberg_history, iceberg_metadata, iceberg_scan, iceberg_snapshots
+from .sources.iceberg import (
+    iceberg_history,
+    iceberg_metadata,
+    iceberg_partitions,
+    iceberg_scan,
+    iceberg_snapshots,
+    register_sql_views,
+)
 from .sources.rest_catalog import RestCatalog
 from .writer import IcebergTable
 
@@ -19,6 +26,8 @@ __all__ = [
     "iceberg_snapshots",
     "iceberg_metadata",
     "iceberg_history",
+    "iceberg_partitions",
+    "register_sql_views",
     "IcebergTable",
     "RestCatalog",
 ]

@@ -666,3 +666,47 @@ def iceberg_metadata(
                 )
             )
     return spark.createDataFrame(rows, _METADATA_SCHEMA)
+
+
+def register_sql_views(spark, path: str, name: str, **opts) -> list[str]:
+    """SQL-first usage parity with the reference extension: register a
+    family of temp views so every query a DuckDB user writes against
+    ``iceberg_scan('<path>')`` / ``iceberg_snapshots`` /
+    ``iceberg_metadata`` becomes plain ``spark.sql`` against
+    ``<name>`` / ``<name>_snapshots`` / ``<name>_metadata`` (plus the
+    beyond-reference ``_history`` / ``_partitions`` / ``_files``
+    metadata tables).
+
+    ``opts`` are forwarded to ``iceberg_scan`` (time travel, codec,
+    moved paths, ...). Returns the registered view names.
+
+    The data view is a lazy DataFrame: registration costs one
+    driver-side metadata resolution, and every SQL query against it
+    re-plans from the same snapshot (stable reads; re-register to see
+    new commits).
+    """
+    views = {
+        name: iceberg_scan(spark, path, **opts),
+        f"{name}_snapshots": iceberg_snapshots(
+            spark, path, metadata_compression_codec=opts.get("metadata_compression_codec", "none")
+        ),
+        f"{name}_metadata": iceberg_metadata(
+            spark,
+            path,
+            metadata_compression_codec=opts.get("metadata_compression_codec", "none"),
+            allow_moved_paths=opts.get("allow_moved_paths", False),
+        ),
+        f"{name}_history": iceberg_history(
+            spark, path, metadata_compression_codec=opts.get("metadata_compression_codec", "none")
+        ),
+        f"{name}_partitions": iceberg_partitions(
+            spark,
+            path,
+            metadata_compression_codec=opts.get("metadata_compression_codec", "none"),
+            allow_moved_paths=opts.get("allow_moved_paths", False),
+        ),
+        f"{name}_files": iceberg_scan(spark, path, mode="list_files", **opts),
+    }
+    for vname, df in views.items():
+        df.createOrReplaceTempView(vname)
+    return list(views)

@@ -116,3 +116,24 @@ def test_history_ancestry(spark):
     for prev, cur in zip(rows, rows[1:]):
         assert cur.parent_id == prev.snapshot_id
     assert all(r.is_current_ancestor for r in rows)
+
+
+def test_register_sql_views_family(spark):
+    """SQL-first parity: the whole reference query surface through
+    spark.sql against registered views, golden counts intact."""
+    from duckdb_iceberg_spark import register_sql_views
+
+    path = "/root/reference/data/iceberg/lineitem_iceberg"
+    names = register_sql_views(spark, path, "li", allow_moved_paths=True)
+    assert set(names) == {"li", "li_snapshots", "li_metadata", "li_history", "li_partitions", "li_files"}
+    assert spark.sql("SELECT COUNT(*) AS n FROM li").first().n == 51793
+    assert spark.sql("SELECT COUNT(*) AS n FROM li_snapshots").first().n == 2
+    assert spark.sql("SELECT COUNT(*) AS n FROM li_files WHERE type = 'data'").first().n >= 1
+    # time-travel registration
+    register_sql_views(spark, path, "li_v1", snapshot_id=3776207205136740581, allow_moved_paths=True)
+    assert spark.sql("SELECT COUNT(*) AS n FROM li_v1").first().n == 60175
+    # views compose with plain SQL (join metadata to data counts)
+    row = spark.sql(
+        "SELECT SUM(record_count) AS rc FROM li_metadata WHERE status <> 'DELETED' AND content = 'EXISTING'"
+    ).first()
+    assert row.rc is None or row.rc >= 0

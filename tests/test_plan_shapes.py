@@ -39,6 +39,13 @@ _JVM_ONLY = [
     "dedup_minhash_sig",
     "sim_topk",
     "events_sessionize",
+    "text_repetition",
+    "text_pii_scrub",
+    "text_entropy",
+    "contamination",
+    "sim_quantized",
+    "resample_events",
+    "bitwise_funcs",
 ]
 
 
@@ -122,3 +129,32 @@ def test_bucketed_join_no_exchange(spark):
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan, plan[:800]
     assert "BroadcastHashJoin" not in plan
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark n-gram set must broadcast; the corpus side must
+    not shuffle for the membership join (only the final per-doc
+    aggregation exchanges)."""
+    plan = _plan(E.queries()["contamination"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_streaming_enrich_is_broadcast(spark):
+    """Batch twin of the stream-static enrichment joins map-side."""
+    from duckdb_iceberg_spark.streaming.events import enrich_with_dim
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    plan = _plan(enrich_with_dim(ev, cust))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantized_topk_no_global_sort(spark):
+    """int8 top-k must plan as TakeOrderedAndProject (k rows to the
+    driver), never a full global Sort."""
+    plan = _plan(E.queries()["sim_quantized"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
