@@ -437,6 +437,30 @@ FROM orders
 """
 
 
+def _window_range_frame(spark, sf):
+    """RANGE-frame window (value-based, not row-based): per-customer
+    trailing-30-day order value. Both engines order by the same
+    integer day offset so frame boundaries agree exactly."""
+    o = _t(spark, sf, "orders").filter(F.col("o_custkey") < 200)
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    w = Window.partitionBy("o_custkey").orderBy(days).rangeBetween(-30, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum("o_totalprice").over(w).cast("decimal(38,2)").alias("trailing_30d"),
+    )
+
+
+_WIN_RANGE_SQL = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(o_totalprice) OVER (
+    PARTITION BY o_custkey
+    ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS trailing_30d
+FROM orders WHERE o_custkey < 200
+"""
+
+
 def _window_navigation(spark, sf):
     """Navigation window functions (first/last/nth value) over an
     explicit full-partition frame (same frame spelled out in both
@@ -3061,6 +3085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_sum": _window_running_sum,
         "window_lag_delta": _window_lag_delta,
         "window_navigation": _window_navigation,
+        "window_range_frame": _window_range_frame,
         # sort / limit / set ops / distinct
         "sort_topk": _sort_topk,
         "setop_union": _setop_union,
@@ -3188,6 +3213,7 @@ def oracle_sql() -> dict[str, str]:
         "window_running_sum": _WIN_RUN_SQL,
         "window_lag_delta": _WIN_LAG_SQL,
         "window_navigation": _WIN_NAV_SQL,
+        "window_range_frame": _WIN_RANGE_SQL,
         "sort_topk": _SORT_TOPK_SQL,
         "setop_union": _SETOP_UNION_SQL,
         "setop_intersect": _SETOP_INTERSECT_SQL,

@@ -123,3 +123,41 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))).alias("frame_ts_ms"),
     )
+
+
+def _resize_payload(payload: bytes, w: int, h: int, use_real_codecs: bool = False) -> bytes:
+    """STUB: real resize needs PIL, absent here. The deterministic
+    fake is content-addressed (digest + target dims) so tests verify
+    the distribution plumbing end-to-end."""
+    if use_real_codecs:
+        raise NotImplementedError(
+            "real image codecs are not available in this environment; "
+            "plug PIL.Image.resize into _resize_payload here"
+        )
+    return b"RESIZED:%dx%d:" % (w, h) + hashlib.md5(payload or b"").digest()
+
+
+def resize_images(media: DataFrame, width: int, height: int, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched image resize: image rows get a new payload and
+    updated meta dims; non-image rows pass through untouched.
+
+    Same scale shape as extract_features — payloads never leave the
+    executors, Arrow batches bound memory, output schema is identical
+    to the input (so resize composes with any downstream media op).
+    """
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, out_meta = [], []
+            for mt, pl, meta in zip(pdf["media_type"], pdf["payload"], pdf["meta"]):
+                m = dict(meta) if meta is not None else {}
+                if mt == "image":
+                    out_payload.append(_resize_payload(pl, width, height))
+                    m["width"], m["height"] = width, height
+                else:
+                    out_payload.append(pl)
+                out_meta.append(m)
+            pdf = pdf.assign(payload=out_payload, meta=out_meta)
+            yield pdf
+
+    return media.mapInPandas(do_resize, MEDIA_SCHEMA)

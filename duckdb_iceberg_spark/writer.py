@@ -1501,11 +1501,15 @@ class IcebergTable:
 
     def expire_snapshots(self, keep_last: int = 1) -> None:
         """Drop all but the newest `keep_last` snapshots from metadata
-        (pair with remove_orphan_files to reclaim storage)."""
+        (pair with remove_orphan_files to reclaim storage). Snapshots
+        pinned by a tag or branch ref are ALWAYS retained — expiring a
+        named version out from under its ref is how real Iceberg
+        deployments lose reproducibility, so refs win over the count."""
         doc = dict(self.meta.raw)
         snaps = sorted(doc.get("snapshots", []), key=lambda s: s["timestamp-ms"])
-        keep = snaps[-keep_last:]
-        keep_ids = {s["snapshot-id"] for s in keep}
+        ref_ids = {r["snapshot-id"] for r in doc.get("refs", {}).values()}
+        keep_ids = {s["snapshot-id"] for s in snaps[-keep_last:]} | ref_ids
+        keep = [s for s in snaps if s["snapshot-id"] in keep_ids]
         doc["snapshots"] = keep
         doc["snapshot-log"] = [e for e in doc.get("snapshot-log", []) if e["snapshot-id"] in keep_ids]
         doc["last-updated-ms"] = _now_ms()

@@ -307,3 +307,26 @@ def test_int8_quantized_topk_recall(spark, sf_dir):
     codes = body.select(F.explode(VEC.quantize_int8(F.col("embedding"))["codes"]).alias("c"))
     mn, mx = codes.agg(F.min("c"), F.max("c")).first()
     assert -128 <= mn and mx <= 127
+
+
+def test_resize_images_plumbing(spark, sf_dir):
+    """resize_images: image rows get new dims + content-addressed
+    payload, non-image rows pass through byte-identical, schema is
+    closed under the op (composes with extract_features)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    media = MM.synth_media(docs)
+    out = MM.resize_images(media, 224, 224)
+    assert out.schema == MM.MEDIA_SCHEMA  # closed under the canonical media schema
+    rows = {r.media_id: r for r in out.collect()}
+    orig = {r.media_id: r for r in media.collect()}
+    for mid, r in rows.items():
+        if r.media_type == "image":
+            assert (r.meta.width, r.meta.height) == (224, 224)
+            assert bytes(r.payload).startswith(b"RESIZED:224x224:")
+        else:
+            assert bytes(r.payload) == bytes(orig[mid].payload)
+            assert r.meta == orig[mid].meta
+    # composes: features over resized media still runs
+    assert MM.extract_features(out).count() == media.count()
+    with pytest.raises(NotImplementedError):
+        MM._resize_payload(b"x", 10, 10, use_real_codecs=True)

@@ -510,3 +510,22 @@ def test_changelog_equals_full_diff_random_histories(spark, tmp_path):
         )
         assert got_ins == want_ins, f"trial {trial}: inserts diverge"
         assert got_del == want_del, f"trial {trial}: deletes diverge"
+
+
+def test_expire_retains_ref_pinned_snapshots(spark, tmp_path):
+    """A tagged snapshot survives count-based expiry (refs win), and
+    the tag remains readable; untagged history is dropped."""
+    from duckdb_iceberg_spark import IcebergTable
+
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    t = IcebergTable.create(spark, str(tmp_path / "t"), n)
+    first = t.meta.latest_snapshot().snapshot_id
+    t.create_tag("v1", first)
+    t.delete_where("n_nationkey % 2 = 0")
+    t.append(n.filter("n_nationkey = 0"))
+    assert len(t.meta.snapshots) == 3
+    t.expire_snapshots(keep_last=1)
+    ids = {s.snapshot_id for s in t.meta.snapshots}
+    assert first in ids  # pinned by tag
+    assert len(ids) == 2  # latest + tagged; middle snapshot expired
+    assert t.scan(tag="v1").count() == n.count()
