@@ -96,3 +96,62 @@ def test_stream_stream_join_matches_batch(spark):
     a = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert len(a) > 0 and a == b
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Watermark contract, empirically pinned: an event whose window
+    closed BEFORE the previous batch's watermark is dropped (counted
+    in numRowsDroppedByWatermark) and its window never emits; on-time
+    windows finalize exactly once without the late row. Files are
+    forced into separate micro-batches (maxFilesPerTrigger=1, mtime
+    order) so the watermark is active when the late row arrives.
+    Note Spark's guarantee is one-directional: data later than the
+    lag MAY be kept for one extra batch — the late row here arrives
+    two batches after the watermark passed its window, where the drop
+    is guaranteed."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    files = [
+        ("a.json", [{"ts": f"2024-01-01 10:{10 + i:02d}:00", "v": 1} for i in range(3)]),
+        ("b.json", [{"ts": "2024-01-01 13:00:00", "v": 1}]),  # wm -> 12:00
+        ("c.json", [{"ts": "2024-01-01 00:30:00", "v": 1},  # hours late: dropped
+                    {"ts": "2024-01-01 14:00:00", "v": 1}]),
+    ]
+    for i, (name, rows) in enumerate(files):
+        p = src_dir / name
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        _os.utime(p, (1_000_000_000 + i * 100,) * 2)
+
+    schema = T.StructType([T.StructField("ts", T.TimestampType()), T.StructField("v", T.IntegerType())])
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src_dir))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("late_drop_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dropped = sum(
+            (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) if p["stateOperators"] else 0)
+            for p in q.recentProgress
+        )
+    got = {r["w"]["start"].strftime("%H:%M"): r["n"] for r in spark.table("late_drop_test").collect()}
+    assert got == {"10:00": 3}  # on-time window finalized once, late row absent
+    assert dropped == 1  # the late row was dropped by the watermark
