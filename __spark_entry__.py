@@ -1867,6 +1867,41 @@ WHERE (rn - 1) % 10 = 0
 """
 
 
+def _split_train_val_test(spark, sf):
+    """Deterministic hash-based train/val/test split: a key's split
+    never changes as the corpus grows (md5 bucketing, no RNG) — the
+    reproducibility property random() splits lack. Per-row expression,
+    zero shuffle."""
+    d = _t(spark, sf, "documents")
+    return SA.hash_split(
+        d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+
+
+_SPLIT_SQL = f"""
+SELECT doc_id, {SA.hash_split_sql('doc_id', {'train': 0.9, 'val': 0.05, 'test': 0.05})} AS split
+FROM documents
+"""
+
+
+def _shuffle_deterministic(spark, sf):
+    """Seeded pseudorandom training order: global sort by
+    md5(seed:key), positions materialized for the oracle compare.
+    (In production the sorted WRITE is the product — no index column
+    needed; change the seed for a fresh epoch order.)"""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    shuffled = SA.shuffle_deterministic(d, "doc_id")
+    w = Window.orderBy(F.md5(F.concat_ws(":", F.lit("42"), F.col("doc_id").cast("string"))))
+    return shuffled.select("doc_id", F.row_number().over(w).alias("pos"))
+
+
+_SHUFFLE_SQL = """
+SELECT doc_id,
+  CAST(ROW_NUMBER() OVER (ORDER BY md5(concat_ws(':', '42', CAST(doc_id AS VARCHAR)))) AS INT) AS pos
+FROM documents WHERE doc_id < 400
+"""
+
+
 def _curate_pipeline(spark, sf):
     """End-to-end curation: quality gate + language gate + exact
     near-normalized dedup -> per-language corpus stats. The composite
@@ -3132,6 +3167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline (packing / sampling / curation)
         "pack_sequences": _pack_sequences,
         "sample_stratified": _sample_stratified,
+        "split_train_val_test": _split_train_val_test,
+        "shuffle_deterministic": _shuffle_deterministic,
         "curate_pipeline": _curate_pipeline,
         # dedup
         "dedup_exact": _dedup_exact,
@@ -3246,6 +3283,8 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _CONTAM_SQL,
         "pack_sequences": _PACK_SQL,
         "sample_stratified": _SAMPLE_SQL,
+        "split_train_val_test": _SPLIT_SQL,
+        "shuffle_deterministic": _SHUFFLE_SQL,
         "curate_pipeline": _CURATE_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_sig": _DEDUP_MINHASH_SQL,

@@ -19,6 +19,62 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    seed: str = "42",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: md5(seed:key) maps
+    each key to [0,100) and range boundaries assign the split.
+    Per-row expression — no shuffle, no RNG state, reproducible across
+    engines/runs/cluster sizes, and stable under data growth (a key's
+    split never changes when other rows arrive — the property random()
+    splits lack).
+
+    ``splits``: {"train": 0.9, "val": 0.05, "test": 0.05} (sums to 1).
+    """
+    if abs(sum(splits.values()) - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1")
+    # engine-portable bucketing: the first 4 hex chars of the md5 are
+    # uniform over 0x0000-0xffff, and fixed-width lowercase hex
+    # compares identically as a STRING in every engine — no hex->int
+    # cast (whose syntax differs) anywhere.
+    prefix = F.substring(F.md5(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string"))), 1, 4)
+    expr = None
+    acc = 0.0
+    for name, frac in splits.items():
+        acc += frac
+        hi = format(min(int(round(acc * 65536)), 65536) - 1, "04x")
+        cond = prefix <= F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(out_col, expr)
+
+
+def hash_split_sql(key_col: str, splits: dict[str, float], seed: str = "42") -> str:
+    """DuckDB twin of :func:`hash_split`'s assignment expression."""
+    prefix = f"substring(md5(concat_ws(':', '{seed}', CAST({key_col} AS VARCHAR))), 1, 4)"
+    expr = "NULL"
+    acc = 0.0
+    clauses = []
+    for name, frac in splits.items():
+        acc += frac
+        clauses.append((name, format(min(int(round(acc * 65536)), 65536) - 1, "04x")))
+    for name, hi in reversed(clauses):
+        expr = f"CASE WHEN {prefix} <= '{hi}' THEN '{name}' ELSE {expr} END"
+    return expr
+
+
+def shuffle_deterministic(df: DataFrame, key_col: str, seed: str = "42") -> DataFrame:
+    """Deterministic global shuffle for training-data ordering:
+    sort by md5(seed:key) — a pseudorandom permutation that is
+    reproducible across runs and engines (no RNG, no collect).
+    At scale this is one range-partitioned sort, the same cost as any
+    global ORDER BY; change the seed to get a fresh epoch order."""
+    return df.orderBy(F.md5(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string"))))
+
+
 def every_kth(
     df: DataFrame,
     key_col: str,

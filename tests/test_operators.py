@@ -330,3 +330,23 @@ def test_resize_images_plumbing(spark, sf_dir):
     assert MM.extract_features(out).count() == media.count()
     with pytest.raises(NotImplementedError):
         MM._resize_payload(b"x", 10, 10, use_real_codecs=True)
+
+
+def test_hash_split_stable_and_proportional(spark, sf_dir):
+    """hash_split: fractions land near targets, and a key's assignment
+    is invariant under corpus growth (the anti-leakage property)."""
+    from duckdb_iceberg_spark.operators.sampling import hash_split
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    n = d.count()
+    frac = {r["split"]: r["n"] / n for r in full.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(frac["train"] - 0.8) < 0.05 and abs(frac["val"] - 0.1) < 0.04
+    # stability: the same keys keep their split on a subset
+    sub = hash_split(d.filter("doc_id % 2 = 0"), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    merged = full.filter("doc_id % 2 = 0").select("doc_id", F.col("split").alias("s1")).join(
+        sub.select("doc_id", F.col("split").alias("s2")), "doc_id"
+    )
+    assert merged.filter("s1 <> s2").count() == 0
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(d, "doc_id", {"train": 0.5})
