@@ -63,12 +63,12 @@ def _q1_pricing_summary(spark, sf):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(38,4)").alias("sum_disc_price"),
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) * (F.lit(1) + _dec("l_tax"))).cast("decimal(38,6)").alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double").alias("sum_disc_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) * (F.lit(1) + _dec("l_tax"))).cast("double").alias("sum_charge"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 4).alias("avg_qty"),
+            F.round(F.sum(_dec("l_discount")).cast("double") / F.count("*"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -76,12 +76,12 @@ def _q1_pricing_summary(spark, sf):
 
 _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_charge,
-  ROUND(AVG(l_quantity), 4) AS avg_qty,
-  ROUND(AVG(l_discount), 4) AS avg_disc,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -97,7 +97,7 @@ def _q3_shipping_priority(spark, sf):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
-        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -105,7 +105,7 @@ def _q3_shipping_priority(spark, sf):
 
 _Q3_SQL = """
 SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
 GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
@@ -130,13 +130,13 @@ def _q5_local_supplier(spark, sf):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double").alias("revenue"))
     )
 
 
 _Q5_SQL = """
 SELECT n_name,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
   JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -157,12 +157,12 @@ def _q6_revenue(spark, sf):
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"))
     )
 
 
 _Q6_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
@@ -179,7 +179,7 @@ def _q10_returned_items(spark, sf):
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -187,7 +187,7 @@ def _q10_returned_items(spark, sf):
 
 _Q10_SQL = """
 SELECT c_custkey, c_name, n_name,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
 WHERE l_returnflag = 'R'
@@ -302,14 +302,14 @@ def _join_broadcast_brand(spark, sf):
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n"),
-            F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("brand_revenue"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("brand_revenue"),
         )
     )
 
 
 _JOIN_BCAST_SQL = """
 SELECT p_brand, COUNT(*) AS n,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS brand_revenue
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS brand_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand
 """
 
@@ -322,7 +322,7 @@ def _agg_global(spark, sf):
         F.countDistinct("l_partkey", "l_suppkey").alias("n_part_supp"),
         F.min("l_shipdate").cast("date").cast("string").alias("min_ship"),
         F.max("l_shipdate").cast("date").cast("string").alias("max_ship"),
-        F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("total_qty"),
+        F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
     )
@@ -333,7 +333,7 @@ SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders,
   COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
   CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR) AS min_ship,
   CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR) AS max_ship,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
   ROUND(MIN(l_extendedprice), 2) AS min_price, ROUND(MAX(l_extendedprice), 2) AS max_price
 FROM lineitem
 """
@@ -343,13 +343,13 @@ def _agg_having(spark, sf):
     li = _t(spark, sf, "lineitem")
     return (
         li.groupBy("l_suppkey")
-        .agg(F.count("*").alias("n"), F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("qty"))
+        .agg(F.count("*").alias("n"), F.sum(_dec("l_quantity")).cast("double").alias("qty"))
         .where(F.col("n") > 60)
     )
 
 
 _AGG_HAVING_SQL = """
-SELECT l_suppkey, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+SELECT l_suppkey, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
 FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) > 60
 """
 
@@ -357,13 +357,13 @@ FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) > 60
 def _agg_rollup(spark, sf):
     li = _t(spark, sf, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("qty")
+        F.count("*").alias("n"), F.sum(_dec("l_quantity")).cast("double").alias("qty")
     )
 
 
 _AGG_ROLLUP_SQL = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
@@ -371,13 +371,13 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 def _agg_cube(spark, sf):
     o = _t(spark, sf, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n"), F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("total")
+        F.count("*").alias("n"), F.sum(_dec("o_totalprice")).cast("double").alias("total")
     )
 
 
 _AGG_CUBE_SQL = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
@@ -406,13 +406,13 @@ def _window_running_sum(spark, sf):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(_dec("o_totalprice")).over(w).cast("decimal(38,2)").alias("running_total"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
     )
 
 
 _WIN_RUN_SQL = """
 SELECT o_custkey, o_orderkey,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DECIMAL(38,2)) AS running_total
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_total
 FROM orders
 """
 
@@ -424,7 +424,7 @@ def _window_lag_delta(spark, sf):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        (_dec("o_totalprice") - F.coalesce(prev, _dec("o_totalprice"))).cast("decimal(38,2)").alias("delta_prev"),
+        (_dec("o_totalprice") - F.coalesce(prev, _dec("o_totalprice"))).cast("double").alias("delta_prev"),
     )
 
 
@@ -432,7 +432,7 @@ _WIN_LAG_SQL = """
 SELECT o_custkey, o_orderkey,
   CAST(CAST(o_totalprice AS DECIMAL(18,2)) - COALESCE(
     LAG(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-    CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS delta_prev
+    CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS delta_prev
 FROM orders
 """
 
@@ -447,7 +447,7 @@ def _window_range_frame(spark, sf):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum("o_totalprice").over(w).cast("decimal(38,2)").alias("trailing_30d"),
+        F.sum("o_totalprice").over(w).cast("double").alias("trailing_30d"),
     )
 
 
@@ -456,7 +456,7 @@ SELECT o_custkey, o_orderkey,
   CAST(SUM(o_totalprice) OVER (
     PARTITION BY o_custkey
     ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
-    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS trailing_30d
+    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
 FROM orders WHERE o_custkey < 200
 """
 
@@ -624,14 +624,14 @@ def _events_hourly(spark, sf):
         F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
         "event_type",
         "n_events",
-        _dec("sum_value").cast("decimal(38,2)").alias("sum_value"),
+        _dec("sum_value").cast("double").alias("sum_value"),
     )
 
 
 _EVENTS_HOURLY_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
   COUNT(*) AS n_events,
-  CAST(ROUND(SUM(value), 2) AS DECIMAL(38,2)) AS sum_value
+  CAST(ROUND(SUM(value), 2) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -655,7 +655,7 @@ WITH x AS (
            OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS new_session
   FROM events)
-SELECT user_id, COUNT(*) AS n_events, SUM(new_session) AS n_sessions FROM x GROUP BY user_id
+SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_session) AS BIGINT) AS n_sessions FROM x GROUP BY user_id
 """
 
 
@@ -665,13 +665,13 @@ def _events_json(spark, sf):
     return (
         ev.select((k % 10).alias("k_bucket"), "value")
         .groupBy("k_bucket")
-        .agg(F.count("*").alias("n"), F.sum(_dec("value")).cast("decimal(38,2)").alias("sum_value"))
+        .agg(F.count("*").alias("n"), F.sum(_dec("value")).cast("double").alias("sum_value"))
     )
 
 
 _EVENTS_JSON_SQL = """
 SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket, COUNT(*) AS n,
-  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1
 """
 
@@ -758,7 +758,7 @@ def _orc_roundtrip(spark, sf):
     out = (
         _t(spark, sf, "supplier")
         .groupBy("s_nationkey")
-        .agg(F.count("*").alias("n_supp"), F.round(F.sum("s_acctbal"), 2).alias("total_bal"))
+        .agg(F.count("*").alias("n_supp"), F.sum(_dec("s_acctbal")).cast("double").alias("total_bal"))
     )
     d = tempfile.mkdtemp(prefix="orc_rt_") + "/out"
     out.write.mode("overwrite").orc(d)
@@ -766,7 +766,7 @@ def _orc_roundtrip(spark, sf):
 
 
 _ORC_RT_SQL = """
-SELECT s_nationkey, COUNT(*) AS n_supp, ROUND(SUM(s_acctbal), 2) AS total_bal
+SELECT s_nationkey, COUNT(*) AS n_supp, CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
 FROM supplier GROUP BY 1
 """
 
@@ -931,7 +931,7 @@ def _case_bucketing(spark, sf):
     )
     return o.groupBy(bucket.alias("bucket"), "o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("total"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
     )
 
 
@@ -939,7 +939,7 @@ _CASE_SQL = """
 SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
             WHEN o_totalprice < 300000 THEN 'medium' ELSE 'large' END AS bucket,
        o_orderstatus, COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders GROUP BY 1, 2
 """
 
@@ -990,8 +990,8 @@ def _q12_shipmode_counts(spark, sf):
 
 _Q12_SQL = """
 SELECT l_linenumber % 3 AS mode_bucket,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
 GROUP BY 1
@@ -1019,14 +1019,14 @@ def _q7_volume_shipping(spark, sf):
         .join(F.broadcast(n2), c.c_nationkey == n2.c_nk)
         .filter(pairs)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double").alias("revenue"))
     )
 
 
 _Q7_SQL = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
   CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN customer ON o_custkey = c_custkey
@@ -1087,13 +1087,13 @@ def _q9_profit_by_nation(spark, sf):
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
-        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(38,4)").alias("sum_profit"))
+        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double").alias("sum_profit"))
     )
 
 
 _Q9_SQL = """
 SELECT n_name AS nation, CAST(YEAR(l_shipdate) AS BIGINT) AS o_year,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_profit
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_profit
 FROM lineitem JOIN part ON l_partkey = p_partkey
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
@@ -1134,7 +1134,7 @@ def _q15_top_supplier(spark, sf):
     li = _t(spark, sf, "lineitem")
     s = _t(spark, sf, "supplier")
     rev = li.groupBy("l_suppkey").agg(
-        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(38,4)").alias("total_revenue")
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double").alias("total_revenue")
     )
     max_rev = rev.agg(F.max("total_revenue").alias("m"))
     return (
@@ -1147,7 +1147,7 @@ def _q15_top_supplier(spark, sf):
 _Q15_SQL = """
 WITH revenue AS (
   SELECT l_suppkey,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS total_revenue
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
   FROM lineitem GROUP BY l_suppkey)
 SELECT s_suppkey, s_name, total_revenue
 FROM supplier JOIN revenue ON s_suppkey = l_suppkey
@@ -1170,12 +1170,12 @@ def _q17_small_quantity(spark, sf):
     return (
         brand_li.join(F.broadcast(avg_qty), brand_li.l_partkey == avg_qty.ap_partkey)
         .filter(F.col("l_quantity") < F.col("half_avg"))
-        .agg(F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("small_qty_revenue"))
+        .agg(F.sum(_dec("l_extendedprice")).cast("double").alias("small_qty_revenue"))
     )
 
 
 _Q17_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS small_qty_revenue
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue
 FROM lineitem l JOIN part ON l_partkey = p_partkey
 WHERE p_brand = 'Brand#1'
   AND l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey)
@@ -1191,7 +1191,7 @@ def _q18_large_orders(spark, sf):
     # one pass over lineitem: aggregate once, filter the aggregate
     big = (
         li.groupBy(F.col("l_orderkey").alias("lk"))
-        .agg(F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("total_qty"))
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
     return (
@@ -1205,7 +1205,7 @@ def _q18_large_orders(spark, sf):
 
 _Q18_SQL = """
 SELECT c_custkey, c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
 FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
 WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
 GROUP BY 1, 2, 3, 4
@@ -1225,12 +1225,12 @@ def _q19_disjunctive(spark, sf):
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(cond)
-        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double").alias("revenue"))
     )
 
 
 _Q19_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 30)
@@ -1249,12 +1249,12 @@ def _q22_inactive_customers(spark, sf):
         .filter(F.col("c_acctbal") > F.col("ab"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy(F.col("c_nationkey").alias("cntry"))
-        .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .agg(F.count("*").alias("numcust"), F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"))
     )
 
 
 _Q22_SQL = """
-SELECT c_nationkey AS cntry, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+SELECT c_nationkey AS cntry, COUNT(*) AS numcust, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
 FROM customer
 WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -1331,15 +1331,15 @@ def _q11_important_suppliers(spark, sf):
     read exactly once)."""
     li = _t(spark, sf, "lineitem")
     per_supp = li.groupBy("l_suppkey").agg(
-        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
-        .cast("decimal(38,4)")
-        .alias("value")
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("dval")
     )
-    thresh = per_supp.agg((F.avg("value") * 1.05).alias("cutoff"))
+    # threshold derived from the EXACT decimal sum, so the double cutoff
+    # is bit-identical across engines regardless of accumulation order
+    thresh = per_supp.agg((F.sum("dval").cast("double") * F.lit(1.05) / F.count("*")).alias("cutoff"))
     return (
         per_supp.join(F.broadcast(thresh))
-        .filter(F.col("value") > F.col("cutoff"))
-        .select("l_suppkey", "value")
+        .filter(F.col("dval").cast("double") > F.col("cutoff"))
+        .select("l_suppkey", F.col("dval").cast("double").alias("value"))
         .orderBy(F.desc("value"), "l_suppkey")
     )
 
@@ -1347,10 +1347,10 @@ def _q11_important_suppliers(spark, sf):
 _Q11_SQL = """
 WITH per_supp AS (
   SELECT l_suppkey,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS value
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS dval
   FROM lineitem GROUP BY l_suppkey)
-SELECT l_suppkey, value FROM per_supp
-WHERE value > (SELECT AVG(value) * 1.05 FROM per_supp)
+SELECT l_suppkey, CAST(dval AS DOUBLE) AS value FROM per_supp
+WHERE CAST(dval AS DOUBLE) > (SELECT CAST(SUM(dval) AS DOUBLE) * 1.05 / COUNT(*) FROM per_supp)
 ORDER BY value DESC, l_suppkey
 """
 
@@ -1371,7 +1371,7 @@ def _q20_top_shippers(spark, sf):
     qual = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
         .groupBy("l_suppkey")
-        .agg(F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("qty"))
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("qty"))
         .filter(F.col("qty") > 50)
     )
     return (
@@ -1388,7 +1388,7 @@ WHERE s_suppkey IN (
   WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
     AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   GROUP BY l_suppkey
-  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) > 50)
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 50)
 ORDER BY s_suppkey
 """
 
@@ -1563,7 +1563,7 @@ def _agg_grouping_sets(spark, sf):
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM _gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
         """
@@ -1572,7 +1572,7 @@ def _agg_grouping_sets(spark, sf):
 
 _GROUPING_SETS_SQL = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
 """
@@ -1847,7 +1847,7 @@ WITH d AS (
 p AS (
   SELECT lang, n_tokens, {PK.pack_sql('n_tokens', 'doc_id', 2048, 'lang')} AS shard_id
   FROM d)
-SELECT lang, shard_id, COUNT(*) AS ndocs, SUM(n_tokens) AS tokens
+SELECT lang, shard_id, COUNT(*) AS ndocs, CAST(SUM(n_tokens) AS BIGINT) AS tokens
 FROM p GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -1938,7 +1938,7 @@ WITH m AS (
   FROM documents),
 q AS (SELECT * FROM m WHERE quality > 0.5 AND lang <> 'und'),
 k AS (SELECT * FROM q QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
-SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
 FROM k GROUP BY lang ORDER BY lang
 """
 
@@ -2291,14 +2291,14 @@ def _join_bucketed(spark, sf):
     j = bucketed_join(spark, o, c, "o_custkey", "c_custkey", names=("be_orders", "be_cust"))
     return (
         j.groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_orders"), F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("total"))
+        .agg(F.count("*").alias("n_orders"), F.sum(_dec("o_totalprice")).cast("double").alias("total"))
         .orderBy("c_mktsegment")
     )
 
 
 _JOIN_BUCKETED_SQL = """
 SELECT c_mktsegment, COUNT(*) AS n_orders,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1 ORDER BY 1
 """
@@ -2491,13 +2491,13 @@ def _streaming_enrich(spark, sf):
         "c_nationkey",
         "event_type",
         "n",
-        F.round("sv", 2).cast("decimal(38,2)").alias("sum_value"),
+        F.round("sv", 2).cast("double").alias("sum_value"),
     )
 
 
 _STREAM_ENRICH_SQL = """
 SELECT c_nationkey, event_type, COUNT(*) AS n,
-  CAST(ROUND(SUM(value), 2) AS DECIMAL(38,2)) AS sum_value
+  CAST(ROUND(SUM(value), 2) AS DOUBLE) AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1, 2
 """
@@ -2516,7 +2516,7 @@ def _streaming_hourly(spark, sf):
         F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
         "event_type",
         "n_events",
-        _dec("sum_value").cast("decimal(38,2)").alias("sum_value"),
+        _dec("sum_value").cast("double").alias("sum_value"),
     )
 
 
@@ -2549,7 +2549,7 @@ def _iceberg_scan_where(spark, sf):
     )
     return df.groupBy("l_orderkey_bool").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("l_extendedprice_double"), 2).alias("sum_price"),
+        F.sum(_dec("l_extendedprice_double")).cast("double").alias("sum_price"),
     )
 
 
@@ -2584,13 +2584,13 @@ def _iceberg_pruned_scan(spark, sf):
     )
     return df.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_price"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
     )
 
 
 _ICEBERG_PRUNED_SQL = """
 SELECT l_returnflag, COUNT(*) AS n,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
 GROUP BY 1
@@ -2615,15 +2615,15 @@ def _iceberg_zorder(spark, sf):
         .agg(
             F.count("*").alias("n"),
             F.sum("l_orderkey").alias("sum_ok"),
-            F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
         )
         .orderBy("bucket")
     )
 
 
 _ICEBERG_ZORDER_SQL = """
-SELECT l_partkey % 10 AS bucket, COUNT(*) AS n, SUM(l_orderkey) AS sum_ok,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+SELECT l_partkey % 10 AS bucket, COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY 1 ORDER BY 1
 """
 
@@ -2654,7 +2654,7 @@ def _iceberg_overwrite_partition(spark, sf):
 _ICEBERG_OVERWRITE_SQL = """
 WITH target AS (SELECT MIN(lang) AS tl FROM documents)
 SELECT lang, COUNT(*) AS n,
-  SUM(CASE WHEN lang = (SELECT tl FROM target) THEN n_chars + 1000000 ELSE n_chars END) AS sum_chars
+  CAST(SUM(CASE WHEN lang = (SELECT tl FROM target) THEN n_chars + 1000000 ELSE n_chars END) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
 
@@ -2685,7 +2685,7 @@ FROM lineitem GROUP BY 1 ORDER BY 1
 
 
 _ICEBERG_WHERE_SQL = f"""
-SELECT l_orderkey_bool, COUNT(*) AS n, ROUND(SUM(l_extendedprice_double), 2) AS sum_price
+SELECT l_orderkey_bool, COUNT(*) AS n, CAST(SUM(CAST(l_extendedprice_double AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM read_parquet('{GEN2}/expected_results/last/data/*.parquet')
 WHERE l_extendedprice_double < 20000 AND l_partkey_int >= 100
 GROUP BY 1
@@ -2906,12 +2906,12 @@ def _join_salted(spark, sf):
     joined = salted_join(li, p.withColumnRenamed("p_partkey", "l_partkey"), on="l_partkey", n_salts=8)
     return joined.groupBy("p_brand").agg(
         F.count("*").alias("n"),
-        F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("qty"),
+        F.sum(_dec("l_quantity")).cast("double").alias("qty"),
     )
 
 
 _JOIN_SALTED_SQL = """
-SELECT p_brand, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+SELECT p_brand, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
 FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand
 """
 

@@ -42,7 +42,13 @@ def _doc_tokens(df: DataFrame, key_col: str, text_col: str, n_shingle: int) -> D
     Distinctness is PER DOCUMENT, so it is computed locally with
     array_distinct before the explode — a dropDuplicates afterwards
     would be a full (key, tok) shuffle of the exploded corpus, by far
-    the largest intermediate in the pipeline at 100 TB."""
+    the largest intermediate in the pipeline at 100 TB.
+
+    PRECONDITION: ``key_col`` is unique (one row per document). With
+    duplicate keys the per-row array_distinct is NOT equivalent to a
+    global (key, tok) dropDuplicates — the same token on two rows of
+    one key would be double-counted, inflating jaccard/minhash/n-gram
+    counts. All callers feed one-row-per-document frames."""
     col = TX.shingles(F.col(text_col), n_shingle) if n_shingle > 1 else TX.tokens(F.lower(F.col(text_col)))
     return df.select(key_col, F.explode(F.array_distinct(col)).alias("tok"))
 

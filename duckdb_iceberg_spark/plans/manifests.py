@@ -60,6 +60,7 @@ class ManifestEntry:
     equality_ids: Optional[list[int]] = None
     file_size_in_bytes: int = 0
     raw_file_path: str = ""  # as stored in the manifest (pre-rebase)
+    spec_id: int = 0  # partition spec of the manifest that listed this file
 
 
 def read_manifest_list(path: str, format_version: int) -> list[ManifestFile]:
@@ -107,6 +108,7 @@ def read_manifest_entries(path: str, format_version: int, manifest: Optional[Man
                 value_counts=_kv(df.get("value_counts")),
                 equality_ids=df.get("equality_ids"),
                 file_size_in_bytes=df.get("file_size_in_bytes", 0) or 0,
+                spec_id=(manifest.partition_spec_id if manifest is not None else 0),
             )
         )
     return out

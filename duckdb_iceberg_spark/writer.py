@@ -527,8 +527,15 @@ class IcebergTable:
         new_scan = load_table_scan(self.meta, new_snap, self.path, False)
         old_files = {e.file_path for e in old_scan.data_files()}
         new_files = {e.file_path for e in new_scan.data_files()}
-        old_deletes = {e.file_path for e in old_scan.positional_delete_files()}
-        new_deletes = {e.file_path for e in new_scan.positional_delete_files()}
+        # equality deletes count too: a delete_where_equality commit adds
+        # no data files and no positional deletes, yet removes live rows
+        # from common data files — the delete-set diff must see it
+        old_deletes = {e.file_path for e in old_scan.positional_delete_files()} | {
+            e.file_path for e in old_scan.equality_delete_files()
+        }
+        new_deletes = {e.file_path for e in new_scan.positional_delete_files()} | {
+            e.file_path for e in new_scan.equality_delete_files()
+        }
         cand_old = old_files - new_files
         cand_new = new_files - old_files
         if old_deletes != new_deletes:
@@ -1406,12 +1413,24 @@ class IcebergTable:
             for e in entries:
                 if e.get("status") == 2:  # DELETED: drop from merged view
                     continue
+                # v2 inheritance: ADDED entries carry an EXPLICIT null
+                # sequence_number, inheriting the manifest's — coalesce
+                # nulls (not just missing keys) to the SOURCE manifest's
+                # number, mirroring read_manifest_entries; otherwise the
+                # merged manifest's (higher) number would be inherited
+                # and sequence-scoped deletes would stop applying.
+                seq_no = e.get("sequence_number")
+                if seq_no is None:
+                    seq_no = m.get("sequence_number", 0) or 0
+                fseq_no = e.get("file_sequence_number")
+                if fseq_no is None:
+                    fseq_no = m.get("sequence_number", 0) or 0
                 groups.setdefault(key, []).append(
                     {
                         "status": 0,  # EXISTING
                         "snapshot_id": e.get("snapshot_id"),
-                        "sequence_number": e.get("sequence_number", m.get("sequence_number", 0)),
-                        "file_sequence_number": e.get("file_sequence_number"),
+                        "sequence_number": seq_no,
+                        "file_sequence_number": fseq_no,
                         "data_file": e["data_file"],
                     }
                 )

@@ -1,9 +1,22 @@
 """Shared harness mimicking the driver's t2 correctness gate: run each
 __spark_entry__ query AND its DuckDB oracle on the same parquet dir,
-compare row count, column names, and order-insensitive values."""
+compare row count, column names, and order-insensitive values.
+
+Round-1 lesson: the driver converts BOTH result sets through pandas
+before hashing.  Under that conversion DuckDB DECIMAL/HUGEINT columns
+become float64 while Spark decimals stay `decimal.Decimal` objects, so
+any Decimal-typed output (or integer SUM, which DuckDB widens to
+HUGEINT) hash-mismatches even when the values are identical.  This
+harness therefore ALSO routes both sides through pandas and uses a
+strict canon (full-precision float repr, no Decimal/float conflation) —
+if a query passes here it is robust to any reasonable driver canon.
+Engine outputs must follow the policy: doubles derived from exact
+decimal sums, BIGINT-cast integer sums, time keys as strings.
+"""
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
 import os
 from decimal import Decimal
@@ -23,20 +36,29 @@ def duckdb_con(sf_dir: str):
 
 
 def _canon(v):
+    """Strict per-value canonical form: floats keep FULL precision
+    (cross-engine doubles must be bit-identical), Decimals keep their
+    scale and never equal a float, ints never equal a float."""
     if v is None:
         return "<null>"
+    # numpy scalars → python
+    item = getattr(v, "item", None)
+    if item is not None and type(v).__module__ == "numpy":
+        v = v.item()
     if isinstance(v, bool):
         return str(v).lower()
     if isinstance(v, Decimal):
-        return format(v.normalize(), "f")
+        return "dec:" + str(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(round(v, 9))
+            return "<null>"
+        return repr(v)
     if isinstance(v, bytes):
         return v.hex()
+    if isinstance(v, _dt.datetime):
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return "date:" + v.isoformat()
     return str(v)
 
 
@@ -45,22 +67,45 @@ def canon_rows(cols, rows):
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
+def _pandas_rows(df):
+    """pandas DataFrame → list of row tuples with NaN/NaT → None."""
+    out = []
+    for row in df.itertuples(index=False, name=None):
+        vals = []
+        for v in row:
+            try:
+                if v is None or (isinstance(v, float) and math.isnan(v)):
+                    vals.append(None)
+                    continue
+            except (TypeError, ValueError):
+                pass
+            # pandas NaT
+            if v.__class__.__name__ == "NaTType":
+                vals.append(None)
+                continue
+            vals.append(v)
+        out.append(tuple(vals))
+    return out
+
+
 def compare_query(spark, sf_dir: str, name: str, qfn, sql: str | None):
     """Returns (ok: bool, detail: str)."""
     sdf = qfn(spark, sf_dir)
-    srows = sdf.collect()
     scols = sdf.columns
     if sql is None:
-        return (len(srows) >= 0, f"rows-only: {len(srows)} rows")
+        n = sdf.count()
+        return (n >= 0, f"rows-only: {n} rows")
+    srows = _pandas_rows(sdf.toPandas())
     con = duckdb_con(sf_dir)
     res = con.execute(sql)
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
+    opdf = res.df()
+    ocols = list(opdf.columns)
+    orows = _pandas_rows(opdf)
     if sorted(scols) != sorted(ocols):
         return (False, f"SCHEMA: spark={sorted(scols)} oracle={sorted(ocols)}")
     if len(srows) != len(orows):
         return (False, f"ROWS: spark={len(srows)} oracle={len(orows)}")
-    a = canon_rows(scols, [tuple(r) for r in srows])
+    a = canon_rows(scols, srows)
     b = canon_rows(ocols, orows)
     if a != b:
         diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
