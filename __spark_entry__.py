@@ -31,10 +31,13 @@ GEN2 = "/root/reference/data/iceberg/generated_spec2_0_001"
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long under nanosAsLong; truncate to
-        # micros exactly like DuckDB does.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        # The fixture's physical ts type has changed across driver
+        # regens; sniff and normalize to session-TZ TIMESTAMP so
+        # downstream arithmetic is fixture-independent.
+        from duckdb_iceberg_spark.session import normalize_event_ts
+
+        df = normalize_event_ts(df)
     return df
 
 
@@ -640,7 +643,7 @@ def _events_sessionize(spark, sf):
     ev = _t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
-    gap = F.when(prev.isNull() | ((F.col("ts").cast("double") - prev.cast("double")) > 1800.0), 1).otherwise(0)
+    gap = F.when(prev.isNull() | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > 1_800_000_000), 1).otherwise(0)
     return (
         ev.select("user_id", gap.alias("new_session"))
         .groupBy("user_id")
@@ -1692,11 +1695,11 @@ def _math_funcs(spark, sf):
 _MATH_SQL = """
 SELECT l_orderkey, l_linenumber,
   ABS(l_quantity - 25) AS abs_d,
-  FLOOR(SQRT(l_quantity) * 1000) AS sqrt_q,
-  FLOOR(LN(l_quantity + 1) * 1000) AS ln_q,
-  FLOOR(LOG10(l_quantity + 1) * 1000) AS log10_q,
+  CAST(FLOOR(SQRT(l_quantity) * 1000) AS BIGINT) AS sqrt_q,
+  CAST(FLOOR(LN(l_quantity + 1) * 1000) AS BIGINT) AS ln_q,
+  CAST(FLOOR(LOG10(l_quantity + 1) * 1000) AS BIGINT) AS log10_q,
   CAST(FLOOR(POW(l_quantity, 2)) AS BIGINT) AS q_sq,
-  FLOOR(EXP(l_quantity / 50.0) * 1000) AS exp_q,
+  CAST(FLOOR(EXP(l_quantity / 50.0) * 1000) AS BIGINT) AS exp_q,
   CAST(SIGN(l_quantity - 25) AS INT) AS sign_d,
   GREATEST(l_quantity, l_discount * 100) AS gr,
   LEAST(l_quantity, l_tax * 100) AS ls,
@@ -2451,19 +2454,13 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
 def _streaming_dedup(spark, sf):
     """Cross-batch streaming dedup: the events file delivered twice
     must come out once (rows-only; exactness asserted in tests)."""
-    import tempfile
-
     from duckdb_iceberg_spark.streaming.events import (
-        EVENTS_SCHEMA,
         dedup_stream,
+        read_events_files,
         run_stream_to_memory,
     )
 
-    src_dir = tempfile.mkdtemp(prefix="dedup_entry_")
-    for name in ("a.parquet", "b.parquet"):
-        os.symlink(os.path.join(sf, "events.parquet"), os.path.join(src_dir, name))
-    raw = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src_dir)
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = read_events_files(spark, sf, names=("a.parquet", "b.parquet"))
     return run_stream_to_memory(dedup_stream(stream), "streaming_dedup_entry", output_mode="append").select(
         "event_id", "user_id", "event_type"
     )

@@ -16,8 +16,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _as_seconds(df: DataFrame, colname: str) -> Column:
+    """Column as epoch-seconds double regardless of physical type.
+
+    TIMESTAMP_NTZ rejects numeric casts in Spark 4, so it is routed
+    through a session-TZ timestamp first (sessions here pin UTC, so
+    the instant is unchanged); numerics cast directly."""
+    col = df[colname]
+    if dict(df.dtypes).get(colname) == "timestamp_ntz":
+        col = col.cast("timestamp")
+    return col.cast("double")
+
+
 def _bucket(col: Column, granularity: int) -> Column:
-    return F.floor(col.cast("double") / F.lit(float(granularity))).cast("long")
+    return F.floor(col / F.lit(float(granularity))).cast("long")
 
 
 def range_join_points_to_intervals(
@@ -35,13 +47,13 @@ def range_join_points_to_intervals(
     Works on numeric or timestamp columns (timestamps are compared on
     epoch seconds for bucketing; the exact predicate uses the original
     values)."""
-    p = points.withColumn("__b", _bucket(F.col(point_col), granularity))
+    p = points.withColumn("__b", _bucket(_as_seconds(points, point_col), granularity))
     spans = intervals.withColumn(
         "__b",
         F.explode(
             F.sequence(
-                _bucket(F.col(start_col), granularity),
-                _bucket(F.col(end_col), granularity),
+                _bucket(_as_seconds(intervals, start_col), granularity),
+                _bucket(_as_seconds(intervals, end_col), granularity),
             )
         ),
     )

@@ -79,7 +79,12 @@ def resample(
     """
     from pyspark.sql import Window
 
-    bucket = (F.floor(F.col(ts).cast("long") / interval_sec) * interval_sec).cast("long")
+    tcol = F.col(ts)
+    if dict(df.dtypes).get(ts) == "timestamp_ntz":
+        # TIMESTAMP_NTZ rejects numeric casts; go through the
+        # (UTC-pinned) session-TZ timestamp first.
+        tcol = tcol.cast("timestamp")
+    bucket = (F.floor(tcol.cast("long") / interval_sec) * interval_sec).cast("long")
     order = [F.desc(ts)] + ([F.desc(tiebreak)] if tiebreak else [])
     keep = [F.col(key), bucket.alias("b"), F.col(ts), F.col(value).cast("double").alias("v")]
     if tiebreak:

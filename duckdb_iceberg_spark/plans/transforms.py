@@ -176,6 +176,83 @@ class PartitionField:
         raise ValueError(f"unknown transform {self.transform}")
 
 
+_C1, _C2 = 0xCC9E2D51, 0x1B873593
+
+
+def _m32(x: Column) -> Column:
+    return x.bitwiseAND(F.lit(0xFFFFFFFF))
+
+
+def _mul32(x: Column, c: int) -> Column:
+    """(x * c) mod 2^32 on a 32-bit-masked bigint column, without any
+    intermediate exceeding 2^48 — safe under ANSI overflow checking.
+    Split x into 16-bit halves; the high half only contributes its low
+    16 bits after the <<16."""
+    lo = x.bitwiseAND(F.lit(0xFFFF)) * F.lit(c)
+    hi = F.shiftleft(
+        (F.shiftrightunsigned(x, 16) * F.lit(c & 0xFFFF)).bitwiseAND(F.lit(0xFFFF)), 16
+    )
+    return _m32(lo + hi)
+
+
+def _rotl32(x: Column, r: int) -> Column:
+    return _m32(F.shiftleft(x, r)).bitwiseOR(F.shiftrightunsigned(x, 32 - r))
+
+
+def murmur3_32_long_column(v: Column) -> Column:
+    """murmur3_x86_32 of the 8-byte little-endian encoding of a LONG
+    column, composed entirely from JVM bitwise/arithmetic expressions —
+    whole-stage codegen, zero Python in the write hot path. Bit-exact
+    twin of the scalar ``murmur3_32``/``bucket_value`` (asserted
+    against the Iceberg spec vectors in tests/test_partitioning.py).
+    Null input propagates to null through the expression tree."""
+    h = F.lit(0)
+    for k in (_m32(v), _m32(F.shiftrightunsigned(v, 32))):
+        k = _mul32(k, _C1)
+        k = _rotl32(k, 15)
+        k = _mul32(k, _C2)
+        h = _m32(h.bitwiseXOR(k))
+        h = _rotl32(h, 13)
+        h = _m32(_mul32(h, 5) + F.lit(0xE6546B64))
+    h = h.bitwiseXOR(F.lit(8))  # len(data) == 8 bytes
+    h = h.bitwiseXOR(F.shiftrightunsigned(h, 16))
+    h = _mul32(h, 0x85EBCA6B)
+    h = h.bitwiseXOR(F.shiftrightunsigned(h, 13))
+    h = _mul32(h, 0xC2B2AE35)
+    return h.bitwiseXOR(F.shiftrightunsigned(h, 16))
+
+
+def bucket_column(source: Column, n: int, dtype: str) -> Column:
+    """Write-time Iceberg bucket(N) partition column.
+
+    int/long/date take the JVM expression path (codegen, no Python);
+    variable-length types (string/binary) need UTF-8 byte iteration,
+    which runs per-element inside Arrow-transferred batches — never a
+    row-at-a-time pickled Python UDF."""
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        hashed = murmur3_32_long_column(source.cast("long"))
+        return F.pmod(hashed.bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(n)).cast("int")
+    if dtype == "date":
+        days = F.datediff(source, F.lit("1970-01-01").cast("date")).cast("long")
+        hashed = murmur3_32_long_column(days)
+        return F.pmod(hashed.bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(n)).cast("int")
+
+    import pandas as pd
+
+    def _bucket_batch_fn(s):
+        def one(v):
+            if v is None or (isinstance(v, float) and v != v):
+                return None
+            return bucket_value(v, n)
+
+        return pd.Series(pd.array([one(v) for v in s], dtype="Int32"))
+
+    # PEP-563 stringified hints defeat pandas_udf inference under
+    # `from __future__ import annotations`; set real ones explicitly.
+    _bucket_batch_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_bucket_batch_fn, "int")(source)
+
+
 def spark_partition_column(pf: PartitionField, dtype: str) -> Column:
     """Write-time partition column for a PartitionField, given the
     source column's Spark dtype (needed to pick truncate semantics)."""
@@ -195,6 +272,5 @@ def spark_partition_column(pf: PartitionField, dtype: str) -> Column:
             return F.substring(c, 1, pf.param)
         return (c - F.pmod(c, F.lit(pf.param))).cast("long" if dtype == "bigint" else "int")
     if pf.transform == "bucket":
-        n = pf.param
-        return F.udf(lambda v: bucket_value(v, n), "int")(c)
+        return bucket_column(c, pf.param, dtype)
     raise ValueError(f"unknown transform {pf.transform}")

@@ -41,6 +41,25 @@ def s3_configs(
     return out
 
 
+def normalize_event_ts(df, col: str = "ts"):
+    """Normalize a parquet timestamp column to session-TZ TIMESTAMP
+    regardless of its physical encoding.  The events fixture has been
+    regenerated with different encodings across rounds —
+    TIMESTAMP(NANOS) (read as long under nanosAsLong) and plain micros
+    with isAdjustedToUTC=false (read as TIMESTAMP_NTZ, which rejects
+    numeric casts) — so every loader sniffs rather than assumes."""
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        # nanos-as-long; truncate to micros exactly like DuckDB.
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dt == "timestamp_ntz":
+        # session TZ is pinned UTC, so the instant is unchanged.
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def get_spark(app_name: str = "duckdb_iceberg_spark", **extra) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (

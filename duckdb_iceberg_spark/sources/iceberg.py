@@ -265,55 +265,65 @@ def _prune_by_partition(meta: TableMetadata, entries, flt, strict: bool = True):
     pruners auto-derived from a ``where`` predicate)."""
     from ..plans.transforms import PartitionField
 
-    # prune against the UNION of every spec's fields (by field name),
-    # not just the default spec: after partition evolution, files
-    # written under retired specs are still prunable through their own
-    # spec's fields, and a filter on a just-dropped field must keep
-    # working for the old files that carry it.
+    # Resolve each entry's partition fields from its OWN spec
+    # (ManifestEntry.spec_id, carried from the owning manifest's
+    # partition_spec_id). After partition evolution the same field
+    # NAME can exist in two specs with DIFFERENT transforms (dropped
+    # and re-added, e.g. bucket(4) -> bucket(8)); pruning an old-spec
+    # file with the new spec's transform would drop matching files.
     schema = meta.schemas[meta.current_schema_id]
     id_to_name = {c.field_id: c.name for c in schema.columns}
-    seen: dict[str, Any] = {}
+    spec_fields: dict[int, dict[str, list]] = {}
+    any_fields = False
     for s in meta.partition_specs:
+        by_source: dict[str, list] = {}
         for f in s.get("fields", []):
-            if f["name"] not in seen and f["source-id"] in id_to_name:
-                seen[f["name"]] = PartitionField.from_json(f, id_to_name[f["source-id"]])
-    if not seen:
+            if f["source-id"] in id_to_name:
+                src = id_to_name[f["source-id"]]
+                by_source.setdefault(src, []).append(PartitionField.from_json(f, src))
+                any_fields = True
+        spec_fields[int(s.get("spec-id", 0))] = by_source
+    if not any_fields:
         return entries  # never partitioned: nothing to prune
     if callable(flt):
         return [e for e in entries if flt(e.partition)]
-    by_source: dict[str, list] = {}
-    for pf in seen.values():
-        by_source.setdefault(pf.source, []).append(pf)
-    src_types = {c.name: c.spark_type.simpleString() for c in schema.columns}
-    targets = {}
-    for col, lit in flt.items():
-        pfs = by_source.get(col)
-        if not pfs:
-            if not strict:
-                continue
+    all_sources = set().union(*(set(m) for m in spec_fields.values()))
+    for col in flt:
+        if col not in all_sources and strict:
             raise ValueError(
-                f"partition_filter column {col!r} is not a partition source; sources: {sorted(by_source)}"
+                f"partition_filter column {col!r} is not a partition source; sources: {sorted(all_sources)}"
             )
-        st = src_types.get(col, "")
-        for pf in pfs:
-            plit = lit
-            if pf.transform == "identity" and st == "date" and isinstance(plit, str):
-                import datetime as _dt
+    src_types = {c.name: c.spark_type.simpleString() for c in schema.columns}
+    # precompute literal->partition-value per spec (transforms differ)
+    targets_by_spec: dict[int, dict[str, Any]] = {}
+    for sid, by_source in spec_fields.items():
+        targets: dict[str, Any] = {}
+        for col, lit in flt.items():
+            st = src_types.get(col, "")
+            for pf in by_source.get(col, []):
+                plit = lit
+                if pf.transform == "identity" and st == "date" and isinstance(plit, str):
+                    import datetime as _dt
 
-                plit = _dt.date.fromisoformat(plit)
-            if pf.transform == "identity" and st.startswith("timestamp"):
-                continue  # identity-timestamp partition values aren't canonical: skip pruning
-            targets[pf.name] = pf.apply(plit)
-    # an entry written under an OLDER spec lacks the key entirely (vs a
-    # present-but-null partition value): its rows may still match, so
+                    plit = _dt.date.fromisoformat(plit)
+                if pf.transform == "identity" and st.startswith("timestamp"):
+                    continue  # identity-timestamp partition values aren't canonical: skip pruning
+                targets[pf.name] = pf.apply(plit)
+        targets_by_spec[sid] = targets
+
+    # an entry written under a spec that lacks the field entirely (vs
+    # a present-but-null partition value) may still match on rows, so
     # it must be kept — the Iceberg mixed-spec scan rule after
     # partition evolution. Null partition values (key present) can
-    # never equal a literal and are pruned.
-    return [
-        e
-        for e in entries
-        if all(k not in e.partition or e.partition[k] == v for k, v in targets.items())
-    ]
+    # never equal a literal and are pruned. Unknown spec-id: keep
+    # (cannot prune safely).
+    def _keep(e) -> bool:
+        targets = targets_by_spec.get(e.spec_id)
+        if targets is None:
+            return True
+        return all(k not in e.partition or e.partition[k] == v for k, v in targets.items())
+
+    return [e for e in entries if _keep(e)]
 
 
 import re as _re
@@ -685,27 +695,24 @@ def register_sql_views(spark, path: str, name: str, **opts) -> list[str]:
     re-plans from the same snapshot (stable reads; re-register to see
     new commits).
     """
+    scan_opts = dict(opts)
+    scan_opts.pop("mode", None)  # the family fixes each view's mode itself
+    meta_opts = {
+        "metadata_compression_codec": opts.get("metadata_compression_codec", "none")
+    }
+    # time travel applies uniformly: the metadata views resolve the
+    # same snapshot the data view reads (reference usage pins all of
+    # iceberg_scan/_snapshots/_metadata to one version in one script,
+    # test/sql/iceberg_scan.test:17-32).
+    travel = {k: opts[k] for k in ("snapshot_id", "timestamp") if k in opts}
+    moved = {"allow_moved_paths": opts.get("allow_moved_paths", False)}
     views = {
-        name: iceberg_scan(spark, path, **opts),
-        f"{name}_snapshots": iceberg_snapshots(
-            spark, path, metadata_compression_codec=opts.get("metadata_compression_codec", "none")
-        ),
-        f"{name}_metadata": iceberg_metadata(
-            spark,
-            path,
-            metadata_compression_codec=opts.get("metadata_compression_codec", "none"),
-            allow_moved_paths=opts.get("allow_moved_paths", False),
-        ),
-        f"{name}_history": iceberg_history(
-            spark, path, metadata_compression_codec=opts.get("metadata_compression_codec", "none")
-        ),
-        f"{name}_partitions": iceberg_partitions(
-            spark,
-            path,
-            metadata_compression_codec=opts.get("metadata_compression_codec", "none"),
-            allow_moved_paths=opts.get("allow_moved_paths", False),
-        ),
-        f"{name}_files": iceberg_scan(spark, path, mode="list_files", **opts),
+        name: iceberg_scan(spark, path, **scan_opts),
+        f"{name}_snapshots": iceberg_snapshots(spark, path, **meta_opts),
+        f"{name}_metadata": iceberg_metadata(spark, path, **meta_opts, **travel, **moved),
+        f"{name}_history": iceberg_history(spark, path, **meta_opts),
+        f"{name}_partitions": iceberg_partitions(spark, path, **meta_opts, **travel, **moved),
+        f"{name}_files": iceberg_scan(spark, path, mode="list_files", **scan_opts),
     }
     for vname, df in views.items():
         df.createOrReplaceTempView(vname)

@@ -15,33 +15,36 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-# ts is stored TIMESTAMP(NANOS) -> read as long (nanosAsLong) and
-# converted to a micros timestamp below.
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def read_events_files(spark: SparkSession, sf_dir: str, names: tuple = ("events.parquet",)) -> DataFrame:
+    """File-source stream over the events parquet, delivered as one
+    micro-batch per entry in ``names`` (the same file symlinked twice
+    = two at-least-once deliveries — the dedup-test shape). On a real
+    pipeline this is a Kafka source with identical downstream code.
+
+    The fixture's physical ``ts`` type has drifted across driver
+    regens (TIMESTAMP(NANOS)->long under nanosAsLong, then plain
+    micros with isAdjustedToUTC=false->TIMESTAMP_NTZ), so the stream
+    schema is sniffed from a batch read of the same file and ``ts``
+    normalized to a session-TZ timestamp (UTC-pinned session) — a
+    hardcoded schema here silently produced 1970-era timestamps after
+    one regen.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    batch_schema = spark.read.parquet(path).schema
+    src_dir = tempfile.mkdtemp(prefix="events_stream_")
+    for name in names:
+        os.symlink(path, os.path.join(src_dir, name))
+    raw = spark.readStream.schema(batch_schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    from ..session import normalize_event_ts
+
+    return normalize_event_ts(raw)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (one file = one
-    micro-batch with availableNow; on a real pipeline this is a Kafka
-    source with identical downstream code). The file source needs a
-    directory, so the single parquet file is symlinked into a temp dir.
-    """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src_dir = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(src_dir, "events.parquet"))
-    raw = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """Single-delivery events stream (see read_events_files)."""
+    return read_events_files(spark, sf_dir)
 
 
 def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -41,10 +41,18 @@ def _canon(v):
     scale and never equal a float, ints never equal a float."""
     if v is None:
         return "<null>"
-    # numpy scalars → python
-    item = getattr(v, "item", None)
-    if item is not None and type(v).__module__ == "numpy":
-        v = v.item()
+    # numpy scalars → python; numpy ARRAYS (list/map-valued columns)
+    # must go through tolist() — .item() raises on ndim>=1.
+    if type(v).__module__ == "numpy":
+        if getattr(v, "ndim", 0) == 0:
+            v = v.item()
+        else:
+            v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        items = sorted(((_canon(k), _canon(val)) for k, val in v.items()))
+        return "{" + ",".join(f"{k}:{val}" for k, val in items) + "}"
     if isinstance(v, bool):
         return str(v).lower()
     if isinstance(v, Decimal):

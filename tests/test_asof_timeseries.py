@@ -14,10 +14,9 @@ SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _events(spark):
-    df = spark.read.parquet(f"{SF}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    from duckdb_iceberg_spark.session import normalize_event_ts
+
+    return normalize_event_ts(spark.read.parquet(f"{SF}/events.parquet"))
 
 
 def test_asof_join_matches_duckdb_native(spark):

@@ -137,3 +137,37 @@ def test_register_sql_views_family(spark):
         "SELECT SUM(record_count) AS rc FROM li_metadata WHERE status <> 'DELETED' AND content = 'EXISTING'"
     ).first()
     assert row.rc is None or row.rc >= 0
+
+
+def test_register_sql_views_opts_forwarding(spark):
+    """codec/time-travel/stray-mode opts must forward to ALL six
+    views: gzip metadata + snapshot_id registration succeeds and
+    every view answers SQL (reference SQL usage pins one version
+    across scan+snapshots+metadata, test/sql/iceberg_scan.test)."""
+    from duckdb_iceberg_spark import register_sql_views
+
+    path = "/root/reference/data/iceberg/lineitem_iceberg_gz"
+    names = register_sql_views(
+        spark,
+        path,
+        "ligz",
+        metadata_compression_codec="gzip",
+        allow_moved_paths=True,
+        mode="default",  # stray mode must not TypeError the _files view
+    )
+    for v in names:
+        assert spark.sql(f"SELECT COUNT(*) AS n FROM {v}").first().n >= 0
+    assert spark.sql("SELECT COUNT(*) AS n FROM ligz").first().n == 111968
+    # snapshot pinning reaches data AND metadata views
+    snaps = sorted(r.snapshot_id for r in spark.sql("SELECT snapshot_id FROM ligz_snapshots").collect())
+    register_sql_views(
+        spark,
+        path,
+        "ligz_v1",
+        metadata_compression_codec="gzip",
+        snapshot_id=snaps[0],
+        allow_moved_paths=True,
+    )
+    assert spark.sql("SELECT COUNT(*) AS n FROM ligz_v1").first().n > 0
+    assert spark.sql("SELECT COUNT(*) AS n FROM ligz_v1_metadata").first().n > 0
+    assert spark.sql("SELECT COUNT(*) AS n FROM ligz_v1_partitions").first().n >= 0

@@ -99,9 +99,9 @@ def test_streaming_equals_batch(spark, sf_dir):
         run_stream_to_memory,
     )
 
-    ev_batch = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    from duckdb_iceberg_spark.session import normalize_event_ts
+
+    ev_batch = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     batch = hourly_rollup(ev_batch)
     stream = run_stream_to_memory(hourly_rollup(read_events_stream(spark, sf_dir)), "stream_hourly_test")
     assert batch.exceptAll(stream).count() == 0

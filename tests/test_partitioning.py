@@ -22,10 +22,9 @@ SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="module")
 def events(spark):
-    df = spark.read.parquet(f"{SF}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    from duckdb_iceberg_spark.session import normalize_event_ts
+
+    return normalize_event_ts(spark.read.parquet(f"{SF}/events.parquet"))
 
 
 def _mk(spark, tmp, df, partition_by):
@@ -420,3 +419,75 @@ def test_partition_evolution_remove_field(spark, tmp_path):
     assert kept < all_files  # some old-spec files pruned
     with pytest.raises(ValueError, match="not in current spec"):
         t.remove_partition_field("lang")
+
+
+def test_partition_evolution_respec_prunes_per_spec(spark, tmp_path, events):
+    """A partition field dropped and re-added with a DIFFERENT
+    transform (bucket(4) -> bucket(8), same derived field name) must
+    prune each file under its OWN spec's transform — resolving all
+    entries under one union-by-name spec silently drops matching
+    files written under the other spec."""
+    from duckdb_iceberg_spark.plans.transforms import bucket_value
+
+    df_a = events.filter(F.col("event_id") % 2 == 0)
+    df_b = events.filter(F.col("event_id") % 2 == 1)
+    t = _mk(spark, tmp_path, df_a, [("bucket", 4, "user_id")])
+    t.remove_partition_field("user_id_bucket")
+    t.add_partition_field(("bucket", 8, "user_id"))
+    t.append(df_b)
+    assert t.scan().count() == events.count()
+    uids = {r.user_id for r in df_a.select("user_id").distinct().collect()} & {
+        r.user_id for r in df_b.select("user_id").distinct().collect()
+    }
+    # a key whose bucket(4) and bucket(8) values differ: pruning the
+    # new-spec files with the old spec's transform would drop them
+    uid = next(u for u in sorted(uids) if bucket_value(u, 8) != bucket_value(u, 4))
+    pruned = t.scan(partition_filter={"user_id": uid})
+    expected = events.filter(F.col("user_id") == uid).count()
+    assert pruned.filter(F.col("user_id") == uid).count() == expected > 0
+    # and pruning still actually skips files on both specs
+    n_all = len(t.scan(mode="list_files").collect())
+    n_pruned = len(t.scan(mode="list_files", partition_filter={"user_id": uid}).collect())
+    assert n_pruned < n_all
+
+
+def test_bucket_jvm_expression_matches_python_vectors(spark):
+    """The write-path bucket transform is a pure-JVM murmur3_x86_32
+    expression for fixed-width keys: bit-exact vs the scalar
+    evaluator (incl. the Iceberg spec vector hash(34)=2017239379)
+    and never falls back to a Python row UDF."""
+    from duckdb_iceberg_spark.plans.transforms import (
+        PartitionField,
+        bucket_column,
+        bucket_value,
+        murmur3_32_long_column,
+        spark_partition_column,
+    )
+
+    vals = [34, 0, 1, -1, -34, 2**62, -(2**62), 123456789012345, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = [r.b for r in df.select(bucket_column(F.col("v"), 16, "bigint").alias("b")).collect()]
+    assert got == [bucket_value(v, 16) if v is not None else None for v in vals]
+    assert (
+        df.filter("v = 34").select(murmur3_32_long_column(F.col("v")).alias("h")).first().h
+        == 2017239379
+    )
+    pf = PartitionField("bucket", "v", 16)
+    plan = (
+        df.withColumn("_p", spark_partition_column(pf, "bigint"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # strings go through an Arrow-batched pandas UDF (never pickled rows)
+    sdf = spark.createDataFrame([("iceberg",), (None,), ("abc",)], "s string")
+    gs = [r.b for r in sdf.select(bucket_column(F.col("s"), 16, "string").alias("b")).collect()]
+    assert gs == [bucket_value(s, 16) if s is not None else None for s in ("iceberg", None, "abc")]
+    splan = (
+        sdf.withColumn("_p", bucket_column(F.col("s"), 16, "string"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in splan

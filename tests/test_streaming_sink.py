@@ -12,10 +12,9 @@ SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _events(spark):
-    df = spark.read.parquet(f"{SF}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    from duckdb_iceberg_spark.session import normalize_event_ts
+
+    return normalize_event_ts(spark.read.parquet(f"{SF}/events.parquet"))
 
 
 def test_stateful_user_stats_matches_batch(spark):
@@ -62,19 +61,13 @@ def test_write_stream_to_iceberg(spark, tmp_path):
 def test_dedup_stream_across_batches(spark, tmp_path):
     """The same file delivered twice (two micro-batches) must come out
     once: dedup state survives across batches."""
-    import tempfile
-
     from duckdb_iceberg_spark.streaming.events import (
-        EVENTS_SCHEMA,
         dedup_stream,
+        read_events_files,
         run_stream_to_memory,
     )
 
-    src_dir = tempfile.mkdtemp(prefix="dedup_stream_")
-    for name in ("a.parquet", "b.parquet"):
-        os.symlink(f"{SF}/events.parquet", os.path.join(src_dir, name))
-    raw = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src_dir)
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = read_events_files(spark, SF, names=("a.parquet", "b.parquet"))
     got = run_stream_to_memory(dedup_stream(stream), "dedup_stream_test", output_mode="append")
     n_distinct = _events(spark).select("event_id").distinct().count()
     assert got.count() == n_distinct
