@@ -68,8 +68,8 @@ def _q1_pricing_summary(spark, sf):
         .agg(
             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double").alias("sum_disc_price"),
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) * (F.lit(1) + _dec("l_tax"))).cast("double").alias("sum_charge"),
+            F.sum((_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(18,2)")).cast("double").alias("sum_disc_price"),
+            F.sum((_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) * (F.lit(1) + _dec("l_tax"))).cast("decimal(18,2)")).cast("double").alias("sum_charge"),
             F.round(F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 4).alias("avg_qty"),
             F.round(F.sum(_dec("l_discount")).cast("double") / F.count("*"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -81,8 +81,8 @@ _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2)) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2))), 2)) AS DOUBLE) AS sum_charge,
   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
   ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
   COUNT(*) AS count_order
@@ -100,7 +100,7 @@ def _q3_shipping_priority(spark, sf):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
-        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double").alias("revenue"))
+        .agg(F.sum((_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(18,2)")).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -108,7 +108,7 @@ def _q3_shipping_priority(spark, sf):
 
 _Q3_SQL = """
 SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+  CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2)) AS DOUBLE) AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
 GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
@@ -133,13 +133,13 @@ def _q5_local_supplier(spark, sf):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double").alias("revenue"))
+        .agg(F.sum((_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(18,2)")).cast("double").alias("revenue"))
     )
 
 
 _Q5_SQL = """
 SELECT n_name,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+  CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2)) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
   JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -160,12 +160,12 @@ def _q6_revenue(spark, sf):
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"))
+        .agg(F.sum((_dec("l_extendedprice") * _dec("l_discount")).cast("decimal(18,2)")).cast("double").alias("revenue"))
     )
 
 
 _Q6_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+SELECT CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)), 2)) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
@@ -182,7 +182,7 @@ def _q10_returned_items(spark, sf):
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double").alias("revenue"))
+        .agg(F.sum((_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(18,2)")).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -190,7 +190,7 @@ def _q10_returned_items(spark, sf):
 
 _Q10_SQL = """
 SELECT c_custkey, c_name, n_name,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+  CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2)) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
 WHERE l_returnflag = 'R'
@@ -1022,14 +1022,14 @@ def _q7_volume_shipping(spark, sf):
         .join(F.broadcast(n2), c.c_nationkey == n2.c_nk)
         .filter(pairs)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double").alias("revenue"))
+        .agg(F.sum((_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(18,2)")).cast("double").alias("revenue"))
     )
 
 
 _Q7_SQL = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
   CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+  CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2)) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN customer ON o_custkey = c_custkey
@@ -1048,7 +1048,7 @@ def _q8_market_share(spark, sf):
     p = _t(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
     s = _t(spark, sf, "supplier")
     n = _t(spark, sf, "nation")
-    vol = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    vol = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(18,2)")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -1068,8 +1068,8 @@ def _q8_market_share(spark, sf):
 _Q8_SQL = """
 SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
   ROUND(CAST(SUM(CASE WHEN n_name = 'NATION_3'
-           THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE 0 END) AS DOUBLE)
-      / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS mkt_share
+           THEN ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) ELSE 0 END) AS DOUBLE)
+      / CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2)) AS DOUBLE), 6) AS mkt_share
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   JOIN part ON l_partkey = p_partkey
   JOIN supplier ON l_suppkey = s_suppkey
@@ -1090,13 +1090,13 @@ def _q9_profit_by_nation(spark, sf):
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
-        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double").alias("sum_profit"))
+        .agg(F.sum((_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(18,2)")).cast("double").alias("sum_profit"))
     )
 
 
 _Q9_SQL = """
 SELECT n_name AS nation, CAST(YEAR(l_shipdate) AS BIGINT) AS o_year,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_profit
+  CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2)) AS DOUBLE) AS sum_profit
 FROM lineitem JOIN part ON l_partkey = p_partkey
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
@@ -1111,7 +1111,7 @@ def _q14_promo_revenue(spark, sf):
         & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
     )
     p = _t(spark, sf, "part")
-    vol = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    vol = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(18,2)")
     return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
         F.round(
             F.lit(100.0)
@@ -1124,8 +1124,8 @@ def _q14_promo_revenue(spark, sf):
 
 _Q14_SQL = """
 SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE 0 END) AS DOUBLE)
-  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS promo_revenue
+    THEN ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) ELSE 0 END) AS DOUBLE)
+  / CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2)) AS DOUBLE), 6) AS promo_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
 """
@@ -1137,7 +1137,7 @@ def _q15_top_supplier(spark, sf):
     li = _t(spark, sf, "lineitem")
     s = _t(spark, sf, "supplier")
     rev = li.groupBy("l_suppkey").agg(
-        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double").alias("total_revenue")
+        F.sum((_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(18,2)")).cast("double").alias("total_revenue")
     )
     max_rev = rev.agg(F.max("total_revenue").alias("m"))
     return (
@@ -1150,7 +1150,7 @@ def _q15_top_supplier(spark, sf):
 _Q15_SQL = """
 WITH revenue AS (
   SELECT l_suppkey,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+    CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2)) AS DOUBLE) AS total_revenue
   FROM lineitem GROUP BY l_suppkey)
 SELECT s_suppkey, s_name, total_revenue
 FROM supplier JOIN revenue ON s_suppkey = l_suppkey
@@ -1228,12 +1228,12 @@ def _q19_disjunctive(spark, sf):
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(cond)
-        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double").alias("revenue"))
+        .agg(F.sum((_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(18,2)")).cast("double").alias("revenue"))
     )
 
 
 _Q19_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+SELECT CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2)) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 30)
@@ -1334,7 +1334,7 @@ def _q11_important_suppliers(spark, sf):
     read exactly once)."""
     li = _t(spark, sf, "lineitem")
     per_supp = li.groupBy("l_suppkey").agg(
-        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("dval")
+        F.sum((_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(18,2)")).alias("dval")
     )
     # threshold derived from the EXACT decimal sum, so the double cutoff
     # is bit-identical across engines regardless of accumulation order
@@ -1350,7 +1350,7 @@ def _q11_important_suppliers(spark, sf):
 _Q11_SQL = """
 WITH per_supp AS (
   SELECT l_suppkey,
-    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS dval
+    SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2)) AS dval
   FROM lineitem GROUP BY l_suppkey)
 SELECT l_suppkey, CAST(dval AS DOUBLE) AS value FROM per_supp
 WHERE CAST(dval AS DOUBLE) > (SELECT CAST(SUM(dval) AS DOUBLE) * 1.05 / COUNT(*) FROM per_supp)

@@ -180,7 +180,17 @@ class TableMetadata:
     def snapshot_by_timestamp(self, timestamp_ms: int) -> IcebergSnapshot:
         eligible = [s for s in self.snapshots if s.timestamp_ms <= timestamp_ms]
         if not eligible:
-            raise ValueError(f"Could not find snapshot older than {timestamp_ms}")
+            # verbatim reference message (test/sql/iceberg_scan.test:62:
+            # "Could not find latest snapshots for timestamp <ts>")
+            import datetime as _dt
+
+            ts = _dt.datetime.fromtimestamp(
+                timestamp_ms / 1000, tz=_dt.timezone.utc
+            ).replace(tzinfo=None)
+            txt = ts.strftime("%Y-%m-%d %H:%M:%S")
+            if timestamp_ms % 1000:
+                txt += f".{timestamp_ms % 1000:03d}"
+            raise ValueError(f"Could not find latest snapshots for timestamp {txt}")
         return max(eligible, key=lambda s: s.timestamp_ms)
 
     def schema_for_snapshot(self, snap: IcebergSnapshot) -> IcebergSchema:
@@ -272,8 +282,10 @@ def resolve_metadata_path(
             raise FileNotFoundError(f"Metadata file {table_path} does not exist")
         return table_path
     meta_dir = os.path.join(table_path, "metadata")
-    if not os.path.isdir(table_path):
-        raise FileNotFoundError(f"Failed to read iceberg table. No such directory: {table_path}")
+    if not os.path.isdir(meta_dir):
+        # verbatim reference message (iceberg_metadata.test:54,
+        # iceberg_snapshots.test:44)
+        raise FileNotFoundError(f'Cannot open "{table_path}": Metadata directory does not exist')
 
     formats = version_name_format.split(",")
 

@@ -210,8 +210,12 @@ def iceberg_scan(
 
     # Field-id based column resolution (the reference pushes a
     # field_id->column map into the parquet reader, iceberg_scan.cpp:103-128;
-    # Spark's native equivalent is parquet.field.id matching).
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    # Spark's native equivalent is parquet.field.id matching). get_spark
+    # sets it session-wide; only set here if the caller built a bare
+    # session without it (checked, not blind-set: mutating conf per
+    # scan() call is a global side effect on concurrent queries).
+    if spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false") != "true":
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     reader = spark.read
     if skip_schema_inference:
         reader = reader.option("mergeSchema", "true")

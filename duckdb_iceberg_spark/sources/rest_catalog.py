@@ -31,24 +31,63 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class RestCatalog:
+    """Auth parity with DuckDB's ICEBERG secret surface: a static
+    bearer ``token``, or an OAuth2 client-credentials ``credential``
+    ("client_id:client_secret") exchanged at ``oauth2_server_uri``
+    (default ``<uri>/v1/oauth/tokens``, the Iceberg REST spec token
+    endpoint) on first request. SigV4 request signing (AWS-hosted
+    catalogs) is out of scope — no object store in this environment;
+    use a pre-issued bearer token against such catalogs."""
+
     def __init__(
         self,
         uri: str,
         *,
         token: Optional[str] = None,
+        credential: Optional[str] = None,
+        oauth2_server_uri: Optional[str] = None,
+        oauth2_scope: str = "catalog",
         warehouse: Optional[str] = None,
         timeout: float = 30.0,
     ):
         self.uri = uri.rstrip("/")
         self.token = token
+        self.credential = credential
+        self.oauth2_server_uri = oauth2_server_uri or f"{self.uri}/v1/oauth/tokens"
+        self.oauth2_scope = oauth2_scope
         self.warehouse = warehouse
         self.timeout = timeout
 
     # -- transport --------------------------------------------------------
+    def _ensure_token(self) -> Optional[str]:
+        """Lazy OAuth2 client-credentials exchange (one POST, cached)."""
+        if self.token is None and self.credential:
+            client_id, _, client_secret = self.credential.partition(":")
+            form = urllib.parse.urlencode(
+                {
+                    "grant_type": "client_credentials",
+                    "client_id": client_id,
+                    "client_secret": client_secret,
+                    "scope": self.oauth2_scope,
+                }
+            ).encode("utf-8")
+            req = urllib.request.Request(
+                self.oauth2_server_uri,
+                data=form,
+                headers={"Content-Type": "application/x-www-form-urlencoded"},
+            )
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                doc = json.loads(resp.read().decode("utf-8"))
+            if "access_token" not in doc:
+                raise ValueError(f"OAuth2 token endpoint returned no access_token: {sorted(doc)}")
+            self.token = doc["access_token"]
+        return self.token
+
     def _get(self, path: str) -> dict:
         req = urllib.request.Request(f"{self.uri}{path}")
-        if self.token:
-            req.add_header("Authorization", f"Bearer {self.token}")
+        token = self._ensure_token()
+        if token:
+            req.add_header("Authorization", f"Bearer {token}")
         with urllib.request.urlopen(req, timeout=self.timeout) as resp:
             return json.loads(resp.read().decode("utf-8"))
 

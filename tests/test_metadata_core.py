@@ -58,9 +58,13 @@ def test_snapshot_selection():
     assert meta.snapshot_by_id(3776207205136740581).sequence_number == 1
     with pytest.raises(ValueError, match="Could not find snapshot with id"):
         meta.snapshot_by_id(123)
-    # timestamp before first snapshot errors (iceberg_scan.test:59-62)
-    with pytest.raises(ValueError, match="older than"):
+    # timestamp before first snapshot errors — verbatim reference
+    # message shape (iceberg_scan.test:59-62)
+    with pytest.raises(ValueError, match="Could not find latest snapshots for timestamp"):
         meta.snapshot_by_timestamp(1)
+    # reference formats the timestamp human-readably, millis included
+    with pytest.raises(ValueError, match=r"timestamp 1970-01-01 00:00:01\.503"):
+        meta.snapshot_by_timestamp(1503)
     s = meta.snapshot_by_timestamp(1676473675000)  # between snap1 and snap2
     assert s.snapshot_id == 3776207205136740581
 
@@ -102,3 +106,42 @@ def test_v1_manifest_list_defaults():
     ml = rebase_path(snap.manifest_list, LI, True)
     manifests = read_manifest_list(ml, meta.format_version)
     assert all(m.content.value in (0, 1) for m in manifests)
+
+
+def test_error_message_parity_verbatim():
+    """Pin the exact reference error strings the .test corpus asserts
+    (iceberg_scan.test:62,67; iceberg_metadata.test:44,54;
+    iceberg_snapshots.test:29,44)."""
+    import pytest
+
+    from duckdb_iceberg_spark.plans.table_metadata import resolve_metadata_path
+
+    with pytest.raises(FileNotFoundError) as e:
+        resolve_metadata_path("data/iceberg/lineitem_iceberg_nonexistent")
+    assert (
+        str(e.value)
+        == 'Cannot open "data/iceberg/lineitem_iceberg_nonexistent": Metadata directory does not exist'
+    )
+
+    gz = "/root/reference/data/iceberg/lineitem_iceberg_gz"
+    with pytest.raises(FileNotFoundError) as e:
+        resolve_metadata_path(gz)  # codec defaults to none
+    assert str(e.value) == (
+        "Iceberg metadata file not found for table version '2' using 'none' "
+        "compression and format(s): 'v%s%s.metadata.json,%s%s.metadata.json'"
+    )
+    with pytest.raises(FileNotFoundError) as e:
+        resolve_metadata_path(
+            gz, metadata_compression_codec="blarg", version_name_format="blat%s%s"
+        )
+    assert str(e.value) == (
+        "Iceberg metadata file not found for table version '2' using 'blarg' "
+        "compression and format(s): 'blat%s%s'"
+    )
+    li = "/root/reference/data/iceberg/lineitem_iceberg"
+    with pytest.raises(FileNotFoundError) as e:
+        resolve_metadata_path(li, version="1", version_name_format="v%s%s.metadata.gz")
+    assert str(e.value) == (
+        "Iceberg metadata file not found for table version '1' using 'none' "
+        "compression and format(s): 'v%s%s.metadata.gz'"
+    )

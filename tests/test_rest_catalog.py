@@ -24,7 +24,28 @@ class _Handler(BaseHTTPRequestHandler):
         },
     }
 
+    seen_auth = []
+    token_posts = []
+
+    def do_POST(self):
+        if self.path.split("?")[0] != "/v1/oauth/tokens":
+            self.send_response(404)
+            self.end_headers()
+            return
+        import urllib.parse
+
+        n = int(self.headers.get("Content-Length", 0))
+        form = urllib.parse.parse_qs(self.rfile.read(n).decode())
+        _Handler.token_posts.append(form)
+        body = json.dumps({"access_token": "tok-123", "token_type": "bearer"}).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
     def do_GET(self):
+        _Handler.seen_auth.append(self.headers.get("Authorization"))
         doc = self.routes.get(self.path.split("?")[0])
         if doc is None:
             self.send_response(404)
@@ -77,3 +98,32 @@ def test_rest_catalog_missing_location(rest_uri):
     _Handler.routes["/v1/namespaces/default/tables/empty"] = {"metadata": {}}
     with pytest.raises(ValueError, match="no metadata-location"):
         RestCatalog(rest_uri).metadata_location("default", "empty")
+
+
+def test_rest_catalog_oauth2_client_credentials(rest_uri):
+    """credential="id:secret" is exchanged at /v1/oauth/tokens once
+    and the bearer lands on every subsequent request (DuckDB ICEBERG
+    secret CLIENT_ID/CLIENT_SECRET parity)."""
+    from duckdb_iceberg_spark.sources.rest_catalog import RestCatalog
+
+    _Handler.seen_auth = []
+    _Handler.token_posts = []
+    cat = RestCatalog(rest_uri, credential="my-client:my-secret")
+    assert cat.list_namespaces() == [("default",)]
+    assert cat.list_tables("default") == ["lineitem"]
+    # one token POST, correct form fields
+    assert len(_Handler.token_posts) == 1
+    form = _Handler.token_posts[0]
+    assert form["grant_type"] == ["client_credentials"]
+    assert form["client_id"] == ["my-client"]
+    assert form["client_secret"] == ["my-secret"]
+    # bearer attached to both GETs
+    assert _Handler.seen_auth[-2:] == ["Bearer tok-123", "Bearer tok-123"]
+
+
+def test_rest_catalog_static_token_header(rest_uri):
+    from duckdb_iceberg_spark.sources.rest_catalog import RestCatalog
+
+    _Handler.seen_auth = []
+    RestCatalog(rest_uri, token="static-tok").list_namespaces()
+    assert _Handler.seen_auth[-1] == "Bearer static-tok"

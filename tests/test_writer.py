@@ -486,13 +486,16 @@ def test_changelog_equals_full_diff_random_histories(spark, tmp_path):
         t = IcebergTable.create(spark, str(tmp_path / f"t{trial}"), cust.filter("c_custkey % 3 = 0"))
         snaps = [t.meta.latest_snapshot().snapshot_id]
         for _ in range(4):
-            op = rng.choice(["append", "delete", "compact"])
+            op = rng.choice(["append", "delete", "compact", "eqdelete"])
             if op == "append":
                 m = rng.randrange(2, 7)
                 t.append(cust.filter(f"c_custkey % 3 = 1 AND c_custkey % {m} = 0"))
             elif op == "delete":
                 m = rng.randrange(5, 12)
                 t.delete_where(f"c_custkey % {m} = 0")
+            elif op == "eqdelete":
+                m = rng.randrange(4, 9)
+                t.delete_where_equality(cust.filter(f"c_custkey % {m} = 1").select("c_custkey"))
             else:
                 t.rewrite_data_files(target_file_size_bytes=1 << 30)
             snaps.append(t.meta.latest_snapshot().snapshot_id)
@@ -529,3 +532,23 @@ def test_expire_retains_ref_pinned_snapshots(spark, tmp_path):
     assert first in ids  # pinned by tag
     assert len(ids) == 2  # latest + tagged; middle snapshot expired
     assert t.scan(tag="v1").count() == n.count()
+
+
+def test_changelog_sees_equality_deletes(spark, tmp_path):
+    """A delete_where_equality commit adds no data files and no
+    positional deletes, yet the changelog across it must report
+    exactly the removed rows as deletes (pins the r2 fix that unions
+    equality-delete files into the snapshot diff)."""
+    from duckdb_iceberg_spark import IcebergTable
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select("c_custkey", "c_nationkey")
+    t = IcebergTable.create(spark, str(tmp_path / "t"), cust)
+    base = t.meta.latest_snapshot().snapshot_id
+    t.delete_where_equality(cust.filter("c_custkey % 10 = 3").select("c_custkey"))
+    cl = t.scan_changelog(base)
+    assert cl.filter("change_type = 'insert'").count() == 0
+    got_del = canon_rows(
+        cust.columns, [tuple(r)[1:] for r in cl.filter("change_type = 'delete'").collect()]
+    )
+    want = canon_rows(cust.columns, [tuple(r) for r in cust.filter("c_custkey % 10 = 3").collect()])
+    assert got_del == want and len(want) > 0
