@@ -28,6 +28,17 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_to_query(a, query_vec) -> Column:
+    """cosine(a, literal query) with the query norm folded on the
+    driver — norm(lit_vector(q)) is NOT constant-folded by Catalyst,
+    so the naive form re-aggregates 2*dim ops per row."""
+    import math
+
+    q = lit_vector(query_vec)
+    qn = math.sqrt(sum(float(v) * float(v) for v in query_vec)) or 1e-30
+    return dot(a, q) / (norm(a) * F.lit(qn))
+
+
 def lit_vector(values) -> Column:
     """Literal array<double> column from a Python list."""
     return F.array(*[F.lit(float(v)) for v in values])

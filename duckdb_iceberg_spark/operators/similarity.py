@@ -43,8 +43,9 @@ def cosine_topk(
 
     Returns (key_col, cos) — k rows, deterministic tie-break on key.
     """
-    q = VEC.lit_vector(query_vec)
-    scored = df.select(key_col, F.round(VEC.cosine(F.col(vec_col), q), 4).alias("cos"))
+    scored = df.select(
+        key_col, F.round(VEC.cosine_to_query(F.col(vec_col), query_vec), 4).alias("cos")
+    )
     return scored.orderBy(F.desc("cos"), F.asc(key_col)).limit(k)
 
 
@@ -66,9 +67,21 @@ def cosine_topk_int8(
     absmax = max(max(abs(float(v)) for v in query_vec), 1e-30)
     qscale = absmax / 127.0
     qcodes = [int(math.floor(float(v) / qscale + 0.5)) for v in query_vec]
-    codes = VEC.quantize_int8(F.col(vec_col))["codes"]
     qlit = VEC.lit_vector(qcodes)
-    scored = df.select(key_col, F.round(VEC.cosine(codes, qlit), 4).alias("qcos"))
+    # query norm is a constant — fold it on the driver instead of
+    # re-aggregating 2*dim ops per row
+    qnorm = math.sqrt(sum(c * c for c in qcodes))
+    # materialize the quantized codes in their own projection:
+    # cosine references its input 3x (dot + norm), and inlining would
+    # re-run the quantization aggregate per reference (CollapseProject
+    # keeps the boundary because higher-order funcs are non-cheap)
+    coded = df.select(key_col, VEC.quantize_int8(F.col(vec_col))["codes"].alias("__codes"))
+    scored = coded.select(
+        key_col,
+        F.round(
+            VEC.dot(F.col("__codes"), qlit) / (VEC.norm(F.col("__codes")) * F.lit(qnorm)), 4
+        ).alias("qcos"),
+    )
     return scored.orderBy(F.desc("qcos"), F.asc(key_col)).limit(k)
 
 
@@ -106,8 +119,9 @@ def lsh_topk(
         return sorted(out)
 
     cands = keyed.where(F.col("bucket").isin(flips(qbits, probe_hamming)))
-    q = VEC.lit_vector(query_vec)
-    scored = cands.select(key_col, F.round(VEC.cosine(F.col(vec_col), q), 4).alias("cos"))
+    scored = cands.select(
+        key_col, F.round(VEC.cosine_to_query(F.col(vec_col), query_vec), 4).alias("cos")
+    )
     return scored.orderBy(F.desc("cos"), F.asc(key_col)).limit(k)
 
 
@@ -191,8 +205,9 @@ def ivf_topk(
         sims.append((float(cv @ q / denom), i))
     probe = [i for _, i in sorted(sims, reverse=True)[:n_probe]]
     cands = assigned.where(F.col("centroid_id").isin(probe))
-    qcol = VEC.lit_vector(query_vec)
-    scored = cands.select(key_col, F.round(VEC.cosine(F.col(vec_col), qcol), 4).alias("cos"))
+    scored = cands.select(
+        key_col, F.round(VEC.cosine_to_query(F.col(vec_col), query_vec), 4).alias("cos")
+    )
     return scored.orderBy(F.desc("cos"), F.asc(key_col)).limit(k)
 
 

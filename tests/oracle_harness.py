@@ -59,6 +59,12 @@ def _canon(v):
         return "dec:" + str(v)
     if isinstance(v, float):
         if math.isnan(v):
+            # Deliberate NaN==NULL conflation: the driver converts both
+            # result sets through pandas, where SQL NULL in a float64
+            # column IS NaN — they are indistinguishable post-conversion,
+            # so a stricter canon here would only diverge from the gate
+            # this harness exists to predict. Engine outputs follow the
+            # policy of never emitting genuine NaN in compared columns.
             return "<null>"
         return repr(v)
     if isinstance(v, bytes):
