@@ -1887,6 +1887,30 @@ FROM documents
 """
 
 
+_MIXTURE_RATES = {"src1": 1.0, "src2": 0.25, "src3": 0.1}
+
+
+def _mixture_sample(spark, sf):
+    """Per-domain mixture rebalance: keep 100% of src1, 25% of src2,
+    10% of src3, 50% elsewhere — md5-deterministic per key, so the
+    kept set is identical across engines/runs/cluster sizes and
+    stable under corpus growth. Scan-speed filter, zero shuffle."""
+    d = _t(spark, sf, "documents")
+    kept = SA.sample_to_mixture(d, "source", "doc_id", _MIXTURE_RATES, default_rate=0.5)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+_MIXTURE_SQL = f"""
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE {SA.sample_to_mixture_sql('source', 'doc_id', _MIXTURE_RATES, default_rate=0.5)}
+GROUP BY source
+"""
+
+
 def _shuffle_deterministic(spark, sf):
     """Seeded pseudorandom training order: global sort by
     md5(seed:key), positions materialized for the oracle compare.
@@ -3165,6 +3189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _pack_sequences,
         "sample_stratified": _sample_stratified,
         "split_train_val_test": _split_train_val_test,
+        "mixture_sample": _mixture_sample,
         "shuffle_deterministic": _shuffle_deterministic,
         "curate_pipeline": _curate_pipeline,
         # dedup
@@ -3281,6 +3306,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _PACK_SQL,
         "sample_stratified": _SAMPLE_SQL,
         "split_train_val_test": _SPLIT_SQL,
+        "mixture_sample": _MIXTURE_SQL,
         "shuffle_deterministic": _SHUFFLE_SQL,
         "curate_pipeline": _CURATE_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,

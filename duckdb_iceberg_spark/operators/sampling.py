@@ -91,3 +91,51 @@ def every_kth(
         .filter((F.col("_rn") - 1) % k == 0)
         .drop("_rn")
     )
+
+
+def sample_to_mixture(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    seed: str = "42",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Per-domain downsampling to a target mixture: keep each row with
+    its domain's rate, decided by md5(seed:key) — the training-mixture
+    rebalance step of a data pipeline (e.g. 100% books, 10% web).
+
+    Same engine-portable determinism as :func:`hash_split`: a row's
+    keep/drop never changes when other rows arrive, across runs,
+    engines, and cluster sizes. Per-row expression, no shuffle, no
+    RNG state; at 100 TB this is a scan-speed filter.
+    """
+    for d, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {d!r} must be in [0,1], got {r}")
+    prefix = F.substring(F.md5(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string"))), 1, 4)
+
+    def hi(rate: float) -> str:
+        return format(min(int(round(rate * 65536)), 65536) - 1, "04x")
+
+    expr = None
+    for d, r in rates.items():
+        cond = F.col(domain_col) == d
+        expr = F.when(cond, F.lit(hi(r))) if expr is None else expr.when(cond, F.lit(hi(r)))
+    cutoff = expr.otherwise(F.lit(hi(default_rate))) if expr is not None else F.lit(hi(default_rate))
+    return df.filter(prefix <= cutoff)
+
+
+def sample_to_mixture_sql(
+    domain_col: str, key_col: str, rates: dict[str, float], seed: str = "42", default_rate: float = 1.0
+) -> str:
+    """DuckDB twin of :func:`sample_to_mixture`'s keep predicate."""
+    prefix = f"substring(md5(concat_ws(':', '{seed}', CAST({key_col} AS VARCHAR))), 1, 4)"
+
+    def hi(rate: float) -> str:
+        return format(min(int(round(rate * 65536)), 65536) - 1, "04x")
+
+    cutoff = f"'{hi(default_rate)}'"
+    for d, r in reversed(list(rates.items())):
+        cutoff = f"CASE WHEN {domain_col} = '{d}' THEN '{hi(r)}' ELSE {cutoff} END"
+    return f"{prefix} <= {cutoff}"

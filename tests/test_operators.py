@@ -350,3 +350,32 @@ def test_hash_split_stable_and_proportional(spark, sf_dir):
     assert merged.filter("s1 <> s2").count() == 0
     with pytest.raises(ValueError, match="sum to 1"):
         hash_split(d, "doc_id", {"train": 0.5})
+
+
+def test_mixture_sample_deterministic_and_stable(spark, sf_dir):
+    """sample_to_mixture: per-domain rates land near target, the kept
+    set is identical across calls, and a row's keep/drop is stable
+    under corpus growth (subset invariance — the property random()
+    sampling lacks)."""
+    from duckdb_iceberg_spark.operators.sampling import sample_to_mixture
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"src1": 1.0, "src2": 0.0}
+    kept = sample_to_mixture(d, "source", "doc_id", rates, default_rate=0.5)
+    by_src = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    n_src1 = d.filter("source = 'src1'").count()
+    assert by_src.get("src1", 0) == n_src1  # rate 1.0 keeps everything
+    assert by_src.get("src2", 0) == 0  # rate 0.0 drops everything
+    total_other = d.filter("source NOT IN ('src1','src2')").count()
+    kept_other = sum(n for s, n in by_src.items() if s not in ("src1", "src2"))
+    assert abs(kept_other / total_other - 0.5) < 0.15  # md5 uniformity
+    # determinism across invocations
+    a = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    b = sorted(r.doc_id for r in sample_to_mixture(d, "source", "doc_id", rates, default_rate=0.5).select("doc_id").collect())
+    assert a == b
+    # growth stability: sampling a subset == subset of the sampled set
+    sub = d.filter("doc_id % 3 = 0")
+    sub_kept = sorted(
+        r.doc_id for r in sample_to_mixture(sub, "source", "doc_id", rates, default_rate=0.5).select("doc_id").collect()
+    )
+    assert sub_kept == [x for x in a if x % 3 == 0]
