@@ -305,14 +305,22 @@ def _prune_by_partition(meta: TableMetadata, entries, flt, strict: bool = True):
         for col, lit in flt.items():
             st = src_types.get(col, "")
             for pf in by_source.get(col, []):
-                plit = lit
-                if pf.transform == "identity" and st == "date" and isinstance(plit, str):
-                    import datetime as _dt
-
-                    plit = _dt.date.fromisoformat(plit)
                 if pf.transform == "identity" and st.startswith("timestamp"):
                     continue  # identity-timestamp partition values aren't canonical: skip pruning
-                targets[pf.name] = pf.apply(plit)
+
+                def _conv(x):
+                    if pf.transform == "identity" and st == "date" and isinstance(x, str):
+                        import datetime as _dt
+
+                        return _dt.date.fromisoformat(x)
+                    return x
+
+                if isinstance(lit, (list, tuple, set, frozenset)):
+                    # multi-value (IN-list) filter: keep files whose
+                    # partition value matches ANY of the transformed values
+                    targets[pf.name] = frozenset(pf.apply(_conv(x)) for x in lit)
+                else:
+                    targets[pf.name] = pf.apply(_conv(lit))
         targets_by_spec[sid] = targets
 
     # an entry written under a spec that lacks the field entirely (vs
@@ -321,11 +329,14 @@ def _prune_by_partition(meta: TableMetadata, entries, flt, strict: bool = True):
     # partition evolution. Null partition values (key present) can
     # never equal a literal and are pruned. Unknown spec-id: keep
     # (cannot prune safely).
+    def _match(pv, v) -> bool:
+        return pv in v if isinstance(v, frozenset) else pv == v
+
     def _keep(e) -> bool:
         targets = targets_by_spec.get(e.spec_id)
         if targets is None:
             return True
-        return all(k not in e.partition or e.partition[k] == v for k, v in targets.items())
+        return all(k not in e.partition or _match(e.partition[k], v) for k, v in targets.items())
 
     return [e for e in entries if _keep(e)]
 
@@ -340,6 +351,8 @@ _BETWEEN_RE = _re.compile(
     r"(\w+)\s+BETWEEN\s+(?:(?:DATE|TIMESTAMP)\s+)?('[^']*'|[\w.\-:]+)\s+AND\s+(?:(?:DATE|TIMESTAMP)\s+)?('[^']*'|[\w.\-:]+)",
     _re.IGNORECASE,
 )
+# anchored so "col NOT IN (...)" cannot match (NOT breaks \w+\s+IN)
+_IN_RE = _re.compile(r"^\s*(\w+)\s+IN\s*\(([^)]*)\)\s*$", _re.IGNORECASE)
 
 
 def _parse_literal(tok: str):
@@ -389,6 +402,13 @@ def _predicate_to_pruners(meta: TableMetadata, where: str) -> tuple[dict, dict]:
     ranges: dict[str, list] = {}
     part_eq: dict = {}
 
+    # Conservative OR guard: a disjunction can scope any clause (e.g.
+    # "x BETWEEN 1 AND 2 OR y = 3" must keep rows outside [1,2]), and
+    # the clause extractors below assume pure conjunction — prune
+    # nothing; the exact row filter still applies the predicate.
+    if _re.search(r"\bOR\b", where, _re.IGNORECASE):
+        return {}, {}
+
     def add(col: str, lo, hi):
         cur = ranges.setdefault(col, [None, None])
         if lo is not None and (cur[0] is None or lo > cur[0]):
@@ -403,6 +423,21 @@ def _predicate_to_pruners(meta: TableMetadata, where: str) -> tuple[dict, dict]:
             add(col, lo, hi)
         rest = rest.replace(m.group(0), " 1=1 ")
     for clause in _re.split(r"\s+AND\s+", rest, flags=_re.IGNORECASE):
+        m_in = _IN_RE.match(clause)
+        if m_in:
+            col = m_in.group(1)
+            vals = [
+                _parse_literal(t.strip())
+                for t in _re.findall(r"'[^']*'|[^,]+", m_in.group(2))
+                if t.strip()
+            ]
+            if col in known and vals and all(_lit_compatible(v, known[col]) for v in vals):
+                try:
+                    add(col, min(vals), max(vals))
+                except TypeError:
+                    pass
+                part_eq[col] = vals
+            continue
         m = _CLAUSE_RE.match(clause)
         if not m:
             continue

@@ -491,3 +491,39 @@ def test_bucket_jvm_expression_matches_python_vectors(spark):
         .toString()
     )
     assert "BatchEvalPython" not in splan
+
+
+def test_where_in_list_prunes_and_or_disables_pruning(spark, tmp_path, events):
+    """IN-lists prune at file level; any top-level OR disables pruning
+    entirely (a disjunctively-scoped BETWEEN must not drop files);
+    NOT IN is never misparsed as IN."""
+    t = _mk(spark, tmp_path, events, ["event_type"])
+    types = sorted(r.event_type for r in events.select("event_type").distinct().collect())
+    two = types[:2]
+    in_list = "', '".join(two)
+
+    w = f"event_type IN ('{in_list}')"
+    got = t.scan(where=w).count()
+    expected = events.filter(F.col("event_type").isin(two)).count()
+    assert got == expected > 0
+    n_all = len(t.scan(mode="list_files").collect())
+    n_in = len(t.scan(mode="list_files", where=w).collect())
+    assert n_in < n_all  # file-level pruning happened
+
+    # OR-scoped BETWEEN: every row matching either side must survive
+    lo = int(events.agg(F.expr("percentile(user_id, 0.45)")).first()[0])
+    hi = int(events.agg(F.expr("percentile(user_id, 0.55)")).first()[0])
+    w_or = f"user_id BETWEEN {lo} AND {hi} OR event_type = '{types[-1]}'"
+    got_or = t.scan(where=w_or).count()
+    exp_or = events.filter(
+        ((F.col("user_id") >= lo) & (F.col("user_id") <= hi)) | (F.col("event_type") == types[-1])
+    ).count()
+    assert got_or == exp_or > 0
+    # and no pruning occurred under OR
+    assert len(t.scan(mode="list_files", where=w_or).collect()) == n_all
+
+    # NOT IN must not prune as if it were IN
+    w_not = f"event_type NOT IN ('{two[0]}')"
+    got_not = t.scan(where=w_not).count()
+    assert got_not == events.filter(f"event_type != '{two[0]}'").count()
+    assert len(t.scan(mode="list_files", where=w_not).collect()) == n_all
