@@ -29,7 +29,8 @@ def test_scan_version_param(spark):
 def test_scan_timestamp(spark):
     df = iceberg_scan(spark, LI, timestamp=datetime.datetime(2023, 2, 15, 15, 8, 0), allow_moved_paths=True)
     assert df.count() == 60175
-    with pytest.raises(ValueError, match="older than"):
+    # verbatim reference message (iceberg_scan.test:62)
+    with pytest.raises(ValueError, match="Could not find latest snapshots for timestamp 2000-01-01 00:00:00"):
         iceberg_scan(spark, LI, timestamp=datetime.datetime(2000, 1, 1), allow_moved_paths=True)
 
 
