@@ -690,8 +690,11 @@ class IcebergTable:
         ]
         return df.select(*cols)
 
-    def _current_manifests(self) -> list[dict]:
-        snap = self.meta.latest_snapshot() if self.meta.snapshots else None
+    def _current_manifests(self, base_snapshot_id: Optional[int] = None) -> list[dict]:
+        if base_snapshot_id is not None:
+            snap = self.meta.snapshot_by_id(base_snapshot_id)
+        else:
+            snap = self.meta.latest_snapshot() if self.meta.snapshots else None
         if snap is None:
             return []
         from .plans.avro import read_avro_file
@@ -711,14 +714,31 @@ class IcebergTable:
         last_column_id: Optional[int] = None,
         extra_summary: Optional[dict] = None,
         doc_updates: Optional[dict] = None,
+        to_branch: Optional[str] = None,
     ) -> None:
-        """Write manifests + manifest list + next vN metadata json."""
+        """Write manifests + manifest list + next vN metadata json.
+
+        ``to_branch`` targets a named branch ref instead of the main
+        head (Iceberg write-audit-publish): the new snapshot's base is
+        the branch head (created from the current head if the branch
+        doesn't exist yet), the branch ref advances, and
+        current-snapshot-id / snapshot-log stay untouched until
+        :meth:`fast_forward` publishes the branch."""
         doc = dict(self.meta.raw)
         seq = doc.get("last-sequence-number", 0) + 1
         snap_id = _new_snapshot_id()
         ts = _now_ms()
         meta_dir = os.path.join(self.path, "metadata")
-        manifests = self._current_manifests() if keep_previous else []
+        base_snapshot_id = None
+        if to_branch is not None:
+            ref = doc.get("refs", {}).get(to_branch)
+            if ref is not None:
+                if ref.get("type") != "branch":
+                    raise ValueError(f"ref {to_branch!r} is a tag; writes require a branch")
+                base_snapshot_id = ref["snapshot-id"]
+            elif doc.get("current-snapshot-id", -1) != -1:
+                base_snapshot_id = doc["current-snapshot-id"]
+        manifests = self._current_manifests(base_snapshot_id) if keep_previous else []
 
         import copy
 
@@ -825,11 +845,20 @@ class IcebergTable:
             "schema-id": current_schema_id if current_schema_id is not None else doc.get("current-schema-id", 0),
             "summary": summary,
         }
+        if base_snapshot_id is not None:
+            snapshot["parent-snapshot-id"] = base_snapshot_id
+        elif doc.get("current-snapshot-id", -1) != -1 and to_branch is None:
+            snapshot["parent-snapshot-id"] = doc["current-snapshot-id"]
         doc["last-sequence-number"] = seq
         doc["last-updated-ms"] = ts
-        doc["current-snapshot-id"] = snap_id
         doc["snapshots"] = doc.get("snapshots", []) + [snapshot]
-        doc["snapshot-log"] = doc.get("snapshot-log", []) + [{"timestamp-ms": ts, "snapshot-id": snap_id}]
+        if to_branch is None:
+            doc["current-snapshot-id"] = snap_id
+            doc["snapshot-log"] = doc.get("snapshot-log", []) + [{"timestamp-ms": ts, "snapshot-id": snap_id}]
+        else:
+            refs = dict(doc.get("refs", {}))
+            refs[to_branch] = {"snapshot-id": snap_id, "type": "branch"}
+            doc["refs"] = refs
         if schemas_json is not None:
             doc["schemas"] = schemas_json
         if current_schema_id is not None:
@@ -868,12 +897,16 @@ class IcebergTable:
 
     # -- write operations -------------------------------------------------
 
-    def append(self, df: DataFrame) -> None:
+    def append(self, df: DataFrame, to_branch: Optional[str] = None) -> None:
+        """Append a snapshot; ``to_branch`` stages the commit on a
+        branch ref (write-audit-publish) instead of the main head —
+        readers of the table see nothing until :meth:`fast_forward`."""
         files = self._write_parquet_files(self._aligned(df), partitioned=True)
         self._commit(
             operation="append",
             new_data_files=files,
             extra_summary={"added-data-files": str(len(files)), "added-records": str(sum(f["record_count"] for f in files))},
+            to_branch=to_branch,
         )
 
     def add_files(self, parquet_paths: list[str]) -> None:
@@ -1543,10 +1576,21 @@ class IcebergTable:
         self._set_ref(name, snapshot_id, "tag")
 
     def create_branch(self, name: str, snapshot_id: Optional[int] = None) -> None:
-        """Name a movable ref (branch head). This engine's writes
-        always advance `main`; a branch is a named alternative head
-        for reads."""
+        """Name a movable ref (branch head). Reads target it via
+        ``scan(branch=...)``; writes target it via
+        ``append(to_branch=...)`` (write-audit-publish), and
+        :meth:`fast_forward` publishes it to the main head."""
         self._set_ref(name, snapshot_id, "branch")
+
+    def fast_forward(self, branch: str) -> None:
+        """Publish a branch (`fast_forward` procedure): the main head
+        moves to the branch's snapshot. The write-audit-publish
+        'publish' step — until this call, snapshots appended with
+        ``to_branch=`` are invisible to plain reads."""
+        ref = self.meta.raw.get("refs", {}).get(branch)
+        if ref is None or ref.get("type") != "branch":
+            raise ValueError(f"No branch named {branch!r}")
+        self.rollback_to(ref["snapshot-id"])
 
     def _set_ref(self, name: str, snapshot_id: Optional[int], ref_type: str) -> None:
         doc = dict(self.meta.raw)

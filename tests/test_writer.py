@@ -552,3 +552,36 @@ def test_changelog_sees_equality_deletes(spark, tmp_path):
     )
     want = canon_rows(cust.columns, [tuple(r) for r in cust.filter("c_custkey % 10 = 3").collect()])
     assert got_del == want and len(want) > 0
+
+
+def test_write_audit_publish_branch(spark, tmp_path):
+    """WAP: append(to_branch=) stages snapshots on a branch ref —
+    plain reads see nothing, scan(branch=) sees the staged data, and
+    fast_forward publishes the branch head to main. Parent links
+    chain through the branch."""
+    from duckdb_iceberg_spark import IcebergTable
+
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    t = IcebergTable.create(spark, str(tmp_path / "t"), n.filter("n_nationkey < 10"))
+    base = t.meta.latest_snapshot().snapshot_id
+    t.append(n.filter("n_nationkey >= 10 AND n_nationkey < 20"), to_branch="audit")
+    t.append(n.filter("n_nationkey >= 20"), to_branch="audit")
+    # main head untouched; branch sees both staged appends
+    assert t.scan().count() == 10
+    assert t.meta.raw["current-snapshot-id"] == base
+    assert t.scan(branch="audit").count() == n.count()
+    # branch parent chain: audit head -> first staged -> base
+    refs = t.meta.raw["refs"]
+    head = {s["snapshot-id"]: s for s in t.meta.raw["snapshots"]}[refs["audit"]["snapshot-id"]]
+    mid = head["parent-snapshot-id"]
+    assert head["parent-snapshot-id"] != base
+    assert {s["snapshot-id"]: s for s in t.meta.raw["snapshots"]}[mid]["parent-snapshot-id"] == base
+    # publish
+    t.fast_forward("audit")
+    assert t.scan().count() == n.count()
+    # tags cannot take writes
+    t.create_tag("pin")
+    with pytest.raises(ValueError, match="is a tag"):
+        t.append(n.limit(1), to_branch="pin")
+    with pytest.raises(ValueError, match="No branch"):
+        t.fast_forward("nope")
