@@ -2895,6 +2895,31 @@ FROM del
 """
 
 
+def _iceberg_wap_branch(spark, sf):
+    """Write-audit-publish: stage two appends on an 'audit' branch
+    (invisible to plain reads — asserted), then fast_forward publishes
+    both atomically. Oracle = the published end state."""
+    import tempfile
+
+    from duckdb_iceberg_spark import IcebergTable
+
+    path = tempfile.mkdtemp(prefix="ice_wap_") + "/t"
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    t = IcebergTable.create(spark, path, n.filter("n_nationkey % 3 = 0"))
+    staged_before = t.scan().count()
+    t.append(n.filter("n_nationkey % 3 = 1"), to_branch="audit")
+    t.append(n.filter("n_nationkey % 3 = 2"), to_branch="audit")
+    # the audit gate: staged rows invisible until publish
+    assert t.scan().count() == staged_before
+    t.fast_forward("audit")
+    return t.scan()
+
+
+_ICEBERG_WAP_SQL = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
 def _iceberg_equality_deletes(spark, sf):
     """Native equality-delete write + sequence-scoped read (the
     reference reads such tables incorrectly; we do it per spec)."""
@@ -3235,6 +3260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_metadata_entries": _iceberg_metadata_entries,
         # iceberg write surface (native writer)
         "iceberg_write_pipeline": _iceberg_write_pipeline,
+        "iceberg_wap_branch": _iceberg_wap_branch,
         "iceberg_compaction": _iceberg_compaction,
         "iceberg_rewrite_manifests": _iceberg_rewrite_manifests,
         "iceberg_refs": _iceberg_refs,
@@ -3329,6 +3355,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_list_files": _ICEBERG_LF_SQL,
         "iceberg_metadata_entries": _ICEBERG_MD_SQL,
         "iceberg_write_pipeline": _ICEBERG_WP_SQL,
+        "iceberg_wap_branch": _ICEBERG_WAP_SQL,
         "iceberg_compaction": _ICEBERG_CP_SQL,
         "iceberg_rewrite_manifests": _ICEBERG_RM_SQL,
         "iceberg_refs": _ICEBERG_REFS_SQL,
