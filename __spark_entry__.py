@@ -1887,6 +1887,29 @@ FROM documents
 """
 
 
+def _text_vocab_topk(spark, sf):
+    """Corpus vocabulary heavy hitters: regex-tokenize, count, top-50.
+    Scale shape: per-doc token counts aggregate map-side BEFORE the
+    shuffle (partial HashAggregate), and the top-k is
+    TakeOrderedAndProject (per-partition heaps + driver merge of 50
+    rows) — never a global sort of the vocabulary."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.regexp_extract_all(F.lower("text"), F.lit(TX.TOKEN_PATTERN), F.lit(0))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(50)
+    )
+
+
+_TEXT_VOCAB_SQL = rf"""
+SELECT tok, COUNT(*) AS n FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '{TX.TOKEN_PATTERN}')) AS tok FROM documents)
+GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50
+"""
+
+
 _MIXTURE_RATES = {"src1": 1.0, "src2": 0.25, "src3": 0.1}
 
 
@@ -3215,6 +3238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _sample_stratified,
         "split_train_val_test": _split_train_val_test,
         "mixture_sample": _mixture_sample,
+        "text_vocab_topk": _text_vocab_topk,
         "shuffle_deterministic": _shuffle_deterministic,
         "curate_pipeline": _curate_pipeline,
         # dedup
@@ -3333,6 +3357,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": _SAMPLE_SQL,
         "split_train_val_test": _SPLIT_SQL,
         "mixture_sample": _MIXTURE_SQL,
+        "text_vocab_topk": _TEXT_VOCAB_SQL,
         "shuffle_deterministic": _SHUFFLE_SQL,
         "curate_pipeline": _CURATE_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,

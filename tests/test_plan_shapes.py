@@ -158,3 +158,14 @@ def test_quantized_topk_no_global_sort(spark):
     driver), never a full global Sort."""
     plan = _plan(E.queries()["sim_quantized"](spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_vocab_topk_partial_agg_and_no_global_sort(spark):
+    """Heavy hitters: map-side partial aggregation before the shuffle
+    and TakeOrderedAndProject for the top-k (never a full vocabulary
+    sort)."""
+    plan = _plan(E.queries()["text_vocab_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort operator
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "BatchEvalPython" not in plan
