@@ -1887,6 +1887,21 @@ FROM documents
 """
 
 
+def _agg_approx_sketches(spark, sf):
+    """Sketch aggregates — the 100 TB answer to COUNT(DISTINCT) and
+    exact percentiles: HLL++ (approx_count_distinct) and GK
+    (percentile_approx) run in one pass with map-side partial merge,
+    constant memory per partition, no giant shuffle of distinct keys.
+    Values are implementation-defined (no cross-engine oracle);
+    accuracy vs exact is pinned in tests/test_operators.py."""
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("price_q"),
+    )
+
+
 def _text_vocab_topk(spark, sf):
     """Corpus vocabulary heavy hitters: regex-tokenize, count, top-50.
     Scale shape: per-doc token counts aggregate map-side BEFORE the
@@ -3239,6 +3254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_train_val_test": _split_train_val_test,
         "mixture_sample": _mixture_sample,
         "text_vocab_topk": _text_vocab_topk,
+        "agg_approx_sketches": _agg_approx_sketches,
         "shuffle_deterministic": _shuffle_deterministic,
         "curate_pipeline": _curate_pipeline,
         # dedup

@@ -379,3 +379,20 @@ def test_mixture_sample_deterministic_and_stable(spark, sf_dir):
         r.doc_id for r in sample_to_mixture(sub, "source", "doc_id", rates, default_rate=0.5).select("doc_id").collect()
     )
     assert sub_kept == [x for x in a if x % 3 == 0]
+
+
+def test_approx_sketches_accuracy(spark, sf_dir):
+    """HLL++ distinct counts within 5% of exact; approx percentiles
+    within the rank tolerance implied by accuracy=10000."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("ap"),
+        F.countDistinct("l_partkey").alias("ep"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("ao"),
+        F.countDistinct("l_orderkey").alias("eo"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("amed"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("emed"),
+    ).first()
+    assert abs(row.ap - row.ep) / row.ep < 0.03
+    assert abs(row.ao - row.eo) / row.eo < 0.03
+    assert abs(row.amed - row.emed) / row.emed < 0.02
