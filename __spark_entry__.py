@@ -1887,6 +1887,38 @@ FROM documents
 """
 
 
+def _lateral_topn(spark, sf):
+    """LATERAL correlated subquery: per nation, its top-2 customers by
+    balance. Catalyst decorrelates this into a ranked window join —
+    the same shuffle shape as the window formulation, but exercising
+    the lateral-subquery planning path (DuckDB runs the identical
+    SQL)."""
+    _t(spark, sf, "nation").createOrReplaceTempView("_lt_nation")
+    _t(spark, sf, "customer").createOrReplaceTempView("_lt_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, CAST(t.c_acctbal AS DOUBLE) AS c_acctbal
+        FROM _lt_nation n,
+        LATERAL (
+          SELECT c_name, c_acctbal FROM _lt_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) t
+        """
+    )
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_name, CAST(t.c_acctbal AS DOUBLE) AS c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+"""
+
+
 def _agg_approx_sketches(spark, sf):
     """Sketch aggregates — the 100 TB answer to COUNT(DISTINCT) and
     exact percentiles: HLL++ (approx_count_distinct) and GK
@@ -3255,6 +3287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _mixture_sample,
         "text_vocab_topk": _text_vocab_topk,
         "agg_approx_sketches": _agg_approx_sketches,
+        "lateral_topn": _lateral_topn,
         "shuffle_deterministic": _shuffle_deterministic,
         "curate_pipeline": _curate_pipeline,
         # dedup
@@ -3374,6 +3407,7 @@ def oracle_sql() -> dict[str, str]:
         "split_train_val_test": _SPLIT_SQL,
         "mixture_sample": _MIXTURE_SQL,
         "text_vocab_topk": _TEXT_VOCAB_SQL,
+        "lateral_topn": _LATERAL_SQL,
         "shuffle_deterministic": _SHUFFLE_SQL,
         "curate_pipeline": _CURATE_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
