@@ -86,6 +86,14 @@ def get_spark(app_name: str = "duckdb_iceberg_spark", **extra) -> SparkSession:
         # read as long and convert (ts div 1000 -> micros) at the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Split sizing: Spark targets totalBytes/defaultParallelism per
+        # scan split but floors each split at openCostInBytes (4MB
+        # default) — on MB-scale files that caps a 32-core scan at 2-3
+        # tasks. 128k lets the bytes-per-core formula reach full
+        # parallelism (measured ~20% on the heavy TPC-H shapes at
+        # sf0.1); at 100 TB splits are maxPartitionBytes-bound and this
+        # only tweaks small-file combining granularity.
+        .config("spark.sql.files.openCostInBytes", str(128 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
