@@ -1551,16 +1551,25 @@ class IcebergTable:
         doc["snapshot-log"] = doc.get("snapshot-log", []) + [{"timestamp-ms": ts, "snapshot-id": snap_id}]
         self._write_metadata(doc)
 
-    def expire_snapshots(self, keep_last: int = 1) -> None:
-        """Drop all but the newest `keep_last` snapshots from metadata
-        (pair with remove_orphan_files to reclaim storage). Snapshots
-        pinned by a tag or branch ref are ALWAYS retained — expiring a
-        named version out from under its ref is how real Iceberg
-        deployments lose reproducibility, so refs win over the count."""
+    def expire_snapshots(self, keep_last: int = 1, older_than_ms: Optional[int] = None) -> None:
+        """Drop expired snapshots from metadata (pair with
+        remove_orphan_files to reclaim storage). ``keep_last`` retains
+        the newest N; ``older_than_ms`` additionally retains everything
+        at-or-after that timestamp (the Spark procedure's `older_than`
+        — both conditions must agree to expire). Snapshots pinned by a
+        tag or branch ref are ALWAYS retained — expiring a named
+        version out from under its ref is how real Iceberg deployments
+        lose reproducibility, so refs win over both rules. The current
+        snapshot is never expired."""
         doc = dict(self.meta.raw)
         snaps = sorted(doc.get("snapshots", []), key=lambda s: s["timestamp-ms"])
         ref_ids = {r["snapshot-id"] for r in doc.get("refs", {}).values()}
         keep_ids = {s["snapshot-id"] for s in snaps[-keep_last:]} | ref_ids
+        if older_than_ms is not None:
+            keep_ids |= {s["snapshot-id"] for s in snaps if s["timestamp-ms"] >= older_than_ms}
+        cur = doc.get("current-snapshot-id", -1)
+        if cur != -1:
+            keep_ids.add(cur)
         keep = [s for s in snaps if s["snapshot-id"] in keep_ids]
         doc["snapshots"] = keep
         doc["snapshot-log"] = [e for e in doc.get("snapshot-log", []) if e["snapshot-id"] in keep_ids]

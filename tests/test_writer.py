@@ -585,3 +585,26 @@ def test_write_audit_publish_branch(spark, tmp_path):
         t.append(n.limit(1), to_branch="pin")
     with pytest.raises(ValueError, match="No branch"):
         t.fast_forward("nope")
+
+
+def test_expire_older_than(spark, tmp_path):
+    """expire_snapshots(older_than_ms=): snapshots at-or-after the
+    cutoff survive regardless of keep_last; the current snapshot is
+    never expired."""
+    from duckdb_iceberg_spark import IcebergTable
+
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    t = IcebergTable.create(spark, str(tmp_path / "t"), n)
+    t.append(n.limit(5))
+    t.append(n.limit(3))
+    snaps = sorted(t.meta.snapshots, key=lambda s: s.timestamp_ms)
+    assert len(snaps) == 3
+    cutoff = snaps[1].timestamp_ms  # keep the 2nd and 3rd
+    t.expire_snapshots(keep_last=1, older_than_ms=cutoff)
+    ids = {s.snapshot_id for s in t.meta.snapshots}
+    assert snaps[0].snapshot_id not in ids
+    assert {snaps[1].snapshot_id, snaps[2].snapshot_id} <= ids
+    # older_than in the far future + keep_last=1 keeps only the head
+    t.expire_snapshots(keep_last=1, older_than_ms=snaps[2].timestamp_ms + 10**9)
+    assert {s.snapshot_id for s in t.meta.snapshots} == {snaps[2].snapshot_id}
+    assert t.scan().count() == n.count() + 8
