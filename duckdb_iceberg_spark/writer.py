@@ -1649,9 +1649,15 @@ class IcebergTable:
         doc["last-updated-ms"] = ts
         self._write_metadata(doc)
 
-    def remove_orphan_files(self) -> list[str]:
+    def remove_orphan_files(self, older_than_ms: Optional[int] = None) -> list[str]:
         """Delete data/delete/avro files referenced by NO remaining
-        snapshot. Returns removed paths."""
+        snapshot. Returns removed paths.
+
+        ``older_than_ms`` (epoch millis) only removes files whose
+        mtime predates the cutoff — the Spark procedure's safety
+        window: a concurrent writer's just-written files are not yet
+        referenced by any snapshot and would otherwise be deleted out
+        from under its pending commit."""
         from .plans.avro import read_avro_file
 
         referenced: set[str] = set()
@@ -1673,6 +1679,8 @@ class IcebergTable:
                 for name in names:
                     p = os.path.abspath(os.path.join(root, name))
                     if p.endswith(exts) and p not in referenced:
+                        if older_than_ms is not None and os.path.getmtime(p) * 1000 >= older_than_ms:
+                            continue
                         os.remove(p)
                         removed.append(p)
         return removed

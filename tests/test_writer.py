@@ -608,3 +608,25 @@ def test_expire_older_than(spark, tmp_path):
     t.expire_snapshots(keep_last=1, older_than_ms=snaps[2].timestamp_ms + 10**9)
     assert {s.snapshot_id for s in t.meta.snapshots} == {snaps[2].snapshot_id}
     assert t.scan().count() == n.count() + 8
+
+
+def test_remove_orphans_older_than_guard(spark, tmp_path):
+    """The older_than safety window: freshly-written unreferenced
+    files (a concurrent writer's pending commit) survive; with no
+    cutoff they are removed."""
+    import time
+
+    from duckdb_iceberg_spark import IcebergTable
+
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    t = IcebergTable.create(spark, str(tmp_path / "t"), n)
+    # simulate a concurrent writer's not-yet-committed data file
+    stray = os.path.join(str(tmp_path / "t"), "data", "pending-commit.parquet")
+    with open(stray, "wb") as f:
+        f.write(b"PAR1 stub PAR1")
+    removed = t.remove_orphan_files(older_than_ms=int(time.time() * 1000) - 60_000)
+    assert stray not in [os.path.abspath(p) for p in removed]
+    assert os.path.exists(stray)
+    removed2 = t.remove_orphan_files()
+    assert os.path.abspath(stray) in removed2
+    assert t.scan().count() == n.count()
