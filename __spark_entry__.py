@@ -2990,6 +2990,39 @@ SELECT n_nationkey, n_name, n_regionkey FROM nation
 """
 
 
+def _streaming_from_iceberg_source(spark, sf):
+    """Iceberg table as a STREAMING SOURCE (PySpark 4 Python Data
+    Source API): commits become micro-batches scoped by
+    sequence-number offsets, data files read executor-side via Arrow.
+    Two commits drained into a memory sink must equal the table."""
+    import tempfile
+
+    from duckdb_iceberg_spark import IcebergTable
+    from duckdb_iceberg_spark.streaming.iceberg_source import read_table_stream
+
+    path = tempfile.mkdtemp(prefix="ice_srcq_") + "/t"
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    t = IcebergTable.create(spark, path, n.filter("n_nationkey % 2 = 0"))
+    t.append(n.filter("n_nationkey % 2 = 1"))
+    stream = read_table_stream(spark, path)
+    ckpt = tempfile.mkdtemp(prefix="ice_srcq_ckpt_")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ice_src_entry")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("ice_src_entry")
+
+
+_ICEBERG_SRC_SQL = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
 def _iceberg_equality_deletes(spark, sf):
     """Native equality-delete write + sequence-scoped read (the
     reference reads such tables incorrectly; we do it per spec)."""
@@ -3334,6 +3367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iceberg write surface (native writer)
         "iceberg_write_pipeline": _iceberg_write_pipeline,
         "iceberg_wap_branch": _iceberg_wap_branch,
+        "streaming_from_iceberg": _streaming_from_iceberg_source,
         "iceberg_compaction": _iceberg_compaction,
         "iceberg_rewrite_manifests": _iceberg_rewrite_manifests,
         "iceberg_refs": _iceberg_refs,
@@ -3431,6 +3465,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_metadata_entries": _ICEBERG_MD_SQL,
         "iceberg_write_pipeline": _ICEBERG_WP_SQL,
         "iceberg_wap_branch": _ICEBERG_WAP_SQL,
+        "streaming_from_iceberg": _ICEBERG_SRC_SQL,
         "iceberg_compaction": _ICEBERG_CP_SQL,
         "iceberg_rewrite_manifests": _ICEBERG_RM_SQL,
         "iceberg_refs": _ICEBERG_REFS_SQL,

@@ -302,8 +302,16 @@ def resolve_metadata_path(
 
     hint = os.path.join(meta_dir, VERSION_HINT_FILE)
     if version != "?" and os.path.isfile(hint):
-        with open(hint) as f:
-            ver = f.read().strip()
+        import time as _time
+
+        ver = ""
+        for _ in range(5):
+            with open(hint) as f:
+                ver = f.read().strip()
+            if ver:
+                break
+            # transient empty hint: a (pre-atomic-rename) writer mid-swap
+            _time.sleep(0.02)
         for cand in candidates(ver):
             if os.path.isfile(cand):
                 return cand

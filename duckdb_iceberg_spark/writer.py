@@ -891,8 +891,15 @@ class IcebergTable:
             ) from e
         os.close(fd)
         _dump_metadata_json(mpath, doc, self.codec)
-        with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        # atomic hint swap: a plain truncate+write lets a concurrent
+        # reader observe an EMPTY hint mid-write (seen as a streaming
+        # source polling latestOffset during an append) — write-aside
+        # + rename is atomic on POSIX.
+        hint = os.path.join(meta_dir, "version-hint.text")
+        tmp = f"{hint}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
             f.write(str(nxt))
+        os.replace(tmp, hint)
         self.meta = load_table_metadata(self.path, metadata_compression_codec=self.codec)
 
     # -- write operations -------------------------------------------------

@@ -148,3 +148,36 @@ def test_watermark_drops_late_events(spark, tmp_path):
     got = {r["w"]["start"].strftime("%H:%M"): r["n"] for r in spark.table("late_drop_test").collect()}
     assert got == {"10:00": 3}  # on-time window finalized once, late row absent
     assert dropped == 1  # the late row was dropped by the watermark
+
+
+def test_iceberg_table_as_streaming_source(spark, tmp_path):
+    """readStream over a native Iceberg table (Python Data Source):
+    each commit becomes a micro-batch scoped by sequence-number
+    offsets; counts and rows are exactly-once across appends."""
+    from duckdb_iceberg_spark import IcebergTable
+    from duckdb_iceberg_spark.streaming.iceberg_source import read_table_stream
+
+    n = _events(spark).limit(0)  # touch fixture loader for parity
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    path = str(tmp_path / "src_table")
+    t = IcebergTable.create(spark, path, nation.filter("n_nationkey < 10"))
+    stream = read_table_stream(spark, path)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ice_src_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("ice_src_test").count() == 10
+        t.append(nation.filter("n_nationkey >= 10"))
+        q.processAllAvailable()
+        got = {r.n_nationkey for r in spark.table("ice_src_test").collect()}
+        want = {r.n_nationkey for r in nation.collect()}
+        assert got == want
+        # exactly-once: no duplicates across the two micro-batches
+        assert spark.table("ice_src_test").count() == nation.count()
+    finally:
+        q.stop()
