@@ -181,3 +181,35 @@ def test_iceberg_table_as_streaming_source(spark, tmp_path):
         assert spark.table("ice_src_test").count() == nation.count()
     finally:
         q.stop()
+
+
+def test_medallion_chain_iceberg_to_iceberg(spark, tmp_path):
+    """Bronze -> silver: stream FROM one native Iceberg table,
+    transform, stream INTO another (source + sink composed). New
+    bronze commits propagate incrementally to silver."""
+    from duckdb_iceberg_spark import IcebergTable
+    from duckdb_iceberg_spark.streaming.events import write_stream_to_iceberg
+    from duckdb_iceberg_spark.streaming.iceberg_source import read_table_stream
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select(
+        "c_custkey", "c_nationkey", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    bt = IcebergTable.create(spark, bronze, cust.filter("c_custkey % 2 = 0"))
+    stream = read_table_stream(spark, bronze).filter(F.col("c_acctbal") > 0)
+    q = write_stream_to_iceberg(stream, silver, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    st = IcebergTable(spark, silver)
+    want1 = cust.filter("c_custkey % 2 = 0 AND c_acctbal > 0").count()
+    assert st.scan().count() == want1
+    # a new bronze commit flows through on the next drain
+    bt.append(cust.filter("c_custkey % 2 = 1"))
+    q2 = write_stream_to_iceberg(
+        read_table_stream(spark, bronze).filter(F.col("c_acctbal") > 0),
+        silver,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination()
+    st = IcebergTable(spark, silver)
+    assert st.scan().count() == cust.filter("c_acctbal > 0").count()
