@@ -68,16 +68,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     # Steady-state methodology (JMH-style): one untimed warmup pass so
     # whole-stage codegen compilation + JVM JIT don't get attributed to
-    # the queries, then one timed pass. On a long-lived cluster the
-    # steady state is what the user experiences.
+    # the queries, then TWO timed passes keeping the per-query minimum
+    # (this VM shows ~8% run-to-run noise; min-of-2 is the steady-state
+    # number a long-lived cluster user experiences).
     for name in BENCH_QUERIES:
         qs[name](spark, SF_DIR).count()
-    for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    for _pass in range(2):
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            n = df.count()
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+            if _pass == 1:
+                print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
