@@ -527,3 +527,22 @@ def test_where_in_list_prunes_and_or_disables_pruning(spark, tmp_path, events):
     got_not = t.scan(where=w_not).count()
     assert got_not == events.filter(f"event_type != '{two[0]}'").count()
     assert len(t.scan(mode="list_files", where=w_not).collect()) == n_all
+
+
+def test_bucket_jvm_matches_python_randomized(spark):
+    """1000 random int64s (plus extremes): the JVM murmur3 expression
+    and the pure-Python evaluator must agree on every bucket value —
+    the write path and the pruning path hash identically."""
+    import random
+
+    from duckdb_iceberg_spark.plans.transforms import bucket_column, bucket_value
+
+    rng = random.Random(1234)
+    vals = (
+        [rng.randint(-(2**63), 2**63 - 1) for _ in range(1000)]
+        + [0, 1, -1, 2**63 - 1, -(2**63), 34]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r.v: r.b for r in df.select("v", bucket_column(F.col("v"), 32, "bigint").alias("b")).collect()}
+    for v in vals:
+        assert got[v] == bucket_value(v, 32), f"mismatch for {v}"
