@@ -213,3 +213,36 @@ def test_medallion_chain_iceberg_to_iceberg(spark, tmp_path):
     q2.awaitTermination()
     st = IcebergTable(spark, silver)
     assert st.scan().count() == cust.filter("c_acctbal > 0").count()
+
+
+def test_iceberg_source_append_only_semantics(spark, tmp_path):
+    """Documented contract: the streaming source emits appends only —
+    a row-level delete in the upstream table is NOT retracted from the
+    stream (a stream cannot un-emit), and data files added by later
+    commits still flow."""
+    from duckdb_iceberg_spark import IcebergTable
+    from duckdb_iceberg_spark.streaming.iceberg_source import read_table_stream
+
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    path = str(tmp_path / "t")
+    t = IcebergTable.create(spark, path, nation)
+    q = (
+        read_table_stream(spark, path)
+        .writeStream.format("memory")
+        .queryName("ice_src_ao")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("ice_src_ao").count() == nation.count()
+        t.delete_where("n_nationkey < 5")  # MoR: adds a delete file, no data files
+        t.append(nation.limit(2))
+        q.processAllAvailable()
+        # deletes not retracted; the 2 appended rows arrived
+        assert spark.table("ice_src_ao").count() == nation.count() + 2
+        # while the TABLE itself reflects the delete
+        assert t.scan().count() == nation.count() - 5 + 2
+    finally:
+        q.stop()
