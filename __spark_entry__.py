@@ -3,9 +3,18 @@
 queries() = the implemented operator surface (SURVEY.md §2 parity +
 north-star pipeline ops), each with an exact DuckDB oracle twin in
 oracle_sql(). Numeric determinism strategy: money sums go through
-DECIMAL casts (exact in both engines), double-valued scores/ratios are
-rounded; time keys are emitted as formatted strings so engine
-timestamp-repr differences can't affect the value hash.
+DECIMAL casts (exact in both engines) and decimal PRODUCTS are
+rescaled to scale 2 before summing (unscaled accumulations stay below
+2^53 at any SF; the SQL twin uses ROUND, which matches Spark's
+HALF_UP decimal cast — DuckDB's decimal downscale CAST truncates);
+double-valued scores/ratios are rounded; time keys are emitted as
+formatted strings so engine timestamp-repr differences can't affect
+the value hash. Residual known risk: ROUND on a SUM of raw doubles
+(events.value paths) is order-dependent at the ~1e-12 level — a flip
+needs the true sum within that distance of a .xx5 boundary; accepted
+(stable across three rounds) because every alternative (per-element
+decimal casts on >2-decimal doubles) hits the engines' differing
+decimal rounding modes instead.
 """
 
 from __future__ import annotations
