@@ -142,6 +142,7 @@ class IcebergSnapshot:
     manifest_list: str
     schema_id: Optional[int]
     summary: dict = field(default_factory=dict)
+    parent_snapshot_id: Optional[int] = None
 
 
 @dataclass
@@ -193,6 +194,27 @@ class TableMetadata:
             raise ValueError(f"Could not find latest snapshots for timestamp {txt}")
         return max(eligible, key=lambda s: s.timestamp_ms)
 
+    def main_lineage(self) -> list[IcebergSnapshot]:
+        """Snapshots reachable from the main head (current-snapshot-id,
+        falling back to ``refs['main']``) by walking parent-snapshot-id,
+        oldest first.  Snapshots staged on OTHER branches
+        (``append(to_branch=...)`` write-audit-publish) are excluded —
+        they are unpublished and must stay invisible to readers until
+        :meth:`~duckdb_iceberg_spark.writer.IcebergTable.fast_forward`.
+        """
+        head_id = self.current_snapshot_id
+        if head_id is None or head_id == -1:
+            ref = self.raw.get("refs", {}).get("main")
+            head_id = ref["snapshot-id"] if ref else None
+        by_id = {s.snapshot_id: s for s in self.snapshots}
+        out: list[IcebergSnapshot] = []
+        sid = head_id
+        while sid is not None and sid in by_id:
+            snap = by_id[sid]
+            out.append(snap)
+            sid = snap.parent_snapshot_id
+        return out[::-1]
+
     def schema_for_snapshot(self, snap: IcebergSnapshot) -> IcebergSchema:
         # The reference always resolves the *current* schema id of the
         # metadata file, not the snapshot's own schema-id
@@ -237,6 +259,7 @@ def parse_table_metadata(metadata_path: str, metadata_compression_codec: str = "
                 manifest_list=s["manifest-list"],
                 schema_id=s.get("schema-id"),
                 summary=s.get("summary", {}),
+                parent_snapshot_id=s.get("parent-snapshot-id"),
             )
         )
     return TableMetadata(

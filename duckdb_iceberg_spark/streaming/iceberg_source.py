@@ -2,12 +2,44 @@
 PySpark 4 Python Data Source API.
 
 ``spark.readStream.format("iceberg_stream").option("path", p).load()``
-turns the table's commit log into a stream: offsets are the table's
-Iceberg *sequence numbers*, each micro-batch reads exactly the data
-files whose sequence number lands in ``(start, end]`` — one
-``InputPartition`` per data file, read executor-side through pyarrow
-(Arrow-batched, never on the driver). Exactly-once follows from the
-offset log: a replayed batch re-reads the same immutable files.
+turns the table's commit log into a stream: offsets are positions in
+the main-lineage commit log — ``{"seq": S, "idx": K}`` means "every
+data file with sequence number < S, plus the first K files (path
+order) of sequence S, has been emitted".  Each micro-batch reads
+exactly the files in ``(start, end]`` — one ``InputPartition`` per
+data file, read executor-side through pyarrow (Arrow-batched, never
+on the driver).  Exactly-once follows from the offset log: a replayed
+batch re-reads the same immutable files.
+
+Only snapshots reachable from the main head (current-snapshot-id via
+parent-snapshot-id links) are consumed: commits staged on a branch
+with ``append(to_branch=...)`` (write-audit-publish) stay invisible
+until :meth:`fast_forward` publishes them, matching the batch reader
+and the writer's documented invariant.
+
+Backpressure: ``.option("maxFilesPerTrigger", n)`` caps each
+micro-batch at ``n`` data files, so one giant commit is consumed as
+``ceil(files/n)`` batches instead of a single unbounded one.  One
+caveat: the FIRST trigger of a run is uncapped — Spark asks for the
+latest offset before the reader learns the query's position (it calls
+``latestOffset`` before ``initialOffset`` on a fresh query, and never
+calls ``initialOffset`` on a checkpoint restart), and capping from an
+unknown position could regress the offset log and re-emit data, so
+the reader only caps once ``partitions(start, end)`` has shown it
+where the query is.  Every subsequent trigger is capped.
+
+Format-version-1 tables are rejected with an error: v1 snapshots
+carry no sequence numbers, so commit-window offsets are undefined
+(previously such tables streamed silently empty).
+
+Schema evolution: each file's parquet columns are resolved by Iceberg
+*field id* (``PARQUET:field_id`` metadata), not by name, so files
+written before a column rename still stream correctly under the
+current name; columns added after a file was written read as NULL —
+the same field-id mapping the batch path gets from Spark's
+``spark.sql.parquet.fieldId.read.enabled`` (reference
+src/iceberg_functions/iceberg_multi_file_reader.cpp field_id ->
+column mapping).
 
 This is the inverse of ``write_stream_to_iceberg`` (the sink) and the
 streaming twin of ``IcebergTable.scan_appends`` — together they chain
@@ -27,13 +59,20 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
 
+_ALL = float("inf")  # offsets without "idx" (pre-backpressure checkpoints)
+
 
 class _FileSlice(InputPartition):
-    """One data file of one micro-batch (picklable to executors)."""
+    """One data file of one micro-batch (picklable to executors).
 
-    def __init__(self, path: str, columns: list):
+    ``fields`` is ``[(field_id, current_name), ...]`` in output order —
+    the executor resolves each to the file's own parquet column by
+    field id (see module doc).
+    """
+
+    def __init__(self, path: str, fields: list):
         self.path = path
-        self.columns = columns
+        self.fields = fields
 
 
 class _IcebergStreamReader(DataSourceStreamReader):
@@ -41,47 +80,113 @@ class _IcebergStreamReader(DataSourceStreamReader):
         self.table_path = options["path"]
         self.codec = options.get("metadata_compression_codec", "none")
         self._schema = schema
+        # Spark normalizes data source option keys to lowercase
+        lower = {k.lower(): v for k, v in options.items()}
+        mft = lower.get("maxfilespertrigger")
+        self.max_files = int(mft) if mft is not None else None
+        if self.max_files is not None and self.max_files <= 0:
+            raise ValueError(f"maxFilesPerTrigger must be positive, got {self.max_files}")
+        # last end-offset this reader produced/served (driver-side state,
+        # used only to cap the NEXT batch; correctness never depends on it)
+        self._last: dict | None = None
 
-    # -- offsets: the table's last-sequence-number -----------------------
+    # -- metadata ---------------------------------------------------------
     def _meta(self):
         from ..plans.table_metadata import load_table_metadata
 
-        return load_table_metadata(self.table_path, metadata_compression_codec=self.codec)
+        meta = load_table_metadata(self.table_path, metadata_compression_codec=self.codec)
+        if meta.format_version == 1:
+            raise ValueError(
+                "Cannot stream from a format-version-1 Iceberg table: v1 "
+                "snapshots carry no sequence numbers, so commit-window "
+                "offsets are undefined (the stream would stay silently "
+                "empty). Rewrite the table as format-version 2."
+            )
+        return meta
 
-    def initialOffset(self) -> dict:
-        return {"seq": 0}
-
-    def latestOffset(self) -> dict:
-        return {"seq": int(self._meta().raw.get("last-sequence-number", 0))}
-
-    # -- planning (driver): files in the (start, end] commit window ------
-    def partitions(self, start: dict, end: dict):
+    def _indexed_files(self, meta):
+        """Main-head data files as ``[(seq, idx_within_seq, path)]``,
+        ordered by (sequence number, path) — the stream's total order."""
         from ..plans.manifests import load_table_scan
 
-        lo, hi = int(start["seq"]), int(end["seq"])
-        if hi <= lo:
+        lineage = meta.main_lineage()
+        if not lineage:
             return []
-        meta = self._meta()
-        eligible = [s for s in meta.snapshots if (s.sequence_number or 0) <= hi]
-        if not eligible:
-            return []
-        snap = max(eligible, key=lambda s: (s.sequence_number or 0, s.timestamp_ms))
-        scan = load_table_scan(meta, snap, self.table_path, False)
-        cols = [f.name for f in self._schema.fields]
-        return [
-            _FileSlice(e.file_path, cols)
-            for e in scan.data_files()
-            if lo < (e.sequence_number or 0) <= hi
-        ]
+        scan = load_table_scan(meta, lineage[-1], self.table_path, False)
+        files = sorted((e.sequence_number or 0, e.file_path) for e in scan.data_files())
+        out, prev, i = [], None, 0
+        for seq, path in files:
+            i = i + 1 if seq == prev else 0
+            prev = seq
+            out.append((seq, i, path))
+        return out
 
-    # -- execution (executors): Arrow-read one file ----------------------
+    # -- offsets ----------------------------------------------------------
+    def initialOffset(self) -> dict:
+        self._last = {"seq": 0, "idx": 0}
+        return {"seq": 0, "idx": 0}
+
+    def latestOffset(self) -> dict:
+        files = self._indexed_files(self._meta())
+        if not files:
+            return self._last or {"seq": 0, "idx": 0}
+        end_seq, end_i, _ = files[-1]
+        full = {"seq": end_seq, "idx": end_i + 1}
+        if self.max_files is None or self._last is None:
+            self._last = full
+            return full
+        s0, k0 = self._last["seq"], self._last.get("idx", _ALL)
+        pending = [f for f in files if f[0] > s0 or (f[0] == s0 and f[1] >= k0)]
+        if not pending:
+            return self._last
+        take = pending[: self.max_files]
+        off = {"seq": take[-1][0], "idx": take[-1][1] + 1}
+        self._last = off
+        return off
+
+    # -- planning (driver): files in the (start, end] window --------------
+    def partitions(self, start: dict, end: dict):
+        s0, k0 = int(start["seq"]), start.get("idx", _ALL)
+        s1, k1 = int(end["seq"]), end.get("idx", _ALL)
+        # learn the true position (Spark calls latestOffset before
+        # initialOffset on a fresh query, and never calls initialOffset
+        # on a restart — partitions() is where the reader reliably sees
+        # where the query actually is)
+        self._last = dict(end)
+        if (s1, k1) <= (s0, k0):
+            return []
+        files = self._indexed_files(self._meta())
+        fields = []
+        for f in self._schema.fields:
+            md = f.metadata or {}
+            fields.append((md.get("parquet.field.id"), f.name))
+        sel = [
+            p
+            for (seq, i, p) in files
+            if (seq > s0 or (seq == s0 and i >= k0)) and (seq < s1 or (seq == s1 and i < k1))
+        ]
+        return [_FileSlice(p, fields) for p in sel]
+
+    # -- execution (executors): Arrow-read one file -----------------------
     def read(self, partition: _FileSlice):
         import pyarrow.parquet as pq
 
-        table = pq.read_table(partition.path, columns=partition.columns)
-        for batch in table.to_batches():
-            cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
-            yield from zip(*cols)
+        fschema = pq.read_schema(partition.path)
+        by_fid = {}
+        for f in fschema:
+            fid = (f.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                by_fid[int(fid)] = f.name
+        want = []  # parquet column name per output field, None -> NULL
+        for fid, cur_name in partition.fields:
+            pname = by_fid.get(fid) if fid is not None else None
+            if pname is None and not by_fid and cur_name in fschema.names:
+                pname = cur_name  # file has no field ids: name fallback
+            want.append(pname)
+        table = pq.read_table(partition.path, columns=[p for p in want if p is not None])
+        n = table.num_rows
+        cols = [table.column(p).to_pylist() if p is not None else [None] * n for p in want]
+        yield from zip(*cols)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the query's checkpoint

@@ -1602,11 +1602,35 @@ class IcebergTable:
         """Publish a branch (`fast_forward` procedure): the main head
         moves to the branch's snapshot. The write-audit-publish
         'publish' step — until this call, snapshots appended with
-        ``to_branch=`` are invisible to plain reads."""
+        ``to_branch=`` are invisible to plain reads.
+
+        Like Iceberg's ``fast_forward`` procedure, the move must be a
+        true fast-forward: the current main head must be an ancestor
+        of the branch head (walking parent-snapshot-id). If main
+        advanced concurrently after the branch was created, publishing
+        would silently discard those commits — that case raises
+        instead; rebase the branch (re-stage its writes on the new
+        head) and retry."""
         ref = self.meta.raw.get("refs", {}).get(branch)
         if ref is None or ref.get("type") != "branch":
             raise ValueError(f"No branch named {branch!r}")
-        self.rollback_to(ref["snapshot-id"])
+        head = ref["snapshot-id"]
+        cur = self.meta.current_snapshot_id
+        if cur is not None and cur != -1 and cur != head:
+            by_id = {s.snapshot_id: s for s in self.meta.snapshots}
+            sid, is_ancestor = head, False
+            while sid is not None and sid in by_id:
+                if sid == cur:
+                    is_ancestor = True
+                    break
+                sid = by_id[sid].parent_snapshot_id
+            if not is_ancestor:
+                raise ValueError(
+                    f"Cannot fast-forward main to branch {branch!r}: the current "
+                    f"main snapshot {cur} is not an ancestor of the branch head "
+                    f"{head} (main advanced concurrently; rebase the branch and retry)"
+                )
+        self.rollback_to(head)
 
     def _set_ref(self, name: str, snapshot_id: Optional[int], ref_type: str) -> None:
         doc = dict(self.meta.raw)

@@ -246,3 +246,143 @@ def test_iceberg_source_append_only_semantics(spark, tmp_path):
         assert t.scan().count() == nation.count() - 5 + 2
     finally:
         q.stop()
+
+
+def test_stream_ignores_unpublished_branch_commits(spark, tmp_path):
+    """WAP invariant for the SOURCE: snapshots staged with
+    append(to_branch=) are NOT emitted downstream until fast_forward
+    publishes them — the stream follows the main lineage only (the
+    branch commit bumps last-sequence-number, which must not leak)."""
+    from duckdb_iceberg_spark import IcebergTable
+    from duckdb_iceberg_spark.streaming.iceberg_source import read_table_stream
+
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    path = str(tmp_path / "t")
+    t = IcebergTable.create(spark, path, nation.filter("n_nationkey < 10"))
+    q = (
+        read_table_stream(spark, path)
+        .writeStream.format("memory")
+        .queryName("ice_src_wap")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("ice_src_wap").count() == 10
+        # staged on a branch: invisible to the stream...
+        t.append(nation.filter("n_nationkey >= 10"), to_branch="audit")
+        q.processAllAvailable()
+        assert spark.table("ice_src_wap").count() == 10
+        # ...until published
+        t.fast_forward("audit")
+        q.processAllAvailable()
+        got = {r.n_nationkey for r in spark.table("ice_src_wap").collect()}
+        assert got == {r.n_nationkey for r in nation.collect()}
+        assert spark.table("ice_src_wap").count() == nation.count()
+    finally:
+        q.stop()
+
+
+def test_stream_max_files_per_trigger(spark, tmp_path):
+    """Backpressure: a 10-file commit with maxFilesPerTrigger=3 is
+    consumed as >= ceil(10/3) micro-batches with exactly-once row
+    totals. (The commit arrives mid-stream: the first trigger of a run
+    is uncapped by design — see the source module doc.)"""
+    from duckdb_iceberg_spark import IcebergTable
+    from duckdb_iceberg_spark.plans.manifests import load_table_scan
+    from duckdb_iceberg_spark.streaming.iceberg_source import read_table_stream
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    path = str(tmp_path / "t")
+    t = IcebergTable.create(spark, path, cust.filter("c_custkey <= 10").coalesce(1))
+    q = (
+        read_table_stream(spark, path, maxFilesPerTrigger=3)
+        .writeStream.format("memory")
+        .queryName("ice_src_mft")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n0 = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        # one 10-file commit lands mid-stream
+        t.append(cust.filter("c_custkey > 10").repartition(10))
+        scan = load_table_scan(t.meta, t.meta.latest_snapshot(), path, False)
+        nfiles = len(scan.data_files())
+        assert nfiles >= 11  # initial file + 10 new ones
+        q.processAllAvailable()
+        assert spark.table("ice_src_mft").count() == cust.count()
+        batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(batches) - n0 >= 4  # 10 files / 3 per trigger -> >= 4 batches
+    finally:
+        q.stop()
+
+
+def test_stream_v1_table_raises(spark, tmp_path):
+    """A format-version-1 table must error loudly instead of streaming
+    silently empty (v1 has no sequence numbers to use as offsets)."""
+    import json
+
+    import pytest
+
+    from duckdb_iceberg_spark import IcebergTable
+    from duckdb_iceberg_spark.streaming.iceberg_source import read_table_stream
+
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    path = str(tmp_path / "t")
+    IcebergTable.create(spark, path, nation)
+    # rewrite the metadata as format-version 1
+    meta_dir = os.path.join(path, "metadata")
+    with open(os.path.join(meta_dir, "v1.metadata.json")) as f:
+        doc = json.load(f)
+    doc["format-version"] = 1
+    with open(os.path.join(meta_dir, "v2.metadata.json"), "w") as f:
+        json.dump(doc, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("2")
+    q = (
+        read_table_stream(spark, path)
+        .writeStream.format("memory")
+        .queryName("ice_src_v1")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        with pytest.raises(Exception, match="format-version-1"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_stream_resolves_columns_by_field_id_after_rename(spark, tmp_path):
+    """Schema evolution: files written BEFORE a column rename stream
+    correctly under the new name (field-id resolution, like the batch
+    path), and files written after the rename mix in seamlessly."""
+    from duckdb_iceberg_spark import IcebergTable
+    from duckdb_iceberg_spark.streaming.iceberg_source import read_table_stream
+
+    nation = spark.read.parquet(f"{SF}/nation.parquet").select("n_nationkey", "n_name")
+    path = str(tmp_path / "t")
+    t = IcebergTable.create(spark, path, nation.filter("n_nationkey < 10"))
+    t.rename_column("n_name", "nation_name")
+    t.append(
+        nation.filter("n_nationkey >= 10").withColumnRenamed("n_name", "nation_name")
+    )
+    q = (
+        read_table_stream(spark, path)
+        .writeStream.format("memory")
+        .queryName("ice_src_fid")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r.n_nationkey, r.nation_name) for r in spark.table("ice_src_fid").collect()}
+        want = {(r.n_nationkey, r.n_name) for r in nation.collect()}
+        assert got == want
+    finally:
+        q.stop()

@@ -630,3 +630,22 @@ def test_remove_orphans_older_than_guard(spark, tmp_path):
     removed2 = t.remove_orphan_files()
     assert os.path.abspath(stray) in removed2
     assert t.scan().count() == n.count()
+
+
+def test_fast_forward_requires_ancestor(spark, tmp_path):
+    """fast_forward must refuse a non-fast-forward move: if main
+    advanced after the branch was staged, publishing would silently
+    drop the concurrent main commits — Iceberg's procedure errors,
+    and so do we."""
+    from duckdb_iceberg_spark import IcebergTable
+
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    t = IcebergTable.create(spark, str(tmp_path / "t"), n.filter("n_nationkey < 10"))
+    t.append(n.filter("n_nationkey >= 10 AND n_nationkey < 20"), to_branch="audit")
+    # main advances concurrently
+    t.append(n.filter("n_nationkey >= 20"))
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.fast_forward("audit")
+    # main head unchanged, branch still readable
+    assert t.scan().count() == 10 + 5
+    assert t.scan(branch="audit").count() == 20
