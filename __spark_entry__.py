@@ -9,12 +9,12 @@ rescaled to scale 2 before summing (unscaled accumulations stay below
 HALF_UP decimal cast — DuckDB's decimal downscale CAST truncates);
 double-valued scores/ratios are rounded; time keys are emitted as
 formatted strings so engine timestamp-repr differences can't affect
-the value hash. Residual known risk: ROUND on a SUM of raw doubles
-(events.value paths) is order-dependent at the ~1e-12 level — a flip
-needs the true sum within that distance of a .xx5 boundary; accepted
-(stable across three rounds) because every alternative (per-element
-decimal casts on >2-decimal doubles) hits the engines' differing
-decimal rounding modes instead.
+the value hash. events.value sums use the exact-cents policy: each
+value becomes CAST(ROUND(value*100) AS BIGINT) — per-element,
+deterministic, identical in both engines since the fixture's values
+carry two decimals — the LONG sum is order-independent, and a single
+(double)sum/100.0 at output is IEEE-exact, so no ROUND ever applies
+to an order-dependent double accumulation.
 """
 
 from __future__ import annotations
@@ -636,14 +636,14 @@ def _events_hourly(spark, sf):
         F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
         "event_type",
         "n_events",
-        _dec("sum_value").cast("double").alias("sum_value"),
+        "sum_value",
     )
 
 
 _EVENTS_HOURLY_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
   COUNT(*) AS n_events,
-  CAST(ROUND(SUM(value), 2) AS DOUBLE) AS sum_value
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -2584,20 +2584,21 @@ def _streaming_enrich(spark, sf):
     cust = _t(spark, sf, "customer").select(F.col("c_custkey").alias("user_id"), "c_nationkey")
     enriched = enrich_with_dim(read_events_stream(spark, sf), cust, "user_id")
     agg = enriched.groupBy("c_nationkey", "event_type").agg(
-        F.count("*").alias("n"), F.sum("value").alias("sv")
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sv_cents"),
     )
     out = run_stream_to_memory(agg, "stream_enrich_entry")
     return out.select(
         "c_nationkey",
         "event_type",
         "n",
-        F.round("sv", 2).cast("double").alias("sum_value"),
+        (F.col("sv_cents").cast("double") / F.lit(100.0)).alias("sum_value"),
     )
 
 
 _STREAM_ENRICH_SQL = """
 SELECT c_nationkey, event_type, COUNT(*) AS n,
-  CAST(ROUND(SUM(value), 2) AS DOUBLE) AS sum_value
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1, 2
 """
@@ -2616,7 +2617,7 @@ def _streaming_hourly(spark, sf):
         F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
         "event_type",
         "n_events",
-        _dec("sum_value").cast("double").alias("sum_value"),
+        "sum_value",
     )
 
 

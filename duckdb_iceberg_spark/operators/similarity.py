@@ -211,6 +211,13 @@ def ivf_topk(
     return scored.orderBy(F.desc("cos"), F.asc(key_col)).limit(k)
 
 
+def _vec_dim(df: DataFrame, vec_col: str) -> Optional[int]:
+    """Embedding length of the first row (one-row LIMIT scan — cheap at
+    any table size), or None for an empty input."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return None if row is None else int(row["d"])
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,
@@ -220,13 +227,19 @@ def knn_join(
     right_key: str = "vec_id",
     n_planes: int = 4,
     seed: int = 42,
-    dim: int = 64,
+    dim: Optional[int] = None,
     exact: bool = False,
 ) -> DataFrame:
     """For each left row, its k nearest right rows by cosine.
 
     exact=True does the full cross join (correctness baseline);
     exact=False blocks by LSH bucket (the at-scale path).
+
+    ``dim`` (the LSH plane dimensionality) is inferred from the data
+    when omitted; an explicit value is validated against the data —
+    planes built for the wrong length would silently hash a prefix of
+    every vector and degrade recall with no error.
+
     Returns (left_key as qid, right_key as nid, cos, rank).
     """
     l = left.select(F.col(left_key).alias("qid"), F.col(vec_col).alias("qv"))
@@ -234,6 +247,22 @@ def knn_join(
     if exact:
         pairs = l.crossJoin(r)
     else:
+        ldim, rdim = _vec_dim(left, vec_col), _vec_dim(right, vec_col)
+        if ldim is not None and rdim is not None and ldim != rdim:
+            raise ValueError(
+                f"knn_join: left embeddings have length {ldim} but right have {rdim}"
+            )
+        data_dim = ldim if ldim is not None else rdim
+        if dim is None:
+            if data_dim is None:
+                raise ValueError(
+                    "knn_join: cannot infer embedding dim from empty inputs; pass dim="
+                )
+            dim = data_dim
+        elif data_dim is not None and dim != data_dim:
+            raise ValueError(
+                f"knn_join: dim={dim} does not match the data's embedding length {data_dim}"
+            )
         planes = _planes(n_planes, dim, seed)
         lb = l.withColumn("bucket", VEC.sign_bits(F.col("qv"), planes))
         rb = r.withColumn("bucket", VEC.sign_bits(F.col("nv"), planes))

@@ -54,9 +54,18 @@ def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     memory on an unbounded stream.
     """
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    # exact-cents policy: per-element ROUND(value*100) -> long is
+    # deterministic in every engine; the long sum is order-independent
+    # (unlike a double sum, whose rounding could flip with task order),
+    # and one double division at output is IEEE-exact. See
+    # __spark_entry__ module doc.
+    cents = F.round(F.col("value") * 100).cast("long")
     return (
         src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("sum_value"),
+        )
         .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value")
     )
 
@@ -90,13 +99,15 @@ def stateful_user_stats(events: DataFrame, timeout_min: int = 120) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = "user_id long, n_events long, sum_value double, last_seen timestamp"
-    state_schema = "n long, s double, last long"
+    # value is accumulated as exact integer cents (round(v*100)) so the
+    # running sum is order- and batching-independent; /100.0 at emit.
+    state_schema = "n long, s long, last long"
 
     def update(key, pdfs, state: GroupState):
-        n, s, last = state.get if state.exists else (0, 0.0, 0)
+        n, s, last = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf["value"].sum())
+            s += int((pdf["value"] * 100).round().sum())
             mx = pd.to_datetime(pdf["ts"]).max()
             if pd.notna(mx):
                 last = max(last, int(mx.value // 1000))
@@ -110,7 +121,7 @@ def stateful_user_stats(events: DataFrame, timeout_min: int = 120) -> DataFrame:
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "sum_value": [round(s, 2)],
+                "sum_value": [s / 100.0],
                 "last_seen": [pd.Timestamp(last, unit="us")],
             }
         )

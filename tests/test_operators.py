@@ -396,3 +396,32 @@ def test_approx_sketches_accuracy(spark, sf_dir):
     assert abs(row.ap - row.ep) / row.ep < 0.03
     assert abs(row.ao - row.eo) / row.eo < 0.03
     assert abs(row.amed - row.emed) / row.emed < 0.02
+
+
+def test_knn_join_dim_inference(spark):
+    """dim is inferred from the data (128-dim works with no kwarg);
+    a mismatched explicit dim raises instead of silently hashing a
+    prefix of every vector."""
+    import numpy as np
+    import pytest
+
+    from duckdb_iceberg_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 128))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    left, right = df.filter("vec_id < 5"), df.filter("vec_id >= 5")
+    # inferred dim: self-neighbors of near-duplicate vectors are found
+    dup = spark.createDataFrame(
+        [(100 + i, [float(x) + 1e-6 for x in base[i]]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    out = SIM.knn_join(left, right.union(dup), k=1)
+    got = {(r.qid, r.nid) for r in out.collect()}
+    assert {(i, 100 + i) for i in range(5)} <= got  # planted near-dups recalled
+    with pytest.raises(ValueError, match="does not match"):
+        SIM.knn_join(left, right, k=1, dim=64)
+    empty = df.filter("vec_id < 0")
+    with pytest.raises(ValueError, match="empty inputs"):
+        SIM.knn_join(empty, empty, k=1)

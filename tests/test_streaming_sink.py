@@ -31,7 +31,10 @@ def test_stateful_user_stats_matches_batch(spark):
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact-cents twin of the stateful operator's accumulator
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / F.lit(100.0)).alias(
+                "sum_value"
+            ),
             F.max("ts").alias("last_seen"),
         )
     )
