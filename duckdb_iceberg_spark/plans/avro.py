@@ -123,9 +123,9 @@ def _decode(reader: _Reader, schema: Any) -> Any:
 
 def read_avro_file(path: str) -> tuple[dict, list[dict]]:
     """Read an Avro container file → (metadata dict, list of records)."""
-    with open(path, "rb") as f:
-        data = f.read()
-    return read_avro_bytes(data)
+    from .fs import get_fs
+
+    return read_avro_bytes(get_fs(path).read_bytes(path))
 
 
 class _Writer:
@@ -246,8 +246,9 @@ def write_avro_file(path: str, schema: dict, records: list[dict], metadata: dict
     header.write_long(len(body.out))
     header.write(bytes(body.out))
     header.write(sync)
-    with open(path, "wb") as f:
-        f.write(bytes(header.out))
+    from .fs import get_fs
+
+    get_fs(path).write_bytes(path, bytes(header.out))
     return len(header.out)
 
 

@@ -16,7 +16,6 @@ All pure Python — no Spark needed; runs once on the driver per scan.
 
 from __future__ import annotations
 
-import glob
 import gzip
 import json
 import os
@@ -224,13 +223,11 @@ class TableMetadata:
 
 
 def _read_metadata_bytes(path: str, metadata_compression_codec: str = "none") -> bytes:
-    if metadata_compression_codec == "gzip":
-        with gzip.open(path, "rb") as f:
-            return f.read()
-    with open(path, "rb") as f:
-        data = f.read()
-    # tolerate gzip content regardless of declared codec (magic sniff)
-    if data[:2] == b"\x1f\x8b":
+    from .fs import get_fs
+
+    data = get_fs(path).read_bytes(path)
+    # decompress when declared gzip OR on magic sniff (tolerant either way)
+    if metadata_compression_codec == "gzip" or data[:2] == b"\x1f\x8b":
         return gzip.decompress(data)
     return data
 
@@ -299,13 +296,16 @@ def resolve_metadata_path(
     Resolution order matches the reference: explicit file path, explicit
     ``version``, ``version-hint.text``, then (gated) glob-guessing.
     """
+    from .fs import get_fs
+
+    fs = get_fs(table_path)
     suffix = _codec_suffix(metadata_compression_codec)
     if table_path.endswith(".metadata.json") or table_path.endswith(".metadata.json.gz") or table_path.endswith(".json") or table_path.endswith(".json.gz"):
-        if not os.path.isfile(table_path):
+        if not fs.isfile(table_path):
             raise FileNotFoundError(f"Metadata file {table_path} does not exist")
         return table_path
     meta_dir = os.path.join(table_path, "metadata")
-    if not os.path.isdir(meta_dir):
+    if not fs.isdir(meta_dir):
         # verbatim reference message (iceberg_metadata.test:54,
         # iceberg_snapshots.test:44)
         raise FileNotFoundError(f'Cannot open "{table_path}": Metadata directory does not exist')
@@ -317,26 +317,25 @@ def resolve_metadata_path(
 
     if version is not None and version != "?":
         for cand in candidates(str(version)):
-            if os.path.isfile(cand):
+            if fs.isfile(cand):
                 return cand
         raise FileNotFoundError(
             f"Iceberg metadata file not found for table version '{version}' using '{metadata_compression_codec}' compression and format(s): '{version_name_format}'"
         )
 
     hint = os.path.join(meta_dir, VERSION_HINT_FILE)
-    if version != "?" and os.path.isfile(hint):
+    if version != "?" and fs.isfile(hint):
         import time as _time
 
         ver = ""
         for _ in range(5):
-            with open(hint) as f:
-                ver = f.read().strip()
+            ver = fs.read_bytes(hint).decode().strip()
             if ver:
                 break
             # transient empty hint: a (pre-atomic-rename) writer mid-swap
             _time.sleep(0.02)
         for cand in candidates(ver):
-            if os.path.isfile(cand):
+            if fs.isfile(cand):
                 return cand
         # exact error-message parity: reference iceberg_metadata.test:36-40
         raise FileNotFoundError(
@@ -352,7 +351,7 @@ def resolve_metadata_path(
     found = []
     for fmt in formats:
         pat = os.path.join(meta_dir, fmt % ("*", suffix))
-        found.extend(glob.glob(pat))
+        found.extend(fs.glob(pat))
     if not found:
         raise FileNotFoundError(f"Could not guess Iceberg table version using '{metadata_compression_codec}' compression and format(s): '{version_name_format}' (table: {table_path})")
 

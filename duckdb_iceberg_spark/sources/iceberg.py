@@ -120,6 +120,62 @@ _DELETE_SCHEMA = T.StructType(
 )
 
 
+def _sniff_footer(path: str) -> tuple[bool, frozenset]:
+    """(has_field_ids, column_names) of one parquet footer."""
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(path)
+    has_ids = any((f.metadata or {}).get(b"PARQUET:field_id") is not None for f in sch)
+    return has_ids, frozenset(sch.names)
+
+
+def _split_by_field_ids(files: list) -> tuple[list, list]:
+    """Partition files into (with field ids, without) — concurrent
+    footer reads, same pattern as the manifest decode fan-out."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+        flags = list(ex.map(lambda p: _sniff_footer(p)[0], files))
+    with_ids = [p for p, f in zip(files, flags) if f]
+    without = [p for p, f in zip(files, flags) if not f]
+    return with_ids, without
+
+
+def _name_mapped_reads(spark, schema: "IcebergSchema", mapping_json: str, files: list):
+    """Reads for id-less files under schema.name-mapping.default.
+
+    Files are grouped by which mapped name each field resolves to in
+    their footer (files imported before a rename may carry an older
+    name), one read per distinct resolution; unmapped fields read as
+    NULL. Yields (reader_df, select_columns aliased to current names).
+    """
+    import json as _json
+
+    if not files:
+        return
+    mp = {e["field-id"]: e.get("names", []) for e in _json.loads(mapping_json)}
+    groups: dict = {}
+    for p in files:
+        _, names_in_file = _sniff_footer(p)
+        sig = tuple(
+            next((n for n in (mp.get(c.field_id) or [c.name]) if n in names_in_file), None)
+            for c in schema.columns
+        )
+        groups.setdefault(sig, []).append(p)
+    for sig, fl in groups.items():
+        fields = [
+            T.StructField(n, c.spark_type, True)
+            for n, c in zip(sig, schema.columns)
+            if n is not None
+        ]
+        d = spark.read.schema(T.StructType(fields)).parquet(*fl)
+        cols = [
+            F.col(n).alias(c.name) if n is not None else F.lit(None).cast(c.spark_type).alias(c.name)
+            for n, c in zip(sig, schema.columns)
+        ]
+        yield d, cols
+
+
 def iceberg_scan(
     spark: SparkSession,
     path: str,
@@ -216,15 +272,40 @@ def iceberg_scan(
     # scan() call is a global side effect on concurrent queries).
     if spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false") != "true":
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    reader = spark.read
-    if skip_schema_inference:
-        reader = reader.option("mergeSchema", "true")
+    want_pos = bool(pos_delete_files or eq_deletes or _keep_position_columns)
+    pos_cols = [
+        F.col("_metadata.file_path").alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"),
+    ]
+    name_mapping = meta.properties.get("schema.name-mapping.default")
+    if name_mapping and not skip_schema_inference:
+        # Some files were imported without parquet field ids
+        # (add_files over foreign parquet): under field-id resolution
+        # they would read as all-NULL. Apply the Iceberg
+        # schema.name-mapping.default (spec §Column-Projection): split
+        # the file list by footer-has-ids (one concurrent driver-side
+        # footer sniff — only for tables carrying the property) and
+        # read id-less files by mapped NAME, aliased back to the
+        # current schema.
+        with_ids, without_ids = _split_by_field_ids(data_files)
+        parts = []
+        if with_ids:
+            d = spark.read.schema(schema.to_struct_type()).parquet(*with_ids)
+            parts.append(d.select("*", *pos_cols) if want_pos else d)
+        for d, cols in _name_mapped_reads(spark, schema, name_mapping, without_ids):
+            parts.append(d.select(*cols, *pos_cols) if want_pos else d.select(*cols))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
     else:
-        reader = reader.schema(schema.to_struct_type())
-    df = reader.parquet(*data_files)
-
-    if pos_delete_files or eq_deletes or _keep_position_columns:
-        df = df.select("*", F.col("_metadata.file_path").alias("__file"), F.col("_metadata.row_index").alias("__pos"))
+        reader = spark.read
+        if skip_schema_inference:
+            reader = reader.option("mergeSchema", "true")
+        else:
+            reader = reader.schema(schema.to_struct_type())
+        df = reader.parquet(*data_files)
+        if want_pos:
+            df = df.select("*", *pos_cols)
 
     if pos_delete_files:
         deletes = spark.read.schema(_DELETE_SCHEMA).parquet(*pos_delete_files)

@@ -249,15 +249,20 @@ _MANIFEST_ENTRY_SCHEMA = {
     ],
 }
 
-def _dump_metadata_json(mpath: str, doc: dict, codec: str) -> None:
+def _metadata_json_bytes(doc: dict, codec: str) -> bytes:
+    data = json.dumps(doc, indent=2).encode()
     if codec == "gzip":
         import gzip
 
-        with gzip.open(mpath, "wt") as f:
-            json.dump(doc, f, indent=2)
-    else:
-        with open(mpath, "w") as f:
-            json.dump(doc, f, indent=2)
+        # mtime=0: byte-deterministic output (no wall-clock in the header)
+        data = gzip.compress(data, mtime=0)
+    return data
+
+
+def _dump_metadata_json(mpath: str, doc: dict, codec: str) -> None:
+    from .plans.fs import get_fs
+
+    get_fs(mpath).write_bytes(mpath, _metadata_json_bytes(doc, codec))
 
 
 def _cmp_lt(a, b) -> bool:
@@ -371,8 +376,10 @@ class IcebergTable:
     """
 
     def __init__(self, spark: SparkSession, path: str, metadata_compression_codec: str = "none"):
+        from .plans.fs import abspath
+
         self.spark = spark
-        self.path = os.path.abspath(path)
+        self.path = abspath(path)
         self.codec = metadata_compression_codec
         self.meta: TableMetadata = load_table_metadata(self.path, metadata_compression_codec=self.codec)
 
@@ -404,11 +411,14 @@ class IcebergTable:
         ``("bucket"|"truncate", N, col)`` — Iceberg hidden partitioning
         (the reference's own provisioner uses ``days(dt)``,
         reference scripts/provision.py:92)."""
-        path = os.path.abspath(path)
-        if os.path.exists(os.path.join(path, "metadata")):
+        from .plans.fs import abspath, get_fs
+
+        path = abspath(path)
+        fs = get_fs(path)
+        if fs.exists(os.path.join(path, "metadata")):
             raise FileExistsError(f"Iceberg table already exists at {path}")
-        os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
-        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        fs.makedirs(os.path.join(path, "metadata"))
+        fs.makedirs(os.path.join(path, "data"))
         schema = _schema_from_df(df)
         last_col = _max_field_id(schema)
         name_to_id = {c.name: c.field_id for c in schema.columns}
@@ -446,8 +456,7 @@ class IcebergTable:
         suffix = ".gz" if metadata_compression_codec == "gzip" else ""
         mpath = os.path.join(path, "metadata", f"v1{suffix}.metadata.json")
         _dump_metadata_json(mpath, doc, metadata_compression_codec)
-        with open(os.path.join(path, "metadata", "version-hint.text"), "w") as f:
-            f.write("1")
+        fs.write_atomic(os.path.join(path, "metadata", "version-hint.text"), b"1")
         table = cls(spark, path, metadata_compression_codec)
         table.append(df)
         return table
@@ -641,9 +650,19 @@ class IcebergTable:
         values used for read-side file pruning."""
         import pyarrow.parquet as pq
 
+        from .plans.fs import is_local
+
         self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         pfields = self.partition_fields if partitioned else []
-        tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}")
+        local = is_local(self.path)
+        if local:
+            tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}")
+        else:
+            # Spark can't write to the python-side metadata filesystems
+            # (memory://); stage locally — a non-empty result errors below
+            import tempfile
+
+            tmp = tempfile.mkdtemp(prefix="ice_stage_")
         if pfields:
             dtypes = dict(df.dtypes)
             writer = df.select(
@@ -657,13 +676,25 @@ class IcebergTable:
             for name in sorted(names):
                 if not name.endswith(".parquet"):
                     continue
+                src = os.path.join(root, name)
+                md = pq.ParquetFile(src).metadata
+                if md.num_rows == 0:
+                    continue
+                if not local:
+                    from .plans.fs import scheme_of
+
+                    raise ValueError(
+                        f"Cannot write data files to a {scheme_of(self.path)}:// table: "
+                        f"Spark itself must be able to write them. Point the table at a "
+                        f"Spark-accessible location, or register existing parquet with "
+                        f"add_files()."
+                    )
                 rel = os.path.relpath(root, tmp)
                 partition = _parse_partition_dirs(rel, pfields, dict(df.dtypes) if pfields else {})
                 pdir = os.path.join(self.path, subdir, rel) if rel != "." else os.path.join(self.path, subdir)
                 os.makedirs(pdir, exist_ok=True)
                 dest = os.path.join(pdir, f"{uuid.uuid4().hex}.parquet")
-                shutil.move(os.path.join(root, name), dest)
-                md = pq.ParquetFile(dest).metadata
+                shutil.move(src, dest)
                 lowers, uppers = self._column_bounds(md)
                 out.append(
                     {
@@ -677,7 +708,7 @@ class IcebergTable:
                     }
                 )
         shutil.rmtree(tmp, ignore_errors=True)
-        return [e for e in out if e["record_count"] > 0]
+        return out
 
     def _aligned(self, df: DataFrame) -> DataFrame:
         """Conform df to the current schema (order, types, field-id
@@ -876,30 +907,28 @@ class IcebergTable:
         doc["metadata-log"] = doc.get("metadata-log", []) + [
             {"timestamp-ms": doc["last-updated-ms"], "metadata-file": self.meta.metadata_path}
         ]
+        from .plans.fs import get_fs
+
+        fs = get_fs(self.path)
         suffix = ".gz" if self.codec == "gzip" else ""
         mpath = os.path.join(meta_dir, f"v{nxt}{suffix}.metadata.json")
         # optimistic concurrency: the metadata version file is the CAS
-        # token (hadoop-catalog convention). O_EXCL makes the commit
-        # atomic; a concurrent committer gets CommitConflictError and
-        # should reload + replay (real catalogs do the same swap).
+        # token (hadoop-catalog convention). Exclusive-create makes the
+        # commit atomic; a concurrent committer gets CommitConflictError
+        # and should reload + replay (real catalogs do the same swap).
         try:
-            fd = os.open(mpath, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            fs.create_exclusive(mpath, _metadata_json_bytes(doc, self.codec))
         except FileExistsError as e:
             raise CommitConflictError(
                 f"metadata version v{nxt} was committed concurrently for table {self.path}; "
                 f"reload the table and retry the operation"
             ) from e
-        os.close(fd)
-        _dump_metadata_json(mpath, doc, self.codec)
         # atomic hint swap: a plain truncate+write lets a concurrent
         # reader observe an EMPTY hint mid-write (seen as a streaming
         # source polling latestOffset during an append) — write-aside
         # + rename is atomic on POSIX.
         hint = os.path.join(meta_dir, "version-hint.text")
-        tmp = f"{hint}.tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(str(nxt))
-        os.replace(tmp, hint)
+        fs.write_atomic(hint, str(nxt).encode())
         self.meta = load_table_metadata(self.path, metadata_compression_codec=self.codec)
 
     # -- write operations -------------------------------------------------
@@ -933,14 +962,20 @@ class IcebergTable:
             raise ValueError("add_files requires an unpartitioned table")
         cols = {c.name for c in self.schema.columns}
         entries = []
+        any_without_ids = False
         for p in parquet_paths:
             p = os.path.abspath(p)
             md = pq.ParquetFile(p).metadata
-            got = set(md.schema.to_arrow_schema().names)
+            arrow_schema = md.schema.to_arrow_schema()
+            got = set(arrow_schema.names)
             if not cols <= got:
                 raise ValueError(
                     f"File {p} is missing table columns {sorted(cols - got)}"
                 )
+            if not any(
+                (f.metadata or {}).get(b"PARQUET:field_id") is not None for f in arrow_schema
+            ):
+                any_without_ids = True
             lowers, uppers = self._column_bounds(md)
             entries.append(
                 {
@@ -953,10 +988,33 @@ class IcebergTable:
                     "upper_bounds": uppers,
                 }
             )
+        doc_updates = None
+        if any_without_ids:
+            # Imported footers carry no parquet field ids, so field-id
+            # resolution would read them as all-NULL. Record the Iceberg
+            # name mapping (spec: schema.name-mapping.default) binding
+            # each field id to the column names it may appear under;
+            # the scan reads such files by mapped name. Merged with any
+            # existing mapping so files imported before a rename keep
+            # resolving under their old names.
+            props = dict(self.meta.raw.get("properties", {}))
+            existing = {}
+            if "schema.name-mapping.default" in props:
+                for e in json.loads(props["schema.name-mapping.default"]):
+                    existing[e["field-id"]] = list(e.get("names", []))
+            for c in self.schema.columns:
+                names = existing.setdefault(c.field_id, [])
+                if c.name not in names:
+                    names.append(c.name)
+            props["schema.name-mapping.default"] = json.dumps(
+                [{"field-id": fid, "names": names} for fid, names in sorted(existing.items())]
+            )
+            doc_updates = {"properties": props}
         self._commit(
             operation="append",
             new_data_files=entries,
             extra_summary={"added-data-files": str(len(entries)), "added-files-imported": "true"},
+            doc_updates=doc_updates,
         )
 
     def insert_sql(self, select_sql: str) -> None:
@@ -1690,7 +1748,13 @@ class IcebergTable:
         referenced by any snapshot and would otherwise be deleted out
         from under its pending commit."""
         from .plans.avro import read_avro_file
+        from .plans.fs import is_local
 
+        if not is_local(self.path):
+            raise ValueError(
+                "remove_orphan_files requires a local table path (it walks the "
+                "directory tree); object-store lifecycles handle remote orphans"
+            )
         referenced: set[str] = set()
         for s in self.meta.snapshots:
             referenced.add(os.path.abspath(s.manifest_list))

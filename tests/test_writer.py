@@ -366,6 +366,13 @@ def test_add_files_imports_in_place(spark, tmp_path):
     files = [str(p) for p in (tmp_path / "external").glob("*.parquet")]
     t.add_files(files)
     assert t.scan().count() == region.count() + nation.count()
+    # imported footers carry no parquet field ids: values must resolve
+    # via the recorded name mapping, not read as all-NULL
+    got_keys = sorted(r.r_regionkey for r in t.scan().collect())
+    want_keys = sorted(
+        [r.r_regionkey for r in region.collect()] + [r.n_nationkey for r in nation.collect()]
+    )
+    assert got_keys == want_keys
     listed = {r.file for r in t.scan(mode="list_files").collect()}
     assert set(files) <= listed
     # ref-based time travel reaches the pre-import state
@@ -649,3 +656,42 @@ def test_fast_forward_requires_ancestor(spark, tmp_path):
     # main head unchanged, branch still readable
     assert t.scan().count() == 10 + 5
     assert t.scan(branch="audit").count() == 20
+
+
+def test_memory_fs_scan_write_commit_cas(spark, tmp_path):
+    """Full metadata cycle over memory:// (the FS-abstraction seam the
+    real S3 path plugs into): create a table whose METADATA lives in
+    an in-process object store, register local parquet data files via
+    add_files, scan it back through iceberg_scan, mutate schema, and
+    race two committers through the commit CAS."""
+    import pytest
+
+    from duckdb_iceberg_spark import IcebergTable, iceberg_scan
+    from duckdb_iceberg_spark.plans.fs import MemoryFS
+    from duckdb_iceberg_spark.writer import CommitConflictError
+
+    MemoryFS.clear()
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    # stage a data file locally (Spark must be able to read it)
+    data_dir = str(tmp_path / "data")
+    n.coalesce(1).write.parquet(data_dir)
+    pq_files = [str(p) for p in (tmp_path / "data").glob("*.parquet")]
+
+    t = IcebergTable.create(spark, "memory://tables/t", n.limit(0))
+    t.add_files(pq_files)
+    # scan resolves metadata through MemoryFS; data through Spark
+    assert iceberg_scan(spark, "memory://tables/t").count() == n.count()
+    got = {r.n_nationkey for r in t.scan().collect()}
+    assert got == {r.n_nationkey for r in n.collect()}
+    # data writes cannot go to memory:// — loud error, not silent corruption
+    with pytest.raises(ValueError, match="Spark itself"):
+        t.append(n)
+    # metadata-only DDL cycles through the same FS
+    t.add_column("note", "string")
+    assert "note" in t.scan().columns
+    # commit CAS: a second handle committing concurrently conflicts
+    t2 = IcebergTable(spark, "memory://tables/t")
+    t2.add_column("other", "int")
+    with pytest.raises(CommitConflictError):
+        t.add_column("clash", "int")  # stale handle: version already taken
+    MemoryFS.clear()
