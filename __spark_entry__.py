@@ -3057,12 +3057,14 @@ WHERE p_partkey % 4 <> 1
 
 
 def _join_salted(spark, sf):
-    """Skew-resilient salted join — result must equal the plain join."""
+    """Skew-resilient salted join — result must equal the plain join.
+    Auto-tuned fan-out: uniform TPC-H keys tune to 1 (no salt cost);
+    a genuinely hot key would widen (tests plant one)."""
     from duckdb_iceberg_spark.operators.skew import salted_join
 
     li = _t(spark, sf, "lineitem")
     p = _t(spark, sf, "part").select("p_partkey", "p_brand")
-    joined = salted_join(li, p.withColumnRenamed("p_partkey", "l_partkey"), on="l_partkey", n_salts=8)
+    joined = salted_join(li, p.withColumnRenamed("p_partkey", "l_partkey"), on="l_partkey")
     return joined.groupBy("p_brand").agg(
         F.count("*").alias("n"),
         F.sum(_dec("l_quantity")).cast("double").alias("qty"),

@@ -94,6 +94,9 @@ class IcebergColumn:
     initial_default: Any = None
     write_default: Any = None
     doc: Optional[str] = None
+    # raw Iceberg primitive name (e.g. "time", "uuid") for types Spark
+    # has no native equivalent of; None for complex types
+    iceberg_type: Optional[str] = None
 
     def to_struct_field(self) -> T.StructField:
         md = {"parquet.field.id": self.field_id}
@@ -123,6 +126,7 @@ def parse_schema_json(s: dict) -> IcebergSchema:
                 initial_default=f.get("initial-default"),
                 write_default=f.get("write-default"),
                 doc=f.get("doc"),
+                iceberg_type=f["type"] if isinstance(f["type"], str) else None,
             )
         )
     return IcebergSchema(schema_id=s.get("schema-id", 0), columns=cols)

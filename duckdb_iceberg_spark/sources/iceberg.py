@@ -193,6 +193,7 @@ def iceberg_scan(
     stats_filter=None,
     where: Optional[str] = None,
     ref: Optional[str] = None,
+    time_as_string: bool = False,
     _keep_position_columns: bool = False,
 ) -> DataFrame:
     """Read an Iceberg table at a snapshot, applying delete files.
@@ -222,6 +223,14 @@ def iceberg_scan(
     translated into stats_filter ranges (and partition equality) so
     non-matching files are skipped entirely. Anything unparseable
     still filters correctly, it just prunes less.
+
+    ``time_as_string`` renders Iceberg ``time`` columns (physically
+    micros-since-midnight LONGs — Spark has no TIME type) as
+    ``HH:MM:SS[.ffffff]`` strings with trailing fractional zeros
+    trimmed, matching DuckDB's TIME-to-VARCHAR output (reference
+    src/common/schema.cpp:104-106 maps time to a real DuckDB TIME) so
+    cross-engine diffs line up. Default off: the LONG form stays
+    sortable/arithmetic-friendly.
     """
     meta = _load(
         path,
@@ -335,6 +344,24 @@ def iceberg_scan(
             if c.initial_default is not None:
                 df = df.withColumn(
                     c.name, F.coalesce(F.col(c.name), F.lit(c.initial_default).cast(c.spark_type))
+                )
+
+    if time_as_string and not skip_schema_inference:
+        for c in schema.columns:
+            if c.iceberg_type == "time" and c.name in df.columns:
+                v = F.col(c.name)
+                base = F.format_string(
+                    "%02d:%02d:%02d",
+                    F.floor(v / F.lit(3_600_000_000)),
+                    F.floor((v % F.lit(3_600_000_000)) / F.lit(60_000_000)),
+                    F.floor((v % F.lit(60_000_000)) / F.lit(1_000_000)),
+                )
+                us = v % F.lit(1_000_000)
+                frac = F.when(us == 0, F.lit("")).otherwise(
+                    F.concat(F.lit("."), F.regexp_replace(F.format_string("%06d", us), "0+$", ""))
+                )
+                df = df.withColumn(
+                    c.name, F.when(v.isNull(), F.lit(None)).otherwise(F.concat(base, frac))
                 )
 
     if where is not None:

@@ -22,6 +22,9 @@ risk at 100 TB.
 
 from __future__ import annotations
 
+import datetime
+import hashlib
+import hmac
 import json
 import urllib.parse
 import urllib.request
@@ -30,14 +33,85 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 
+def sigv4_headers(
+    method: str,
+    url: str,
+    *,
+    access_key: str,
+    secret_key: str,
+    region: str,
+    service: str = "execute-api",
+    session_token: Optional[str] = None,
+    body: bytes = b"",
+    now: Optional[datetime.datetime] = None,
+) -> dict:
+    """AWS Signature Version 4 headers for one request (public
+    algorithm; stdlib-only). ``service`` defaults to ``execute-api``,
+    the Iceberg REST convention for sigv4-protected catalogs
+    (`rest.signing-name`); pass ``glue`` for AWS Glue endpoints.
+    ``now`` is injectable for deterministic tests."""
+    parsed = urllib.parse.urlsplit(url)
+    host = parsed.netloc
+    path = urllib.parse.quote(parsed.path or "/")
+    # canonical query: sorted, each key/value URI-encoded
+    q = urllib.parse.parse_qsl(parsed.query, keep_blank_values=True)
+    cq = "&".join(
+        f"{urllib.parse.quote(k, safe='-_.~')}={urllib.parse.quote(v, safe='-_.~')}"
+        for k, v in sorted(q)
+    )
+    t = now or datetime.datetime.now(datetime.timezone.utc)
+    amz_date = t.strftime("%Y%m%dT%H%M%SZ")
+    datestamp = t.strftime("%Y%m%d")
+    payload_hash = hashlib.sha256(body).hexdigest()
+    headers = {
+        "host": host,
+        "x-amz-content-sha256": payload_hash,
+        "x-amz-date": amz_date,
+    }
+    if session_token:
+        headers["x-amz-security-token"] = session_token
+    signed = ";".join(sorted(headers))
+    canonical_headers = "".join(f"{k}:{headers[k].strip()}\n" for k in sorted(headers))
+    canonical_request = "\n".join(
+        [method.upper(), path, cq, canonical_headers, signed, payload_hash]
+    )
+    scope = f"{datestamp}/{region}/{service}/aws4_request"
+    string_to_sign = "\n".join(
+        [
+            "AWS4-HMAC-SHA256",
+            amz_date,
+            scope,
+            hashlib.sha256(canonical_request.encode()).hexdigest(),
+        ]
+    )
+
+    def _hmac(key: bytes, msg: str) -> bytes:
+        return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+    k = _hmac(f"AWS4{secret_key}".encode(), datestamp)
+    k = _hmac(k, region)
+    k = _hmac(k, service)
+    k = _hmac(k, "aws4_request")
+    signature = hmac.new(k, string_to_sign.encode(), hashlib.sha256).hexdigest()
+    out = {k2: v for k2, v in headers.items() if k2 != "host"}
+    out["Authorization"] = (
+        f"AWS4-HMAC-SHA256 Credential={access_key}/{scope}, "
+        f"SignedHeaders={signed}, Signature={signature}"
+    )
+    return out
+
+
 class RestCatalog:
     """Auth parity with DuckDB's ICEBERG secret surface: a static
-    bearer ``token``, or an OAuth2 client-credentials ``credential``
+    bearer ``token``, an OAuth2 client-credentials ``credential``
     ("client_id:client_secret") exchanged at ``oauth2_server_uri``
     (default ``<uri>/v1/oauth/tokens``, the Iceberg REST spec token
-    endpoint) on first request. SigV4 request signing (AWS-hosted
-    catalogs) is out of scope — no object store in this environment;
-    use a pre-issued bearer token against such catalogs."""
+    endpoint) on first request, or static AWS credentials
+    (``aws_access_key_id``/``aws_secret_access_key`` [+
+    ``aws_session_token``] with ``aws_region``) that SigV4-sign every
+    request — DuckDB's CREATE SECRET (TYPE S3) flow against AWS-hosted
+    catalogs (reference scripts/start-rest-catalog.sh:14-27 passes the
+    same credential set into its catalog container)."""
 
     def __init__(
         self,
@@ -49,6 +123,11 @@ class RestCatalog:
         oauth2_scope: str = "catalog",
         warehouse: Optional[str] = None,
         timeout: float = 30.0,
+        aws_access_key_id: Optional[str] = None,
+        aws_secret_access_key: Optional[str] = None,
+        aws_session_token: Optional[str] = None,
+        aws_region: Optional[str] = None,
+        aws_service: str = "execute-api",
     ):
         self.uri = uri.rstrip("/")
         self.token = token
@@ -57,6 +136,15 @@ class RestCatalog:
         self.oauth2_scope = oauth2_scope
         self.warehouse = warehouse
         self.timeout = timeout
+        self.aws_access_key_id = aws_access_key_id
+        self.aws_secret_access_key = aws_secret_access_key
+        self.aws_session_token = aws_session_token
+        self.aws_region = aws_region
+        self.aws_service = aws_service
+        if aws_access_key_id and not aws_region:
+            raise ValueError("SigV4 signing requires aws_region")
+        if aws_access_key_id and (token or credential):
+            raise ValueError("Pass either AWS credentials or a bearer/OAuth2 credential, not both")
 
     # -- transport --------------------------------------------------------
     def _ensure_token(self) -> Optional[str]:
@@ -84,10 +172,23 @@ class RestCatalog:
         return self.token
 
     def _get(self, path: str) -> dict:
-        req = urllib.request.Request(f"{self.uri}{path}")
-        token = self._ensure_token()
-        if token:
-            req.add_header("Authorization", f"Bearer {token}")
+        url = f"{self.uri}{path}"
+        req = urllib.request.Request(url)
+        if self.aws_access_key_id:
+            for k, v in sigv4_headers(
+                "GET",
+                url,
+                access_key=self.aws_access_key_id,
+                secret_key=self.aws_secret_access_key or "",
+                region=self.aws_region,
+                service=self.aws_service,
+                session_token=self.aws_session_token,
+            ).items():
+                req.add_header(k, v)
+        else:
+            token = self._ensure_token()
+            if token:
+                req.add_header("Authorization", f"Bearer {token}")
         with urllib.request.urlopen(req, timeout=self.timeout) as resp:
             return json.loads(resp.read().decode("utf-8"))
 

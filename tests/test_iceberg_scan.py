@@ -3,6 +3,7 @@ golden values (reference test/sql/iceberg_scan.test and
 iceberg_scan_generated_data_0_001.test)."""
 
 import datetime
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -172,3 +173,71 @@ def test_register_sql_views_opts_forwarding(spark):
     assert spark.sql("SELECT COUNT(*) AS n FROM ligz_v1").first().n > 0
     assert spark.sql("SELECT COUNT(*) AS n FROM ligz_v1_metadata").first().n > 0
     assert spark.sql("SELECT COUNT(*) AS n FROM ligz_v1_partitions").first().n >= 0
+
+
+def test_time_as_string_rendering(spark, tmp_path):
+    """Iceberg `time` columns (LONG micros — Spark has no TIME type)
+    render as DuckDB-compatible HH:MM:SS[.ffffff] strings under
+    time_as_string=True, cross-checked against DuckDB's own TIME
+    formatting; the default scan keeps the sortable LONG."""
+    import json
+
+    import duckdb
+
+    from duckdb_iceberg_spark import IcebergTable, iceberg_scan
+
+    path = str(tmp_path / "t")
+    os.makedirs(os.path.join(path, "metadata"))
+    doc = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000001",
+        "location": path,
+        "last-sequence-number": 0,
+        "last-updated-ms": 0,
+        "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "id", "required": False, "type": "long"},
+                    {"id": 2, "name": "t", "required": False, "type": "time"},
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": -1,
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    with open(os.path.join(path, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(doc, f)
+    with open(os.path.join(path, "metadata", "version-hint.text"), "w") as f:
+        f.write("1")
+    micros = [45296000000, 45296500000, 3723123456, 0, None]
+    rows = [(i, m) for i, m in enumerate(micros)]
+    spark.createDataFrame(rows, "id long, t long").coalesce(1).write.parquet(
+        str(tmp_path / "data")
+    )
+    t = IcebergTable(spark, path)
+    t.add_files([str(p) for p in (tmp_path / "data").glob("*.parquet")])
+    # default: physical LONG micros
+    got_long = {r.id: r.t for r in iceberg_scan(spark, path).collect()}
+    assert got_long == {i: m for i, m in enumerate(micros)}
+    # formatted: equals DuckDB's TIME->VARCHAR for every value
+    got_str = {r.id: r.t for r in iceberg_scan(spark, path, time_as_string=True).collect()}
+    for i, m in enumerate(micros):
+        if m is None:
+            assert got_str[i] is None
+        else:
+            want = duckdb.sql(
+                f"SELECT CAST((TIME '00:00:00' + to_microseconds({m})) AS VARCHAR)"
+            ).fetchone()[0]
+            assert got_str[i] == want, (m, got_str[i], want)

@@ -425,3 +425,28 @@ def test_knn_join_dim_inference(spark):
     empty = df.filter("vec_id < 0")
     with pytest.raises(ValueError, match="empty inputs"):
         SIM.knn_join(empty, empty, k=1)
+
+
+def test_salt_autotuning(spark):
+    """n_salts=None derives fan-out from the data: a planted hot key
+    (half of all rows) tunes to a wide spread and still joins exactly;
+    uniform keys tune to 1, skipping salting (no explode cost)."""
+    from duckdb_iceberg_spark.operators.skew import salted_join, tune_n_salts
+
+    n = 20_000
+    skewed = spark.range(n).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 0 ELSE id END AS k", "id AS v"
+    )
+    uniform = spark.range(n).selectExpr("id AS k", "id AS v")
+    dim = spark.range(n).selectExpr("id AS k", "id * 10 AS w")
+    assert tune_n_salts(uniform, "k") == 1
+    wide = tune_n_salts(skewed, "k")
+    assert wide >= 4  # ~50% share x 32 shuffle partitions, capped at 64
+    got = salted_join(skewed, dim, on="k").agg(
+        F.count("*").alias("n"), F.sum("w").alias("s")
+    ).first()
+    want = skewed.join(dim, "k").agg(F.count("*").alias("n"), F.sum("w").alias("s")).first()
+    assert (got["n"], got["s"]) == (want["n"], want["s"])
+    # uniform auto mode takes the plain-join path (no __salt in plan)
+    plan = salted_join(uniform, dim, on="k")._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" not in plan

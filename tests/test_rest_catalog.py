@@ -127,3 +127,90 @@ def test_rest_catalog_static_token_header(rest_uri):
     _Handler.seen_auth = []
     RestCatalog(rest_uri, token="static-tok").list_namespaces()
     assert _Handler.seen_auth[-1] == "Bearer static-tok"
+
+
+def test_sigv4_signature_deterministic():
+    """Pinned SigV4 vector: fixed keys + timestamp -> stable signature
+    (regression guard over the canonicalization/signing chain)."""
+    import datetime
+
+    from duckdb_iceberg_spark.sources.rest_catalog import sigv4_headers
+
+    h = sigv4_headers(
+        "GET",
+        "https://example.amazonaws.com/v1/namespaces?parent=a b",
+        access_key="AKIDEXAMPLE",
+        secret_key="wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY",
+        region="us-east-1",
+        service="execute-api",
+        now=datetime.datetime(2015, 8, 30, 12, 36, 0, tzinfo=datetime.timezone.utc),
+    )
+    assert h["x-amz-date"] == "20150830T123600Z"
+    # sha256 of the empty payload
+    assert h["x-amz-content-sha256"] == (
+        "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+    )
+    assert h["Authorization"] == (
+        "AWS4-HMAC-SHA256 Credential=AKIDEXAMPLE/20150830/us-east-1/execute-api/aws4_request, "
+        "SignedHeaders=host;x-amz-content-sha256;x-amz-date, "
+        "Signature=2e59d855cf90b6fe98470bf3fb26e470fd9c6509ba15ea29eb52ab3286e15ebd"
+    )
+
+
+def test_rest_catalog_sigv4_and_bearer_header_shapes(rest_uri):
+    """The server sees a well-formed Authorization header on both auth
+    paths: 'Bearer <tok>' and a full SigV4 credential scope with the
+    session token as its own signed header."""
+    import re
+
+    from duckdb_iceberg_spark.sources.rest_catalog import RestCatalog
+
+    _Handler.seen_auth.clear()
+    _Handler.seen_headers = []
+    orig = _Handler.do_GET
+
+    def capture(self):
+        _Handler.seen_headers.append(dict(self.headers))
+        orig(self)
+
+    _Handler.do_GET = capture
+    try:
+        RestCatalog(rest_uri, token="tok-abc").list_namespaces()
+        cat = RestCatalog(
+            rest_uri,
+            aws_access_key_id="AKIDEXAMPLE",
+            aws_secret_access_key="secret",
+            aws_session_token="sess-token",
+            aws_region="eu-west-1",
+        )
+        cat.list_namespaces()
+    finally:
+        _Handler.do_GET = orig
+    bearer, sig = _Handler.seen_auth[-2], _Handler.seen_auth[-1]
+    assert bearer == "Bearer tok-abc"
+    assert re.fullmatch(
+        r"AWS4-HMAC-SHA256 Credential=AKIDEXAMPLE/\d{8}/eu-west-1/execute-api/aws4_request, "
+        r"SignedHeaders=host;x-amz-content-sha256;x-amz-date;x-amz-security-token, "
+        r"Signature=[0-9a-f]{64}",
+        sig,
+    )
+    hdrs = {k.lower(): v for k, v in _Handler.seen_headers[-1].items()}
+    assert hdrs.get("x-amz-security-token") == "sess-token"
+    assert re.fullmatch(r"\d{8}T\d{6}Z", hdrs.get("x-amz-date", ""))
+
+
+def test_sigv4_config_validation():
+    import pytest
+
+    from duckdb_iceberg_spark.sources.rest_catalog import RestCatalog
+
+    with pytest.raises(ValueError, match="aws_region"):
+        RestCatalog("http://x", aws_access_key_id="k", aws_secret_access_key="s")
+    with pytest.raises(ValueError, match="not both"):
+        RestCatalog(
+            "http://x",
+            token="t",
+            aws_access_key_id="k",
+            aws_secret_access_key="s",
+            aws_region="r",
+        )
