@@ -2200,7 +2200,7 @@ FROM sig GROUP BY doc_id
 
 def _dedup_jaccard(spark, sf):
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
-    return DD.jaccard_pairs(d, threshold=0.9, max_doc_freq=10**9)
+    return DD.jaccard_pairs(d, threshold=0.9)
 
 
 _DEDUP_JACCARD_SQL = r"""
@@ -2224,7 +2224,7 @@ def _dedup_clusters(spark, sf):
     in O(diameter)); oracle is a DuckDB recursive-CTE transitive
     closure over the identical pair set."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
-    pairs = DD.jaccard_pairs(d, threshold=0.9, max_doc_freq=10**9).select(
+    pairs = DD.jaccard_pairs(d, threshold=0.9).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     )
     return DD.connected_components(pairs, "a", "b").orderBy("node")
@@ -2345,7 +2345,7 @@ def _dedup_jaccard_3gram(spark, sf):
     """Word-trigram shingle Jaccard near-dup pairs — rows-only (the
     trigram construction has no tractable SQL twin)."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
-    return DD.jaccard_pairs(d, threshold=0.8, max_doc_freq=10**9, n_shingle=3)
+    return DD.jaccard_pairs(d, threshold=0.8, n_shingle=3)
 
 
 def _dedup_minhash_pairs(spark, sf):

@@ -9,10 +9,12 @@ the 100 TB shape:
   on doc id after explode-distinct), then candidate generation joins
   only within LSH band buckets — never an all-pairs product.
 - simhash: same banding trick on hash chunks.
-- unigram jaccard: word-level inverted-index join restricted by a
-  document-frequency cap, the standard trick that keeps the candidate
-  blow-up bounded on skewed corpora (stop-words never become join
-  keys).
+- unigram jaccard: prefix-filtered inverted-index join (Bayardo et
+  al., "Scaling Up All Pairs Similarity Search", WWW'07): each doc
+  indexes only its |d| - ceil(t*|d|) + 1 globally-rarest tokens, which
+  provably loses no pair at threshold t while keeping stop-words out
+  of join keys entirely — the candidate set stays bounded on skewed
+  corpora without any approximation.
 - embedding near-dup: LSH sign-bucket blocking, exact cosine verify.
 
 MinHash uses ``md5(perm || ':' || token)`` as its hash family so the
@@ -113,36 +115,88 @@ def minhash_lsh_pairs(
     )
 
 
+def _jaccard_candidates(toks: DataFrame, key_col: str, threshold: float) -> DataFrame:
+    """Prefix-filtered candidate pairs (id_a, id_b, sz_a, sz_b).
+
+    Each doc contributes only its ``|d| - ceil(t*|d|) + 1`` tokens that
+    are rarest by GLOBAL document frequency (ties broken by token, so
+    every doc uses the same total order).  Two docs with Jaccard >= t
+    must share a prefix token (AllPairs prefix principle), so the
+    filter is exact; a stop-word's df ranks it past every prefix, so it
+    never becomes a join key — this is what bounds candidate blow-up at
+    100 TB, replacing the old lossy document-frequency cap.
+    A length filter (min size >= t * max size) further prunes pairs
+    whose sizes alone already forbid the threshold.
+    """
+    from pyspark.sql import Window
+
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(key_col).orderBy("df", "tok")
+    ranked = (
+        toks.join(dfreq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("sz", F.max("rn").over(Window.partitionBy(key_col)))
+    )
+    # ceil guarded against float rounding: a too-LONG prefix never
+    # loses a pair, so nudge the argument down before ceiling.
+    prefix = ranked.where(
+        F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1
+    ).select(key_col, "tok", "sz")
+    cand = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "tok")
+        .where(F.col(f"x.{key_col}") < F.col(f"y.{key_col}"))
+        .select(
+            F.col(f"x.{key_col}").alias("id_a"),
+            F.col(f"y.{key_col}").alias("id_b"),
+            F.col("x.sz").alias("sz_a"),
+            F.col("y.sz").alias("sz_b"),
+        )
+        .distinct()
+    )
+    return cand.where(
+        F.least("sz_a", "sz_b") >= F.lit(threshold) * F.greatest("sz_a", "sz_b") - F.lit(1e-9)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     key_col: str = "doc_id",
     threshold: float = 0.5,
-    max_doc_freq: int = 1000,
+    max_doc_freq: int | None = None,
     n_shingle: int = 1,
 ) -> DataFrame:
-    """Exact token-set Jaccard over candidate pairs from an inverted
-    index. Tokens appearing in > max_doc_freq docs are dropped from
-    candidate generation (skew guard) but kept in the exact sizes.
+    """EXACT token-set Jaccard similarity join at ``threshold``.
+
+    Candidates come from a prefix-filtered inverted index (see
+    ``_jaccard_candidates``) — no recall loss, no all-pairs product,
+    skew-safe without tuning.  Verification joins each candidate pair
+    to its two per-doc token arrays and intersects them JVM-side
+    (``array_intersect``), O(|a|+|b|) per pair — the quadratic
+    token-level self-join of the classic inverted-index approach never
+    materializes.
+
+    ``max_doc_freq`` is kept for backward compatibility: when set,
+    tokens above the cap are ALSO dropped from candidate generation
+    (the pre-r4 lossy guard); with prefix filtering it is no longer
+    needed and defaults to off.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    toks = _doc_tokens(df, key_col, text_col, n_shingle).cache()
-    sizes = toks.groupBy(key_col).agg(F.count("*").alias("sz"))
-    rare = toks.join(
-        toks.groupBy("tok").agg(F.count("*").alias("df")).where(F.col("df") <= max_doc_freq),
-        "tok",
-    ).select(key_col, "tok")
-    inter = (
-        rare.alias("x")
-        .join(rare.alias("y"), "tok")
-        .where(F.col(f"x.{key_col}") < F.col(f"y.{key_col}"))
-        .groupBy(F.col(f"x.{key_col}").alias("id_a"), F.col(f"y.{key_col}").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
+    toks = _doc_tokens(df, key_col, text_col, n_shingle)
+    if max_doc_freq is not None:
+        toks = toks.join(
+            toks.groupBy("tok").agg(F.count("*").alias("__df")).where(F.col("__df") <= max_doc_freq),
+            "tok",
+        ).select(key_col, "tok")
+    toks = toks.cache()
+    cand = _jaccard_candidates(toks, key_col, threshold)
+    arrays = toks.groupBy(key_col).agg(F.collect_list("tok").alias("toks"))
     j = (
-        inter.join(sizes.select(F.col(key_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col(key_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        cand.join(arrays.select(F.col(key_col).alias("id_a"), F.col("toks").alias("ta")), "id_a")
+        .join(arrays.select(F.col(key_col).alias("id_b"), F.col("toks").alias("tb")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
         .select(
             "id_a",
             "id_b",

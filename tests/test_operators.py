@@ -40,10 +40,28 @@ def test_minhash_lsh_finds_planted_neardups(docs_with_dups):
 
 
 def test_jaccard_pairs_exact_scores(docs_with_dups):
-    pairs = DD.jaccard_pairs(docs_with_dups, threshold=0.8, max_doc_freq=10**9)
+    pairs = DD.jaccard_pairs(docs_with_dups, threshold=0.8)
     got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
     for i in range(5):
         assert got.get((i, i + 100000)) == 1.0, "exact copy must have jaccard 1.0"
+
+
+def test_jaccard_prefix_filter_bounds_stopword_skew(spark):
+    """A stop-word shared by every doc must never become a join key:
+    with prefix filtering, 100 docs x 10 unique tokens + 1 universal
+    token yield ZERO candidates at t=0.9 (the old df-capped index
+    would have produced 4950 stop-word pairs), yet a planted exact
+    duplicate is still found with jaccard 1.0."""
+    rows = [(i, " ".join([f"tok{i}_{j}" for j in range(9)] + ["the"])) for i in range(100)]
+    rows.append((500, rows[3][1]))  # exact dup of doc 3
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    toks = DD._doc_tokens(d.filter("doc_id < 100"), "doc_id", "text", 1)
+    cand = DD._jaccard_candidates(toks, "doc_id", 0.9)
+    assert cand.count() == 0, "stop-word-only overlaps must not generate candidates"
+
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in DD.jaccard_pairs(d, threshold=0.9).collect()}
+    assert pairs == {(3, 500): 1.0}
 
 
 def test_simhash_close_for_neardups(spark, docs_with_dups):
@@ -227,7 +245,7 @@ def test_connected_components_known_graph(spark):
 def test_dedup_groups_keeps_min_survivor(spark, docs_with_dups):
     from duckdb_iceberg_spark.operators.dedup import dedup_groups, jaccard_pairs
 
-    pairs = jaccard_pairs(docs_with_dups, threshold=0.99, max_doc_freq=10**9).select(
+    pairs = jaccard_pairs(docs_with_dups, threshold=0.99).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     )
     out = dedup_groups(docs_with_dups, pairs)

@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""DuckDB-oracle twin of bench.py: times each headline query's
+oracle_sql() on the same parquet dir with threads=$SPARK_GRAFT_CPUS,
+same methodology (one warmup pass, two timed passes, per-query min).
+
+Queries with no SQL oracle (approximate/streaming entries) are skipped
+and listed. Prints one JSON line mirroring bench.py's shape so the two
+outputs diff cleanly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))) + "/tests")
+
+import duckdb
+
+from bench import BENCH_QUERIES, SF_DIR
+from oracle_harness import TABLES
+
+
+def main() -> None:
+    import __spark_entry__ as E
+
+    oracles = E.oracle_sql()
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    names = [q for q in BENCH_QUERIES if q in oracles]
+    skipped = [q for q in BENCH_QUERIES if q not in oracles]
+    timings: dict[str, float] = {}
+    for name in names:  # warmup (buffer cache + plan cache)
+        con.execute(oracles[name]).fetchall()
+    for _pass in range(2):
+        for name in names:
+            t0 = time.perf_counter()
+            rows = con.execute(oracles[name]).fetchall()
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+            if _pass == 1:
+                print(f"# {name}: {timings[name]}s ({len(rows)} rows)", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "oracle_suite_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "skipped_no_oracle": skipped,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
