@@ -3258,6 +3258,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_top_shippers": _q20_top_shippers,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
         "q22_inactive_customers": _q22_inactive_customers,
+        # --- driver-gated window (first 50 keys, insertion order): the
+        # driver hash-checks queries()[:50], so slots 23-50 carry one
+        # representative of every flagship family — Iceberg read+write,
+        # streaming, time-series, dedup, similarity, text, pipeline —
+        # not just the relational surface. Entries displaced from this
+        # window remain oracle-checked by tests/test_entry_oracle.py.
+        "iceberg_scan_generated": _iceberg_scan_generated,
+        "iceberg_time_travel": _iceberg_time_travel,
+        "iceberg_snapshots": _iceberg_snapshots_q,
+        "iceberg_metadata_entries": _iceberg_metadata_entries,
+        "iceberg_list_files": _iceberg_list_files,
+        "iceberg_pruned_scan": _iceberg_pruned_scan,
+        "iceberg_write_pipeline": _iceberg_write_pipeline,
+        "iceberg_merge_upsert": _iceberg_merge_upsert,
+        "iceberg_changelog": _iceberg_changelog,
+        "iceberg_wap_branch": _iceberg_wap_branch,
+        "streaming_from_iceberg": _streaming_from_iceberg_source,
+        "streaming_to_iceberg": _streaming_to_iceberg,
+        "streaming_enrich": _streaming_enrich,
+        "funnel_join": _funnel_join,
+        "asof_join_events": _asof_join_events,
+        "range_join_events": _range_join_events,
+        "resample_events": _resample_events,
+        "dedup_exact": _dedup_exact,
+        "dedup_jaccard": _dedup_jaccard,
+        "dedup_clusters": _dedup_clusters,
+        "contamination": _contamination,
+        "sim_topk": _sim_topk,
+        "sim_quantized": _sim_quantized,
+        "sim_neardup": _sim_neardup,
+        "text_tokens": _text_tokens,
+        "text_repetition": _text_repetition,
+        "pack_sequences": _pack_sequences,
+        "curate_pipeline": _curate_pipeline,
+        # --- end driver-gated window ---
         # subquery shapes
         "corr_max_per_order": _corr_max_per_order,
         "scalar_subquery_avg": _scalar_subquery_avg,
@@ -3306,27 +3341,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_unpivot": _events_unpivot,
         "case_bucketing": _case_bucketing,
         # time-series operators
-        "asof_join_events": _asof_join_events,
-        "range_join_events": _range_join_events,
         "ewma_events": _ewma_events,  # rows-only (pandas-verified in tests)
-        "resample_events": _resample_events,
         # file sources / sinks beyond parquet
         "csv_roundtrip": _csv_roundtrip,
         "json_roundtrip": _json_roundtrip,
         "orc_roundtrip": _orc_roundtrip,
         "avro_roundtrip": _avro_roundtrip,
         # text analysis
-        "text_tokens": _text_tokens,
         "text_quality": _text_quality,
         "text_langid": _text_langid,
         "text_fingerprint": _text_fingerprint,
         "text_rolling_hash": _text_rolling_hash,
-        "text_repetition": _text_repetition,
         "text_entropy": _text_entropy,
         "text_pii_scrub": _text_pii_scrub,
-        "contamination": _contamination,
         # training-data pipeline (packing / sampling / curation)
-        "pack_sequences": _pack_sequences,
         "sample_stratified": _sample_stratified,
         "split_train_val_test": _split_train_val_test,
         "mixture_sample": _mixture_sample,
@@ -3334,19 +3362,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_approx_sketches": _agg_approx_sketches,
         "lateral_topn": _lateral_topn,
         "shuffle_deterministic": _shuffle_deterministic,
-        "curate_pipeline": _curate_pipeline,
         # dedup
-        "dedup_exact": _dedup_exact,
         "dedup_minhash_sig": _dedup_minhash_sig,
-        "dedup_jaccard": _dedup_jaccard,
-        "dedup_clusters": _dedup_clusters,
         "dedup_jaccard_3gram": _dedup_jaccard_3gram,  # rows-only
         "dedup_minhash_pairs": _dedup_minhash_pairs,  # rows-only
         "dedup_simhash_pairs": _dedup_simhash_pairs,  # rows-only
         # similarity search
-        "sim_topk": _sim_topk,
-        "sim_quantized": _sim_quantized,
-        "sim_neardup": _sim_neardup,
         "ann_lsh_topk": _ann_lsh_topk,  # rows-only
         "ann_ivf_topk": _ann_ivf_topk,  # rows-only
         "knn_join": _knn_join,  # rows-only
@@ -3359,34 +3380,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": _mm_features,  # rows-only
         # streaming
         "streaming_hourly": _streaming_hourly,  # rows-only
-        "streaming_enrich": _streaming_enrich,
         "streaming_stateful": _streaming_stateful,  # rows-only
-        "streaming_to_iceberg": _streaming_to_iceberg,
         "streaming_dedup": _streaming_dedup,  # rows-only (exactness in tests)
-        "funnel_join": _funnel_join,
         # iceberg parity
-        "iceberg_scan_generated": _iceberg_scan_generated,
-        "iceberg_snapshots": _iceberg_snapshots_q,
         "iceberg_history": _iceberg_history_q,
-        "iceberg_time_travel": _iceberg_time_travel,
         "iceberg_scan_where": _iceberg_scan_where,
-        "iceberg_pruned_scan": _iceberg_pruned_scan,
         "iceberg_partitions": _iceberg_partitions_q,
         "iceberg_zorder": _iceberg_zorder,
         "iceberg_overwrite_partition": _iceberg_overwrite_partition,
-        "iceberg_list_files": _iceberg_list_files,
-        "iceberg_metadata_entries": _iceberg_metadata_entries,
         # iceberg write surface (native writer)
-        "iceberg_write_pipeline": _iceberg_write_pipeline,
-        "iceberg_wap_branch": _iceberg_wap_branch,
-        "streaming_from_iceberg": _streaming_from_iceberg_source,
         "iceberg_compaction": _iceberg_compaction,
         "iceberg_rewrite_manifests": _iceberg_rewrite_manifests,
         "iceberg_refs": _iceberg_refs,
-        "iceberg_changelog": _iceberg_changelog,
         "iceberg_partition_evolution": _iceberg_partition_evolution,
         "iceberg_equality_deletes": _iceberg_equality_deletes,
-        "iceberg_merge_upsert": _iceberg_merge_upsert,
         # skew-resilient join
         "join_salted": _join_salted,
         # co-located (bucketed) join
