@@ -71,17 +71,26 @@ def cosine_topk_int8(
     # query norm is a constant — fold it on the driver instead of
     # re-aggregating 2*dim ops per row
     qnorm = math.sqrt(sum(c * c for c in qcodes))
-    # materialize the quantized codes in their own projection:
-    # cosine references its input 3x (dot + norm), and inlining would
-    # re-run the quantization aggregate per reference (CollapseProject
-    # keeps the boundary because higher-order funcs are non-cheap)
+    # single-pass scorer: dot(c,q) and |c|^2 accumulate together over
+    # ONE reference to the quantized codes, so even if Catalyst inlines
+    # the projection the quantization aggregate runs once per row
+    # (dot + sqrt(dot) would reference it three times)
     coded = df.select(key_col, VEC.quantize_int8(F.col(vec_col))["codes"].alias("__codes"))
-    scored = coded.select(
-        key_col,
-        F.round(
-            VEC.dot(F.col("__codes"), qlit) / (VEC.norm(F.col("__codes")) * F.lit(qnorm)), 4
-        ).alias("qcos"),
+    pairs = F.zip_with(
+        F.col("__codes"),
+        qlit,
+        lambda x, y: F.struct(
+            (x.cast("double") * y).alias("p"),
+            (x.cast("double") * x.cast("double")).alias("s"),
+        ),
     )
+    qcos = F.aggregate(
+        pairs,
+        F.struct(F.lit(0.0).alias("d"), F.lit(0.0).alias("n")),
+        lambda acc, e: F.struct((acc["d"] + e["p"]).alias("d"), (acc["n"] + e["s"]).alias("n")),
+        lambda acc: F.round(acc["d"] / (F.sqrt(acc["n"]) * F.lit(qnorm)), 4),
+    )
+    scored = coded.select(key_col, qcos.alias("qcos"))
     return scored.orderBy(F.desc("qcos"), F.asc(key_col)).limit(k)
 
 
