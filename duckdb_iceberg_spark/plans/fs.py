@@ -9,8 +9,11 @@ resolves a scheme-keyed filesystem:
   the full scan + write + commit-CAS cycle without a real object
   store (the reference exercises the same cycle against minio,
   test/sql/iceberg_scan_generated_data_0_01_remote.test_slow:27-37)
-- anything else (``s3://``, ``gs://``, ``abfs://``, ...) — delegated
-  to `fsspec <https://filesystem-spec.readthedocs.io>`_ when that
+- ``s3://`` / ``s3a://`` — :class:`S3FS`, boto3-backed with a true
+  conditional-PUT commit CAS (tested against moto's S3
+  implementation in ``tests/test_fs_s3.py``)
+- anything else (``gs://``, ``abfs://``, ...) — delegated to
+  `fsspec <https://filesystem-spec.readthedocs.io>`_ when that
   package is installed (it is not vendored here); a clear error
   otherwise.
 
@@ -151,6 +154,125 @@ class MemoryFS:
             cls._store.clear()
 
 
+class S3FS:
+    """``s3://`` / ``s3a://`` metadata I/O via boto3 (no fsspec
+    needed — boto3 is the one object-store SDK assumed present).
+
+    ``create_exclusive`` is a TRUE compare-and-swap: S3 conditional
+    writes (``If-None-Match: *``) fail the PUT with 412 when the key
+    already exists, so two racing committers serialize exactly like
+    two O_EXCL creates — no exists-then-put window. The reference
+    exercises the same store through httpfs + minio
+    (test/sql/iceberg_scan_generated_data_0_01_remote.test_slow:5-13,
+    scripts/upload_iceberg_to_s3_test_server.sh); here the metadata
+    layer owns the S3 round-trips and Spark's Hadoop s3a:// connector
+    owns the data files.
+    """
+
+    def __init__(self, client=None):
+        if client is None:
+            import boto3
+
+            client = boto3.client(
+                "s3",
+                region_name=os.environ.get("AWS_DEFAULT_REGION", "us-east-1"),
+                endpoint_url=os.environ.get("AWS_ENDPOINT_URL_S3")
+                or os.environ.get("AWS_ENDPOINT_URL")
+                or None,
+            )
+        self._s3 = client
+
+    @staticmethod
+    def _split(path: str) -> tuple[str, str]:
+        rest = path.split("://", 1)[1]
+        bucket, _, key = rest.partition("/")
+        return bucket, key
+
+    def _not_found(self, err) -> bool:
+        code = err.response.get("Error", {}).get("Code", "")
+        return code in ("NoSuchKey", "404", "NotFound")
+
+    def read_bytes(self, path: str) -> bytes:
+        from botocore.exceptions import ClientError
+
+        bucket, key = self._split(path)
+        try:
+            return self._s3.get_object(Bucket=bucket, Key=key)["Body"].read()
+        except ClientError as e:
+            if self._not_found(e):
+                raise FileNotFoundError(path) from None
+            raise
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        bucket, key = self._split(path)
+        self._s3.put_object(Bucket=bucket, Key=key, Body=data)
+
+    # a single PUT publishes the key atomically — readers never see a
+    # partial object
+    write_atomic = write_bytes
+
+    def create_exclusive(self, path: str, data: bytes) -> None:
+        from botocore.exceptions import ClientError
+
+        bucket, key = self._split(path)
+        try:
+            self._s3.put_object(Bucket=bucket, Key=key, Body=data, IfNoneMatch="*")
+        except ClientError as e:
+            code = e.response.get("Error", {}).get("Code", "")
+            status = e.response.get("ResponseMetadata", {}).get("HTTPStatusCode")
+            if code == "PreconditionFailed" or status in (412, 409):
+                raise FileExistsError(path) from None
+            raise
+
+    def exists(self, path: str) -> bool:
+        return self.isfile(path) or self.isdir(path)
+
+    def isfile(self, path: str) -> bool:
+        from botocore.exceptions import ClientError
+
+        bucket, key = self._split(path)
+        try:
+            self._s3.head_object(Bucket=bucket, Key=key)
+            return True
+        except ClientError as e:
+            if self._not_found(e):
+                return False
+            raise
+
+    def isdir(self, path: str) -> bool:
+        bucket, key = self._split(path)
+        prefix = key.rstrip("/") + "/"
+        resp = self._s3.list_objects_v2(Bucket=bucket, Prefix=prefix, MaxKeys=1)
+        return resp.get("KeyCount", 0) > 0
+
+    def glob(self, pattern: str) -> list[str]:
+        scheme = scheme_of(pattern)
+        bucket, key = self._split(pattern)
+        # list from the longest wildcard-free prefix, match client-side
+        cut = len(key)
+        for ch in "*?[":
+            idx = key.find(ch)
+            if idx != -1:
+                cut = min(cut, idx)
+        prefix = key[:cut]
+        out = []
+        paginator = self._s3.get_paginator("list_objects_v2")
+        for page in paginator.paginate(Bucket=bucket, Prefix=prefix):
+            for obj in page.get("Contents", []):
+                if fnmatch.fnmatch(obj["Key"], key):
+                    out.append(f"{scheme}://{bucket}/{obj['Key']}")
+        return sorted(out)
+
+    def makedirs(self, path: str) -> None:
+        pass  # object-store directories are implicit
+
+    def remove(self, path: str) -> None:
+        if not self.isfile(path):
+            raise FileNotFoundError(path)
+        bucket, key = self._split(path)
+        self._s3.delete_object(Bucket=bucket, Key=key)
+
+
 class FsspecFS:
     """Adapter over an ``fsspec`` filesystem (s3://, gs://, ...)."""
 
@@ -200,15 +322,27 @@ class FsspecFS:
 
 _local = LocalFS()
 _memory = MemoryFS()
+_s3: Optional[S3FS] = None
+
+
+def reset_s3() -> None:
+    """Drop the cached S3 client (tests recreate it inside a mock)."""
+    global _s3
+    _s3 = None
 
 
 def get_fs(path: str):
     """Filesystem for ``path``, keyed by URL scheme (see module doc)."""
+    global _s3
     scheme = scheme_of(path)
     if scheme in ("", "file"):
         return _local
     if scheme == "memory":
         return _memory
+    if scheme in ("s3", "s3a"):
+        if _s3 is None:
+            _s3 = S3FS()
+        return _s3
     try:
         import fsspec
     except ImportError:
