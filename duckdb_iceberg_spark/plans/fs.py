@@ -357,3 +357,52 @@ def get_fs(path: str):
 def abspath(path: str) -> str:
     """os.path.abspath for local paths; URLs pass through unchanged."""
     return path if scheme_of(path) else os.path.abspath(path)
+
+
+def s3_env_conf() -> dict:
+    """Driver-side snapshot of the S3 connection env (endpoint,
+    region, credentials), to ship to executors inside plan objects.
+    Python workers inherit the executor JVM's environment, which was
+    frozen when the session started — plan-time capture is the only
+    reliable propagation for settings made later in the driver."""
+    return {
+        "endpoint": os.environ.get("AWS_ENDPOINT_URL_S3") or os.environ.get("AWS_ENDPOINT_URL"),
+        "region": os.environ.get("AWS_DEFAULT_REGION", "us-east-1"),
+        "access_key": os.environ.get("AWS_ACCESS_KEY_ID"),
+        "secret_key": os.environ.get("AWS_SECRET_ACCESS_KEY"),
+        "session_token": os.environ.get("AWS_SESSION_TOKEN"),
+    }
+
+
+def arrow_fs_path(path: str, conf: Optional[dict] = None):
+    """``(pyarrow filesystem | None, path-for-pyarrow)`` for reading a
+    DATA file with pyarrow: local paths pass through (``None`` fs);
+    ``s3://``/``s3a://`` resolve to pyarrow's native S3 client, so the
+    streaming source's executor-side reads and ``add_files``' footer
+    reads work against object stores without Spark's s3a connector.
+    """
+    scheme = scheme_of(path)
+    if scheme in ("", "file"):
+        return None, path
+    if scheme in ("s3", "s3a"):
+        from pyarrow import fs as pafs
+
+        c = conf or s3_env_conf()
+        kw = {}
+        endpoint = c.get("endpoint")
+        if endpoint:
+            for proto in ("http", "https"):
+                if endpoint.startswith(f"{proto}://"):
+                    kw = {"endpoint_override": endpoint[len(proto) + 3 :], "scheme": proto}
+                    break
+            else:
+                kw = {"endpoint_override": endpoint}
+        s3 = pafs.S3FileSystem(
+            region=c.get("region") or "us-east-1",
+            access_key=c.get("access_key") or None,
+            secret_key=c.get("secret_key") or None,
+            session_token=c.get("session_token") or None,
+            **kw,
+        )
+        return s3, path.split("://", 1)[1]
+    raise ValueError(f"No pyarrow filesystem for scheme {scheme!r} (path {path!r})")

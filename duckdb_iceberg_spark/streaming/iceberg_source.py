@@ -70,9 +70,13 @@ class _FileSlice(InputPartition):
     field id (see module doc).
     """
 
-    def __init__(self, path: str, fields: list):
+    def __init__(self, path: str, fields: list, fs_conf: dict | None = None):
         self.path = path
         self.fields = fields
+        # S3 connection config captured on the DRIVER at plan time and
+        # pickled to executors — Python workers inherit the JVM's env,
+        # which was frozen at session start (plans/fs.py:s3_env_conf)
+        self.fs_conf = fs_conf
 
 
 class _IcebergStreamReader(DataSourceStreamReader):
@@ -165,13 +169,19 @@ class _IcebergStreamReader(DataSourceStreamReader):
             for (seq, i, p) in files
             if (seq > s0 or (seq == s0 and i >= k0)) and (seq < s1 or (seq == s1 and i < k1))
         ]
-        return [_FileSlice(p, fields) for p in sel]
+        from ..plans.fs import s3_env_conf, scheme_of
+
+        conf = s3_env_conf() if any(scheme_of(p) in ("s3", "s3a") for p in sel) else None
+        return [_FileSlice(p, fields, conf) for p in sel]
 
     # -- execution (executors): Arrow-read one file -----------------------
     def read(self, partition: _FileSlice):
         import pyarrow.parquet as pq
 
-        fschema = pq.read_schema(partition.path)
+        from ..plans.fs import arrow_fs_path
+
+        afs, apath = arrow_fs_path(partition.path, getattr(partition, "fs_conf", None))
+        fschema = pq.read_schema(apath, filesystem=afs)
         by_fid = {}
         for f in fschema:
             fid = (f.metadata or {}).get(b"PARQUET:field_id")
@@ -183,13 +193,44 @@ class _IcebergStreamReader(DataSourceStreamReader):
             if pname is None and not by_fid and cur_name in fschema.names:
                 pname = cur_name  # file has no field ids: name fallback
             want.append(pname)
-        table = pq.read_table(partition.path, columns=[p for p in want if p is not None])
+        table = pq.read_table(
+            apath, columns=[p for p in want if p is not None], filesystem=afs
+        )
         n = table.num_rows
         cols = [table.column(p).to_pylist() if p is not None else [None] * n for p in want]
         yield from zip(*cols)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the query's checkpoint
+
+
+_S3_OPT_TO_ENV = {
+    "s3.endpoint": "AWS_ENDPOINT_URL",
+    "s3.region": "AWS_DEFAULT_REGION",
+    "s3.access_key": "AWS_ACCESS_KEY_ID",
+    "s3.secret_key": "AWS_SECRET_ACCESS_KEY",
+    "s3.session_token": "AWS_SESSION_TOKEN",
+}
+
+
+def _apply_s3_options(options: dict) -> None:
+    """Python Data Sources run their driver-side logic (schema(),
+    offsets, planning) in a SEPARATE JVM-spawned Python runner whose
+    env was frozen at session start — so the S3 connection config
+    rides in on the data source options (set by read_table_stream)
+    and is applied to this runner's own environment here."""
+    import os
+
+    applied = False
+    for opt, env in _S3_OPT_TO_ENV.items():
+        v = options.get(opt)
+        if v:
+            os.environ[env] = v
+            applied = True
+    if applied:
+        from ..plans.fs import reset_s3
+
+        reset_s3()
 
 
 class IcebergStreamDataSource(DataSource):
@@ -200,6 +241,7 @@ class IcebergStreamDataSource(DataSource):
     def schema(self):
         from ..plans.table_metadata import load_table_metadata
 
+        _apply_s3_options(dict(self.options))
         meta = load_table_metadata(
             self.options["path"],
             metadata_compression_codec=self.options.get("metadata_compression_codec", "none"),
@@ -207,7 +249,9 @@ class IcebergStreamDataSource(DataSource):
         return meta.schemas[meta.current_schema_id].to_struct_type()
 
     def streamReader(self, schema):
-        return _IcebergStreamReader(schema, dict(self.options))
+        opts = dict(self.options)
+        _apply_s3_options(opts)
+        return _IcebergStreamReader(schema, opts)
 
 
 def register_iceberg_stream_source(spark: SparkSession) -> None:
@@ -216,9 +260,27 @@ def register_iceberg_stream_source(spark: SparkSession) -> None:
 
 
 def read_table_stream(spark: SparkSession, table_path: str, **options):
-    """`readStream` over a native Iceberg table (see module doc)."""
+    """`readStream` over a native Iceberg table (see module doc).
+
+    For an ``s3://`` table, the driver's S3 connection env (endpoint,
+    region, credentials) is captured HERE and forwarded as data source
+    options — the source's planning and reading both happen in other
+    processes (see :func:`_apply_s3_options`)."""
     register_iceberg_stream_source(spark)
     reader = spark.readStream.format("iceberg_stream").option("path", table_path)
+    from ..plans.fs import s3_env_conf, scheme_of
+
+    if scheme_of(table_path) in ("s3", "s3a"):
+        conf = s3_env_conf()
+        for opt, key in (
+            ("s3.endpoint", "endpoint"),
+            ("s3.region", "region"),
+            ("s3.access_key", "access_key"),
+            ("s3.secret_key", "secret_key"),
+            ("s3.session_token", "session_token"),
+        ):
+            if conf.get(key):
+                reader = reader.option(opt, conf[key])
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()

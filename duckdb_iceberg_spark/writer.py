@@ -963,9 +963,13 @@ class IcebergTable:
         cols = {c.name for c in self.schema.columns}
         entries = []
         any_without_ids = False
+        from .plans.fs import abspath as _fs_abspath
+        from .plans.fs import arrow_fs_path
+
         for p in parquet_paths:
-            p = os.path.abspath(p)
-            md = pq.ParquetFile(p).metadata
+            p = _fs_abspath(p)  # URLs (s3://...) pass through unchanged
+            afs, ap = arrow_fs_path(p)
+            md = pq.ParquetFile(ap, filesystem=afs).metadata
             arrow_schema = md.schema.to_arrow_schema()
             got = set(arrow_schema.names)
             if not cols <= got:
@@ -982,7 +986,9 @@ class IcebergTable:
                     "file_path": p,
                     "file_format": "PARQUET",
                     "record_count": md.num_rows,
-                    "file_size_in_bytes": os.path.getsize(p),
+                    "file_size_in_bytes": (
+                        afs.get_file_info(ap).size if afs is not None else os.path.getsize(p)
+                    ),
                     "partition": {},
                     "lower_bounds": lowers,
                     "upper_bounds": uppers,

@@ -92,3 +92,71 @@ def test_s3_scan_write_commit_cas(spark, s3_bucket, tmp_path):
     t2.add_column("other", "int")
     with pytest.raises(CommitConflictError):
         t.add_column("clash", "int")
+
+
+@pytest.fixture()
+def s3_server(monkeypatch):
+    """moto in SERVER mode (real HTTP endpoint) so non-boto clients —
+    pyarrow's native S3 reader on executors — can hit it too."""
+    import socket
+
+    from moto.server import ThreadedMotoServer
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    server = ThreadedMotoServer(ip_address="127.0.0.1", port=port, verbose=False)
+    server.start()
+    monkeypatch.setenv("AWS_ENDPOINT_URL", f"http://127.0.0.1:{port}")
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "testing")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "testing")
+    monkeypatch.setenv("AWS_DEFAULT_REGION", "us-east-1")
+    FS.reset_s3()
+    yield f"http://127.0.0.1:{port}"
+    FS.reset_s3()
+    server.stop()
+
+
+def test_s3_full_table_streams(spark, s3_server, tmp_path):
+    """A table living ENTIRELY on (emulated) S3 — metadata AND data —
+    streamed into Spark: metadata I/O through boto3 (S3FS), data files
+    Arrow-read on EXECUTORS through pyarrow's native S3 client, with
+    the connection config captured at plan time on the driver (workers
+    inherit the JVM's frozen env, so env alone would not propagate).
+
+    This is the engine's twin of the reference's remote tier, where
+    the whole generated table is served from minio S3
+    (test/sql/iceberg_scan_generated_data_0_01_remote.test_slow:27-37).
+    """
+    import boto3
+
+    from duckdb_iceberg_spark import IcebergTable
+    from duckdb_iceberg_spark.streaming.iceberg_source import read_table_stream
+
+    c = boto3.client("s3", endpoint_url=s3_server, region_name="us-east-1")
+    c.create_bucket(Bucket="lake")
+
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    # stage a Spark-written file (field ids + exact physical types)
+    data_dir = str(tmp_path / "data")
+    n.coalesce(1).write.parquet(data_dir)
+    local = next(Path(data_dir).glob("*.parquet"))
+    c.upload_file(str(local), "lake", "data/nation.parquet")
+
+    t = IcebergTable.create(spark, "s3://lake/tables/t", n.limit(0))
+    t.add_files(["s3://lake/data/nation.parquet"])  # footer read via pyarrow S3
+
+    q = (
+        read_table_stream(spark, "s3://lake/tables/t")
+        .writeStream.format("memory")
+        .queryName("s3_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.n_nationkey for r in spark.table("s3_stream_test").collect()}
+    finally:
+        q.stop()
+    assert got == {r.n_nationkey for r in n.collect()}
