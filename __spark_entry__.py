@@ -2639,6 +2639,16 @@ FROM read_parquet('{GEN2}/expected_results/last/data/*.parquet')
 """
 
 
+def _iceberg_arrow_scan(spark, sf):
+    """Same scan as iceberg_scan_generated but through the
+    pyarrow-native batch reader (io='arrow'): executor-side pyarrow
+    reads with field-id resolution and in-reader positional deletes —
+    the path that batch-queries object-store tables without a JVM
+    connector. Must be value-identical to the default path."""
+    df = iceberg_scan(spark, f"{GEN2}/pyspark_iceberg_table", allow_moved_paths=True, io="arrow")
+    return df.select(*_ICE_COLS)
+
+
 def _iceberg_scan_where(spark, sf):
     """where= pushes an exact row filter AND prunes files from
     zone-maps/partitions before the scan."""
@@ -3393,6 +3403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _streaming_dedup,  # rows-only (exactness in tests)
         # iceberg parity
         "iceberg_history": _iceberg_history_q,
+        "iceberg_arrow_scan": _iceberg_arrow_scan,
         "iceberg_scan_where": _iceberg_scan_where,
         "iceberg_partitions": _iceberg_partitions_q,
         "iceberg_zorder": _iceberg_zorder,
@@ -3481,6 +3492,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_neardup": _SIM_NEARDUP_SQL,
         "mm_frame_sample": _MM_FRAME_SQL,
         "iceberg_scan_generated": _ICEBERG_SCAN_SQL,
+        "iceberg_arrow_scan": _ICEBERG_SCAN_SQL,
         "iceberg_snapshots": _ICEBERG_SNAPSHOTS_SQL,
         "iceberg_history": _ICEBERG_HISTORY_SQL,
         "iceberg_time_travel": _ICEBERG_TT_SQL,

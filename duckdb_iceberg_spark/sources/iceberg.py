@@ -194,6 +194,7 @@ def iceberg_scan(
     where: Optional[str] = None,
     ref: Optional[str] = None,
     time_as_string: bool = False,
+    io: str = "spark",
     _keep_position_columns: bool = False,
 ) -> DataFrame:
     """Read an Iceberg table at a snapshot, applying delete files.
@@ -273,6 +274,35 @@ def iceberg_scan(
         st = None if skip_schema_inference else schema.to_struct_type()
         return spark.createDataFrame([], st if st is not None else T.StructType([]))
 
+    if io == "arrow":
+        # pyarrow-native executor reads (object-store tables without a
+        # JVM connector) — see sources/arrow_scan.py for semantics
+        if eq_deletes:
+            raise NotImplementedError(
+                "io='arrow' does not support equality deletes; use the default io='spark'"
+            )
+        if skip_schema_inference or _keep_position_columns:
+            raise ValueError(
+                "io='arrow' requires schema inference and does not expose position columns"
+            )
+        from .arrow_scan import arrow_scan_df
+
+        df = arrow_scan_df(
+            spark, schema, data_entries, scan.positional_delete_files(), allow_moved_paths
+        )
+        for c in schema.columns:
+            if c.initial_default is not None:
+                df = df.withColumn(
+                    c.name, F.coalesce(F.col(c.name), F.lit(c.initial_default).cast(c.spark_type))
+                )
+        if time_as_string:
+            df = _render_time_strings(df, schema)
+        if where is not None:
+            df = df.filter(where)
+        return df
+    if io != "spark":
+        raise ValueError(f"io must be 'spark' or 'arrow', got {io!r}")
+
     # Field-id based column resolution (the reference pushes a
     # field_id->column map into the parquet reader, iceberg_scan.cpp:103-128;
     # Spark's native equivalent is parquet.field.id matching). get_spark
@@ -347,26 +377,34 @@ def iceberg_scan(
                 )
 
     if time_as_string and not skip_schema_inference:
-        for c in schema.columns:
-            if c.iceberg_type == "time" and c.name in df.columns:
-                v = F.col(c.name)
-                base = F.format_string(
-                    "%02d:%02d:%02d",
-                    F.floor(v / F.lit(3_600_000_000)),
-                    F.floor((v % F.lit(3_600_000_000)) / F.lit(60_000_000)),
-                    F.floor((v % F.lit(60_000_000)) / F.lit(1_000_000)),
-                )
-                us = v % F.lit(1_000_000)
-                frac = F.when(us == 0, F.lit("")).otherwise(
-                    F.concat(F.lit("."), F.regexp_replace(F.format_string("%06d", us), "0+$", ""))
-                )
-                df = df.withColumn(
-                    c.name, F.when(v.isNull(), F.lit(None)).otherwise(F.concat(base, frac))
-                )
+        df = _render_time_strings(df, schema)
 
     if where is not None:
         df = df.filter(where)
 
+    return df
+
+
+def _render_time_strings(df: DataFrame, schema) -> DataFrame:
+    """Render Iceberg ``time`` columns (micros-since-midnight LONGs)
+    as ``HH:MM:SS[.ffffff]`` strings, DuckDB TIME-to-VARCHAR style
+    (see iceberg_scan's ``time_as_string`` doc)."""
+    for c in schema.columns:
+        if c.iceberg_type == "time" and c.name in df.columns:
+            v = F.col(c.name)
+            base = F.format_string(
+                "%02d:%02d:%02d",
+                F.floor(v / F.lit(3_600_000_000)),
+                F.floor((v % F.lit(3_600_000_000)) / F.lit(60_000_000)),
+                F.floor((v % F.lit(60_000_000)) / F.lit(1_000_000)),
+            )
+            us = v % F.lit(1_000_000)
+            frac = F.when(us == 0, F.lit("")).otherwise(
+                F.concat(F.lit("."), F.regexp_replace(F.format_string("%06d", us), "0+$", ""))
+            )
+            df = df.withColumn(
+                c.name, F.when(v.isNull(), F.lit(None)).otherwise(F.concat(base, frac))
+            )
     return df
 
 

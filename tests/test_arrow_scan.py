@@ -1,0 +1,59 @@
+"""iceberg_scan(io="arrow"): pyarrow-native batch reads must be
+row-for-row identical to the default Spark-native reads, including
+positional deletes, schema evolution, and moved paths.
+
+Reference goldens: 51,793 (lineitem_iceberg latest) and 6,592 (the
+8-step mutated MoR table), BASELINE.md / iceberg_scan.test:17-32.
+"""
+
+import os
+
+import pytest
+
+from duckdb_iceberg_spark import iceberg_scan
+
+B = "/root/reference/data/iceberg"
+
+
+def test_arrow_io_golden_counts(spark):
+    assert (
+        iceberg_scan(spark, f"{B}/lineitem_iceberg", allow_moved_paths=True, io="arrow").count()
+        == 51793
+    )
+    assert (
+        iceberg_scan(
+            spark, f"{B}/generated_spec2_0_001/pyspark_iceberg_table", allow_moved_paths=True, io="arrow"
+        ).count()
+        == 6592
+    )
+
+
+def test_arrow_io_rows_equal_spark_io(spark):
+    """Full-row parity on the MoR table: positional deletes applied
+    in-reader, field-id resolution, INT->BIGINT widening, add-column
+    NULLs + initial-default — all must match the default path."""
+    p = f"{B}/generated_spec2_0_001/pyspark_iceberg_table"
+    a = iceberg_scan(spark, p, allow_moved_paths=True, io="arrow").orderBy("uuid").collect()
+    b = iceberg_scan(spark, p, allow_moved_paths=True).orderBy("uuid").collect()
+    assert a == b
+
+
+def test_arrow_io_where_filters_and_prunes(spark):
+    p = f"{B}/generated_spec2_0_001/pyspark_iceberg_table"
+    w = "l_extendedprice_double < 20000 AND l_partkey_int >= 100"
+    a = iceberg_scan(spark, p, allow_moved_paths=True, io="arrow", where=w).count()
+    b = iceberg_scan(spark, p, allow_moved_paths=True, where=w).count()
+    assert a == b
+
+
+def test_arrow_io_time_travel(spark):
+    got = iceberg_scan(
+        spark, f"{B}/lineitem_iceberg", allow_moved_paths=True, io="arrow",
+        snapshot_id=3776207205136740581,
+    ).count()
+    assert got == 60175
+
+
+def test_arrow_io_rejects_bad_mode(spark):
+    with pytest.raises(ValueError, match="io must be"):
+        iceberg_scan(spark, f"{B}/lineitem_iceberg", allow_moved_paths=True, io="duck")

@@ -146,6 +146,14 @@ def test_s3_full_table_streams(spark, s3_server, tmp_path):
     t = IcebergTable.create(spark, "s3://lake/tables/t", n.limit(0))
     t.add_files(["s3://lake/data/nation.parquet"])  # footer read via pyarrow S3
 
+    # BATCH scan of the S3-resident table — no s3a connector in this
+    # container, so the JVM cannot read the data files; io="arrow"
+    # reads them through pyarrow's S3 client on executors instead
+    from duckdb_iceberg_spark import iceberg_scan
+
+    batch = iceberg_scan(spark, "s3://lake/tables/t", io="arrow")
+    assert {r.n_nationkey for r in batch.collect()} == {r.n_nationkey for r in n.collect()}
+
     q = (
         read_table_stream(spark, "s3://lake/tables/t")
         .writeStream.format("memory")
