@@ -159,11 +159,13 @@ class _IcebergStreamReader(DataSourceStreamReader):
         self._last = dict(end)
         if (s1, k1) <= (s0, k0):
             return []
+        import json as _json
+
         files = self._indexed_files(self._meta())
         fields = []
         for f in self._schema.fields:
             md = f.metadata or {}
-            fields.append((md.get("parquet.field.id"), f.name))
+            fields.append((md.get("parquet.field.id"), f.name, _json.loads(f.dataType.json())))
         sel = [
             p
             for (seq, i, p) in files
@@ -176,29 +178,14 @@ class _IcebergStreamReader(DataSourceStreamReader):
 
     # -- execution (executors): Arrow-read one file -----------------------
     def read(self, partition: _FileSlice):
-        import pyarrow.parquet as pq
+        # shared with the batch arrow reader: field-id resolution,
+        # per-file cast to the current schema's arrow types (INT ->
+        # BIGINT widening), NULL columns for later-added fields;
+        # yielding RecordBatches keeps the Arrow path end-to-end
+        # (no per-row Python tuples)
+        from ..sources.arrow_scan import _read_aligned
 
-        from ..plans.fs import arrow_fs_path
-
-        afs, apath = arrow_fs_path(partition.path, getattr(partition, "fs_conf", None))
-        fschema = pq.read_schema(apath, filesystem=afs)
-        by_fid = {}
-        for f in fschema:
-            fid = (f.metadata or {}).get(b"PARQUET:field_id")
-            if fid is not None:
-                by_fid[int(fid)] = f.name
-        want = []  # parquet column name per output field, None -> NULL
-        for fid, cur_name in partition.fields:
-            pname = by_fid.get(fid) if fid is not None else None
-            if pname is None and not by_fid and cur_name in fschema.names:
-                pname = cur_name  # file has no field ids: name fallback
-            want.append(pname)
-        table = pq.read_table(
-            apath, columns=[p for p in want if p is not None], filesystem=afs
-        )
-        n = table.num_rows
-        cols = [table.column(p).to_pylist() if p is not None else [None] * n for p in want]
-        yield from zip(*cols)
+        yield from _read_aligned(partition).to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the query's checkpoint
