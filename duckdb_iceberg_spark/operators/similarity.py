@@ -183,10 +183,27 @@ def ivf_build(
 
 
 def _assign(rows: DataFrame, centroids: list[list[float]], vec_col: str) -> DataFrame:
-    """centroid_id = argmax cosine(vec, centroid) — JVM-side."""
-    carr = F.array(*[VEC.lit_vector(c) for c in centroids])
-    sims = F.transform(carr, lambda c: VEC.cosine(F.col(vec_col), c))
-    best = F.array_position(sims, F.array_max(sims)) - 1
+    """centroid_id = argmax cosine(vec, centroid) — JVM-side.
+
+    Cosine ordering is invariant to the row vector's own norm, so
+    centroids are unit-normalized on the DRIVER and each row does ONE
+    dot per centroid; the argmax folds over the sims array in a single
+    aggregate pass (array_position(sims, array_max(sims)) would
+    evaluate the whole transform twice — Catalyst does not CSE
+    higher-order functions)."""
+
+    def _unit(c):
+        n = math.sqrt(sum(float(x) * float(x) for x in c))
+        return [float(x) / n for x in c] if n > 0 else [0.0] * len(c)
+
+    carr = F.array(*[VEC.lit_vector(_unit(c)) for c in centroids])
+    sims = F.transform(carr, lambda c: VEC.dot(F.col(vec_col), c))
+    idx = F.array(*[F.lit(i) for i in range(len(centroids))])
+    best = F.aggregate(
+        F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i"))),
+        F.struct(F.lit(float("-inf")).alias("s"), F.lit(-1).alias("i")),
+        lambda acc, e: F.when(e["s"] > acc["s"], e).otherwise(acc),
+    )["i"]
     return rows.withColumn("centroid_id", best.cast("int"))
 
 
