@@ -102,7 +102,13 @@ def get_spark(app_name: str = "duckdb_iceberg_spark", **extra) -> SparkSession:
         # only tweaks small-file combining granularity.
         .config("spark.sql.files.openCostInBytes", str(128 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # heap CAP, not a reservation — the JVM commits only what it
+        # uses. 8g OOMed the exact-percentile final merge at sf10
+        # (per-group value-count maps over 60M rows x 4 aggs); memory-
+        # heavy exact aggregates are the documented trade for their
+        # oracle-checkability (the 100 TB path is agg_approx's
+        # sketches, which are partial-mergeable and O(1) per group).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in extra.items():

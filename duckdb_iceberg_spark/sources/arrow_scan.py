@@ -82,17 +82,23 @@ def _read_aligned(partition: _ArrowSlice):
         if fid is not None:
             by_fid[int(fid)] = f.name
     want = []
-    for fid, cur_name, _st in partition.fields:
+    for fid, cur_name, _st, *alt in partition.fields:
         pname = by_fid.get(fid) if fid is not None else None
-        if pname is None and not by_fid and cur_name in fschema.names:
-            pname = cur_name  # file has no field ids: name fallback
+        if pname is None and not by_fid:
+            # file has no field ids: resolve by current name, then by
+            # schema.name-mapping.default candidates (files imported
+            # via add_files before a rename carry the old name)
+            for cand in [cur_name] + (alt[0] if alt else []):
+                if cand in fschema.names:
+                    pname = cand
+                    break
         want.append(pname)
     table = pq.read_table(
         apath, columns=[p for p in want if p is not None], filesystem=afs
     )
     n = table.num_rows
     arrays, names = [], []
-    for (fid, cur_name, st_json), pname in zip(partition.fields, want):
+    for (fid, cur_name, st_json, *_alt), pname in zip(partition.fields, want):
         at = to_arrow_type(T._parse_datatype_json_string(json.dumps(st_json)))
         if pname is None:
             arrays.append(pa.nulls(n, type=at))
@@ -158,11 +164,20 @@ class IcebergArrowDataSource(DataSource):
         return _IcebergArrowReader(json.loads(self.options["plan"]))
 
 
-def arrow_scan_df(spark: SparkSession, schema, data_entries, pos_entries, allow_moved_paths: bool):
+def arrow_scan_df(
+    spark: SparkSession,
+    schema,
+    data_entries,
+    pos_entries,
+    allow_moved_paths: bool,
+    name_mapping: dict | None = None,
+):
     """DataFrame over the resolved scan plan, read through pyarrow.
 
     ``schema`` is the snapshot's IcebergSchema; ``data_entries`` /
-    ``pos_entries`` are the pruned ManifestEntry lists."""
+    ``pos_entries`` are the pruned ManifestEntry lists;
+    ``name_mapping`` is the parsed schema.name-mapping.default
+    ({field_id: [names]}) for id-less imported files."""
     from ..plans.fs import s3_env_conf, scheme_of
 
     paths = [e.file_path for e in data_entries] + [e.file_path for e in pos_entries]
@@ -178,7 +193,7 @@ def arrow_scan_df(spark: SparkSession, schema, data_entries, pos_entries, allow_
     plan = {
         "schema": json.loads(st.json()),
         "fields": [
-            [c.field_id, c.name, json.loads(f.dataType.json())]
+            [c.field_id, c.name, json.loads(f.dataType.json()), (name_mapping or {}).get(c.field_id, [])]
             for c, f in zip(schema.columns, st.fields)
         ],
         "files": files,

@@ -37,6 +37,7 @@ Scale notes (100 TB design):
 from __future__ import annotations
 
 import datetime
+import json
 import os
 from typing import Any, Optional
 
@@ -287,8 +288,17 @@ def iceberg_scan(
             )
         from .arrow_scan import arrow_scan_df
 
+        nm = meta.properties.get("schema.name-mapping.default")
+        mapping = (
+            {e["field-id"]: e.get("names", []) for e in json.loads(nm)} if nm else None
+        )
         df = arrow_scan_df(
-            spark, schema, data_entries, scan.positional_delete_files(), allow_moved_paths
+            spark,
+            schema,
+            data_entries,
+            scan.positional_delete_files(),
+            allow_moved_paths,
+            name_mapping=mapping,
         )
         for c in schema.columns:
             if c.initial_default is not None:
