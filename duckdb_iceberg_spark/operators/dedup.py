@@ -24,6 +24,8 @@ md5 agree; xxhash64 exists only in Spark).
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -79,13 +81,22 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     n_shingle: int = 1,
+    max_bucket: Optional[int] = 10_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH, scored by
     the estimated Jaccard (fraction of agreeing signature components).
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b,
     est_jaccard >= threshold.
-    """
+
+    ``max_bucket`` drops band buckets larger than the cap before the
+    self-join: a bucket of B docs emits B^2/2 candidate pairs, so one
+    boilerplate-dominated signature (every corpus has some) turns the
+    banding into a quadratic blow-up — observed at sf10, where a
+    degenerate synthetic vocabulary produced mega-buckets that ran the
+    candidate join out of memory. Docs this similar to *thousands* of
+    others are boilerplate by definition; production LSH dedup caps or
+    samples such buckets (pass ``None`` to disable)."""
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, text_col, key_col, num_perm, n_shingle).cache()
     # band key = md5 over that band's signature slice
@@ -98,6 +109,15 @@ def minhash_lsh_pairs(
     banded = band_frames[0]
     for bf in band_frames[1:]:
         banded = banded.unionAll(bf)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        bsz = Window.partitionBy("band", "bkey")
+        banded = (
+            banded.withColumn("__bsz", F.count("*").over(bsz))
+            .where(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
     cands = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bkey"])
