@@ -2349,8 +2349,13 @@ def _dedup_jaccard_3gram(spark, sf):
 
 
 def _dedup_minhash_pairs(spark, sf):
+    """3-gram shingles, not unigrams: the synthetic corpus draws from
+    a ~31-word vocabulary, so unigram MinHash signatures have almost
+    no discrimination — half the corpus lands in one LSH band bucket
+    at sf10 (a quadratic candidate blow-up no cap can fix). Shingling
+    restores signature entropy; real prose gets the same treatment."""
     d = _t(spark, sf, "documents")
-    return DD.minhash_lsh_pairs(d, num_perm=16, bands=4, threshold=0.5)
+    return DD.minhash_lsh_pairs(d, num_perm=16, bands=4, threshold=0.5, n_shingle=3)
 
 
 def _dedup_simhash_pairs(spark, sf):

@@ -137,15 +137,27 @@ def rolling_hash_sql(col: str) -> str:
 
 
 def shingles(col, n: int = 3) -> Column:
-    """Word n-gram shingles -> array<string> (may contain duplicates)."""
+    """Word n-gram shingles -> array<string> (may contain duplicates).
+
+    The token array is BOUND once per row (wrapped in a 1-element
+    array whose transform lambda variable carries it) before the
+    per-shingle lambda indexes into it 3n times — inlining the split()
+    expression into the lambda would re-tokenize the document per
+    shingle, O(len^2 * n) per row (Catalyst does not let-bind or CSE
+    inside higher-order functions; same fix as vectors.quantize_int8).
+    """
     t = tokens(F.lower(col))
-    return F.when(
-        F.size(t) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", t)))
+
+    def _build(tb):
+        return F.when(
+            F.size(tb) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tb) - n),
+                lambda i: F.concat_ws(" ", *[F.element_at(tb, i + j + 1) for j in range(n)]),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", tb)))
+
+    return F.transform(F.array(t), _build)[0]
 
 
 def dup_line_fraction(col) -> Column:
