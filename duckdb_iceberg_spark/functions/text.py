@@ -136,15 +136,24 @@ def rolling_hash_sql(col: str) -> str:
     )
 
 
+def bind_once(expr, build) -> Column:
+    """Evaluate ``expr`` ONCE per row and pass it as a bound variable
+    to ``build`` (wrapped in a 1-element array whose transform lambda
+    carries it). Catalyst neither let-binds nor CSEs inside
+    higher-order-function lambdas, so a computed expression referenced
+    N times inside one evaluates N times — for an expression that is
+    itself O(len), that turns linear work quadratic (measured: 3-gram
+    shingling at sf10 went from never-finishing to 215 s with this)."""
+    return F.transform(F.array(expr), build)[0]
+
+
 def shingles(col, n: int = 3) -> Column:
     """Word n-gram shingles -> array<string> (may contain duplicates).
 
-    The token array is BOUND once per row (wrapped in a 1-element
-    array whose transform lambda variable carries it) before the
-    per-shingle lambda indexes into it 3n times — inlining the split()
-    expression into the lambda would re-tokenize the document per
-    shingle, O(len^2 * n) per row (Catalyst does not let-bind or CSE
-    inside higher-order functions; same fix as vectors.quantize_int8).
+    The token array is bound once per row (:func:`bind_once`) before
+    the per-shingle lambda indexes into it 3n times — inlining the
+    split() would re-tokenize the document per shingle, O(len^2 * n)
+    per row (same class as vectors.quantize_int8's absmax binding).
     """
     t = tokens(F.lower(col))
 
@@ -157,24 +166,31 @@ def shingles(col, n: int = 3) -> Column:
             ),
         ).otherwise(F.array(F.concat_ws(" ", tb)))
 
-    return F.transform(F.array(t), _build)[0]
+    return bind_once(t, _build)
+
+
+def _dup_fraction(arr) -> Column:
+    """(size - distinct size) / size over a BOUND array (see
+    bind_once — the caller's array expression must evaluate once)."""
+
+    def _frac(a):
+        n = F.size(a)
+        return F.when(n > 0, (n - F.size(F.array_distinct(a))) / n).otherwise(F.lit(0.0))
+
+    return bind_once(arr, _frac)
 
 
 def dup_line_fraction(col) -> Column:
     """Gopher-style repetition signal: fraction of a document's lines
     that are repeats of an earlier line (0 for single-line docs).
     Pure array expressions — codegen'd, no shuffle, no UDF."""
-    lines = F.filter(F.split(col, r"\n"), lambda x: F.trim(x) != "")
-    n = F.size(lines)
-    return F.when(n > 0, (n - F.size(F.array_distinct(lines))) / n).otherwise(F.lit(0.0))
+    return _dup_fraction(F.filter(F.split(col, r"\n"), lambda x: F.trim(x) != ""))
 
 
 def dup_ngram_fraction(col, n: int = 2) -> Column:
     """Fraction of word n-grams that are repeats of an earlier n-gram
     — high values flag boilerplate / template spam documents."""
-    sh = shingles(col, n)
-    cnt = F.size(sh)
-    return F.when(cnt > 0, (cnt - F.size(F.array_distinct(sh))) / cnt).otherwise(F.lit(0.0))
+    return _dup_fraction(shingles(col, n))
 
 
 def repetition_sql(col: str, n: int = 2) -> dict[str, str]:
@@ -253,13 +269,18 @@ def chunk_text_udtf(chunk_tokens: int = 10):
 def chunk_text_builtin(col, chunk_tokens: int = 10):
     """JVM fast-path twin of :func:`chunk_text_udtf`: returns an
     array<struct<chunk_no,chunk>> to posexplode — identical rows, no
-    Python in the plan."""
-    t = tokens(col)
-    n_chunks = F.ceil(F.size(t) / F.lit(chunk_tokens)).cast("int")
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n_chunks, F.lit(1))),
-        lambda i: F.struct(
-            i.cast("int").alias("chunk_no"),
-            F.concat_ws(" ", F.slice(t, (i - 1) * chunk_tokens + 1, chunk_tokens)).alias("chunk"),
-        ),
-    )
+    Python in the plan. Tokens bound once (bind_once): slicing an
+    INLINED split() per chunk would re-tokenize the document
+    len/chunk_tokens times."""
+
+    def _chunks(tb):
+        n_chunks = F.ceil(F.size(tb) / F.lit(chunk_tokens)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(n_chunks, F.lit(1))),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_no"),
+                F.concat_ws(" ", F.slice(tb, (i - 1) * chunk_tokens + 1, chunk_tokens)).alias("chunk"),
+            ),
+        )
+
+    return bind_once(tokens(col), _chunks)
