@@ -81,7 +81,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     n_shingle: int = 1,
-    max_bucket: Optional[int] = 10_000,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH, scored by
     the estimated Jaccard (fraction of agreeing signature components).
@@ -89,14 +89,16 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b,
     est_jaccard >= threshold.
 
-    ``max_bucket`` drops band buckets larger than the cap before the
-    self-join: a bucket of B docs emits B^2/2 candidate pairs, so one
-    boilerplate-dominated signature (every corpus has some) turns the
-    banding into a quadratic blow-up — observed at sf10, where a
-    degenerate synthetic vocabulary produced mega-buckets that ran the
-    candidate join out of memory. Docs this similar to *thousands* of
-    others are boilerplate by definition; production LSH dedup caps or
-    samples such buckets (pass ``None`` to disable)."""
+    ``max_bucket`` (OPT-IN — default None drops nothing, so existing
+    callers see every candidate) drops band buckets larger than the
+    cap before the self-join: a bucket of B docs emits B^2/2 candidate
+    pairs, so one boilerplate-dominated signature (every corpus has
+    some) turns the banding into a quadratic blow-up — observed at
+    sf10, where a degenerate synthetic vocabulary produced mega-
+    buckets that ran the candidate join out of memory. Docs this
+    similar to *thousands* of others are boilerplate by definition;
+    production LSH dedup caps or samples such buckets. When set, a
+    warning is logged naming the cap so truncation is never silent."""
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, text_col, key_col, num_perm, n_shingle).cache()
     # band key = md5 over that band's signature slice
@@ -110,8 +112,16 @@ def minhash_lsh_pairs(
     for bf in band_frames[1:]:
         banded = banded.unionAll(bf)
     if max_bucket is not None:
+        import logging
+
         from pyspark.sql import Window
 
+        logging.getLogger(__name__).warning(
+            "minhash_lsh_pairs: band buckets larger than max_bucket=%d are "
+            "dropped before candidate generation (boilerplate cap); pairs "
+            "inside such buckets are NOT reported",
+            max_bucket,
+        )
         bsz = Window.partitionBy("band", "bkey")
         banded = (
             banded.withColumn("__bsz", F.count("*").over(bsz))

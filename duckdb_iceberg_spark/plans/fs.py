@@ -32,11 +32,36 @@ Atomicity contracts each implementation must honor:
 
 from __future__ import annotations
 
-import fnmatch
 import glob as _glob
 import os
+import re as _re
 import threading
 from typing import Optional
+
+
+def _glob_match(pattern: str, key: str) -> bool:
+    """Separator-aware glob match: ``*`` and ``?`` never cross ``/``
+    (mirroring :mod:`glob` semantics on LocalFS), unlike
+    :func:`fnmatch.fnmatch` — so ``t/metadata/v*.metadata.json`` does
+    NOT match keys in deeper subdirectories."""
+    out, i = [], 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "*":
+            out.append("[^/]*")
+        elif ch == "?":
+            out.append("[^/]")
+        elif ch == "[":
+            j = pattern.find("]", i + 1)
+            if j == -1:
+                out.append(_re.escape(ch))
+            else:
+                out.append(pattern[i : j + 1])
+                i = j
+        else:
+            out.append(_re.escape(ch))
+        i += 1
+    return _re.match("".join(out) + r"\Z", key) is not None
 
 
 def scheme_of(path: str) -> str:
@@ -136,7 +161,7 @@ class MemoryFS:
         return any(k.startswith(prefix) for k in self._store)
 
     def glob(self, pattern: str) -> list[str]:
-        return sorted(k for k in self._store if fnmatch.fnmatch(k, pattern))
+        return sorted(k for k in self._store if _glob_match(pattern, k))
 
     def makedirs(self, path: str) -> None:
         pass  # directories are implicit (object-store semantics)
@@ -259,7 +284,7 @@ class S3FS:
         paginator = self._s3.get_paginator("list_objects_v2")
         for page in paginator.paginate(Bucket=bucket, Prefix=prefix):
             for obj in page.get("Contents", []):
-                if fnmatch.fnmatch(obj["Key"], key):
+                if _glob_match(key, obj["Key"]):
                     out.append(f"{scheme}://{bucket}/{obj['Key']}")
         return sorted(out)
 

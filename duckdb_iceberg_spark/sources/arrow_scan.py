@@ -152,6 +152,18 @@ class _IcebergArrowReader(DataSourceReader):
         yield from table.to_batches()
 
 
+# Credentials ride as individually named options whose keys match
+# Spark's default redaction regex ((?i)secret|...|token), NOT inside
+# the 'plan' JSON — df.explain(), event logs, and the UI show the
+# plan option verbatim but redact these (same names as the streaming
+# source's options, streaming/iceberg_source.py).
+_CRED_OPTS = [
+    ("s3.access_key", "access_key"),
+    ("s3.secret_key", "secret_key"),
+    ("s3.session_token", "session_token"),
+]
+
+
 class IcebergArrowDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -161,7 +173,13 @@ class IcebergArrowDataSource(DataSource):
         return T.StructType.fromJson(json.loads(self.options["plan"])["schema"])
 
     def reader(self, schema):
-        return _IcebergArrowReader(json.loads(self.options["plan"]))
+        plan = json.loads(self.options["plan"])
+        creds = {
+            key: self.options[opt] for opt, key in _CRED_OPTS if opt in self.options
+        }
+        if creds:
+            plan["fs_conf"] = {**(plan.get("fs_conf") or {}), **creds}
+        return _IcebergArrowReader(plan)
 
 
 def arrow_scan_df(
@@ -184,6 +202,15 @@ def arrow_scan_df(
     fs_conf = (
         s3_env_conf() if any(scheme_of(p) in ("s3", "s3a") for p in paths) else None
     )
+    # Secrets NEVER enter the plan JSON (it is a non-redacted option
+    # visible in explain/UI/event logs) — split them out to their own
+    # redaction-matching options below.
+    creds = {}
+    if fs_conf:
+        for _opt, key in _CRED_OPTS:
+            val = fs_conf.pop(key, None)
+            if val:
+                creds[key] = val
     files = []
     for e in data_entries:
         seq = e.sequence_number or 0
@@ -201,6 +228,8 @@ def arrow_scan_df(
         "fs_conf": fs_conf,
     }
     spark.dataSource.register(IcebergArrowDataSource)
-    return (
-        spark.read.format("iceberg_arrow").option("plan", json.dumps(plan)).load()
-    )
+    reader = spark.read.format("iceberg_arrow").option("plan", json.dumps(plan))
+    for opt, key in _CRED_OPTS:
+        if key in creds:
+            reader = reader.option(opt, creds[key])
+    return reader.load()

@@ -57,3 +57,55 @@ def test_arrow_io_time_travel(spark):
 def test_arrow_io_rejects_bad_mode(spark):
     with pytest.raises(ValueError, match="io must be"):
         iceberg_scan(spark, f"{B}/lineitem_iceberg", allow_moved_paths=True, io="duck")
+
+
+def test_arrow_io_credentials_never_in_plan(spark, monkeypatch):
+    """AWS secrets must NOT appear in the query plan / explain output:
+    the 'plan' data source option is not redacted by Spark, so secrets
+    ride in separately named options matching the redaction regex
+    (s3.secret_key / s3.session_token) and are merged back only inside
+    the reader."""
+    from pyspark.sql import types as T
+
+    from duckdb_iceberg_spark.sources.arrow_scan import (
+        IcebergArrowDataSource,
+        arrow_scan_df,
+    )
+
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AKIAFAKEFAKE")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "SUPERSECRETVALUE123")
+    monkeypatch.setenv("AWS_SESSION_TOKEN", "TOKENTOKEN456")
+
+    class Col:
+        def __init__(self, fid, name):
+            self.field_id, self.name = fid, name
+
+    class Sch:
+        columns = [Col(1, "x")]
+
+        def to_struct_type(self):
+            return T.StructType([T.StructField("x", T.LongType())])
+
+    class Entry:
+        def __init__(self, p):
+            self.file_path, self.sequence_number = p, 1
+
+    df = arrow_scan_df(spark, Sch(), [Entry("s3://bkt/a.parquet")], [], False)
+    qe = df._jdf.queryExecution().toString()
+    assert "SUPERSECRETVALUE123" not in qe
+    assert "TOKENTOKEN456" not in qe
+
+    # and the executor side gets them back through the named options
+    import json as _json
+
+    plan = {"schema": _json.loads(T.StructType().json()), "fs_conf": {"endpoint": None}}
+    ds = IcebergArrowDataSource(
+        options={
+            "plan": _json.dumps(plan),
+            "s3.secret_key": "SUPERSECRETVALUE123",
+            "s3.session_token": "TOKENTOKEN456",
+        }
+    )
+    reader = ds.reader(None)
+    assert reader.plan["fs_conf"]["secret_key"] == "SUPERSECRETVALUE123"
+    assert reader.plan["fs_conf"]["session_token"] == "TOKENTOKEN456"

@@ -42,6 +42,9 @@ def test_s3fs_roundtrip_and_glob(s3_bucket):
     assert not f.isfile("s3://warehouse/t/metadata/v9.metadata.json")
     assert f.isdir("s3://warehouse/t/metadata")
     assert f.exists("s3://warehouse/t")
+    # '*' must NOT cross '/' (mirrors LocalFS glob semantics): a
+    # nested key that fnmatch would match is excluded
+    f.write_bytes("s3://warehouse/t/metadata/deep/v9.metadata.json", b"{}")
     got = f.glob("s3://warehouse/t/metadata/v*.metadata.json")
     assert got == [
         "s3://warehouse/t/metadata/v1.metadata.json",
