@@ -10,7 +10,9 @@ column bounds, null counts) is available for pruning.
 
 Supports the full subset of Avro 1.x used by Iceberg metadata:
 records, unions, arrays, maps, all primitives, fixed, enums;
-``null`` and ``deflate`` codecs.
+``null``, ``deflate`` and ``snappy`` codecs (the reference inherits
+codec support from avro-cpp, ``src/common/iceberg.cpp:38-91``;
+manifests written by Java/Flink engines commonly use snappy).
 """
 
 from __future__ import annotations
@@ -22,6 +24,90 @@ import zlib
 from typing import Any
 
 _MAGIC = b"Obj\x01"
+
+
+def _snappy_decompress(data: bytes) -> bytes:
+    """Pure-Python snappy raw-format decompressor (public format spec:
+    google/snappy format_description.txt). Metadata blocks are KBs and
+    read once on the driver, so Python speed is irrelevant; this keeps
+    the codec dependency-free (no python-snappy in the environment)."""
+    # preamble: little-endian base-128 varint uncompressed length
+    n, shift, pos = 0, 0, 0
+    while True:
+        b = data[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    out = bytearray()
+    end = len(data)
+    while pos < end:
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:  # 60..63: length in the next 1..4 bytes
+                nb = ln - 59
+                ln = int.from_bytes(data[pos : pos + nb], "little")
+                pos += nb
+            ln += 1
+            out += data[pos : pos + ln]
+            pos += ln
+            continue
+        if kind == 1:  # copy, 11-bit offset, len 4..11
+            ln = ((tag >> 2) & 0x7) + 4
+            off = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif kind == 2:  # copy, 2-byte little-endian offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[pos : pos + 2], "little")
+            pos += 2
+        else:  # copy, 4-byte little-endian offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+        if off == 0 or off > len(out):
+            raise ValueError("corrupt snappy stream: bad copy offset")
+        start = len(out) - off
+        if off >= ln:
+            out += out[start : start + ln]
+        else:  # overlapping copy: byte-at-a-time (RLE-style) semantics
+            for i in range(ln):
+                out.append(out[start + i])
+    if len(out) != n:
+        raise ValueError(
+            f"corrupt snappy stream: declared {n} bytes, produced {len(out)}"
+        )
+    return bytes(out)
+
+
+def _snappy_compress(data: bytes) -> bytes:
+    """Snappy raw-format compressor: pyarrow's C++ codec when present
+    (it always is in this engine's environment), else an all-literal
+    encoding — valid snappy by the format spec, just uncompressed."""
+    try:
+        import pyarrow as pa
+
+        return bytes(pa.Codec("snappy").compress(data))
+    except Exception:
+        out = bytearray()
+        n = len(data)
+        while True:  # varint preamble
+            b = n & 0x7F
+            n >>= 7
+            out.append(b | 0x80 if n else b)
+            if not n:
+                break
+        pos = 0
+        while pos < len(data):  # literals of <=2^16 bytes (2-byte length form)
+            chunk = data[pos : pos + 65536]
+            out.append((61 << 2) | 0)  # literal, 2 extra length bytes
+            out += (len(chunk) - 1).to_bytes(2, "little")
+            out += chunk
+            pos += len(chunk)
+        return bytes(out)
 
 
 class _Reader:
@@ -222,14 +308,23 @@ def _encode(writer: _Writer, schema: Any, value: Any) -> None:
         _encode(writer, t, value)
 
 
-def write_avro_file(path: str, schema: dict, records: list[dict], metadata: dict | None = None) -> int:
-    """Write an Avro object container file (null codec, one block).
+def write_avro_file(
+    path: str,
+    schema: dict,
+    records: list[dict],
+    metadata: dict | None = None,
+    codec: str = "null",
+) -> int:
+    """Write an Avro object container file (one block; ``null``,
+    ``deflate`` or ``snappy`` codec).
 
     Returns the file length in bytes (Iceberg manifest lists record it).
     """
+    if codec not in ("null", "deflate", "snappy"):
+        raise ValueError(f"unsupported Avro codec {codec!r}")
     header = _Writer()
     header.write(_MAGIC)
-    meta = {"avro.schema": json.dumps(schema), "avro.codec": "null"}
+    meta = {"avro.schema": json.dumps(schema), "avro.codec": codec}
     for k, v in (metadata or {}).items():
         meta[k] = v
     header.write_long(len(meta))
@@ -242,9 +337,16 @@ def write_avro_file(path: str, schema: dict, records: list[dict], metadata: dict
     body = _Writer()
     for r in records:
         _encode(body, schema, r)
+    block = bytes(body.out)
+    if codec == "deflate":
+        block = zlib.compress(block)[2:-4]  # raw deflate (no zlib wrapper)
+    elif codec == "snappy":
+        block = _snappy_compress(block) + (
+            zlib.crc32(block) & 0xFFFFFFFF
+        ).to_bytes(4, "big")
     header.write_long(len(records))
-    header.write_long(len(body.out))
-    header.write(bytes(body.out))
+    header.write_long(len(block))
+    header.write(block)
     header.write(sync)
     from .fs import get_fs
 
@@ -277,6 +379,13 @@ def read_avro_bytes(data: bytes) -> tuple[dict, list[dict]]:
         block = reader.read(size)
         if codec == "deflate":
             block = zlib.decompress(block, -15)
+        elif codec == "snappy":
+            # Avro spec: snappy blocks end with a 4-byte BIG-ENDIAN
+            # CRC32 of the UNCOMPRESSED data
+            crc = int.from_bytes(block[-4:], "big")
+            block = _snappy_decompress(block[:-4])
+            if zlib.crc32(block) & 0xFFFFFFFF != crc:
+                raise ValueError("Avro snappy block CRC32 mismatch")
         elif codec != "null":
             raise ValueError(f"unsupported Avro codec {codec!r}")
         block_reader = _Reader(block)

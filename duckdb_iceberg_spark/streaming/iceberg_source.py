@@ -20,13 +20,26 @@ and the writer's documented invariant.
 Backpressure: ``.option("maxFilesPerTrigger", n)`` caps each
 micro-batch at ``n`` data files, so one giant commit is consumed as
 ``ceil(files/n)`` batches instead of a single unbounded one.  One
-caveat: the FIRST trigger of a run is uncapped — Spark asks for the
-latest offset before the reader learns the query's position (it calls
-``latestOffset`` before ``initialOffset`` on a fresh query, and never
-calls ``initialOffset`` on a checkpoint restart), and capping from an
-unknown position could regress the offset log and re-emit data, so
-the reader only caps once ``partitions(start, end)`` has shown it
-where the query is.  Every subsequent trigger is capped.
+caveat: by default the FIRST trigger of a run is uncapped — Spark
+asks for the latest offset before the reader learns the query's
+position (it calls ``latestOffset`` before ``initialOffset`` on a
+fresh query, and never calls ``initialOffset`` on a checkpoint
+restart), and capping from an unknown position could regress the
+offset log and re-emit data, so without extra state the reader only
+caps once ``partitions(start, end)`` has shown it where the query is.
+
+``.option("positionFile", path)`` closes that first-trigger hole: the
+reader durably records each committed end offset there (written in
+``commit()``, atomically, through the same filesystem layer as the
+table — local/s3/memory), and a fresh reader instance caps its very
+first ``latestOffset`` from the recorded position (or from zero when
+the file does not yet exist, i.e. a brand-new query).  With it, the
+initial load of a 1000-file table under ``maxFilesPerTrigger=10``
+starts as 100 bounded batches instead of one giant catch-up batch.
+Contract: set it from the query's FIRST start, keep it paired with
+the query's ``checkpointLocation`` (one file per query) — a position
+file bolted onto a query that has already been running without one
+could cap from zero on restart and regress the offset log.
 
 Format-version-1 tables are rejected with an error: v1 snapshots
 carry no sequence numbers, so commit-window offsets are undefined
@@ -90,9 +103,30 @@ class _IcebergStreamReader(DataSourceStreamReader):
         self.max_files = int(mft) if mft is not None else None
         if self.max_files is not None and self.max_files <= 0:
             raise ValueError(f"maxFilesPerTrigger must be positive, got {self.max_files}")
+        self.pos_file = lower.get("positionfile")
         # last end-offset this reader produced/served (driver-side state,
         # used only to cap the NEXT batch; correctness never depends on it)
         self._last: dict | None = None
+        # _floor: a position everything at-or-below which is KNOWN to
+        # have been emitted to this query already (from the position
+        # file, then ratcheted up by every partitions() start). File
+        # selection never goes below it, so even an offset-log window
+        # that regresses (stale position file after a crash between
+        # Spark's commit and ours) can never re-emit rows — the log
+        # self-heals forward within one empty batch.
+        self._floor: dict | None = None
+        if self.pos_file and self.max_files is not None:
+            # durable position: lets the FIRST latestOffset of this
+            # reader instance cap from the query's recorded position
+            # (file absent <=> brand-new query <=> position zero)
+            import json as _json
+
+            from ..plans.fs import get_fs
+
+            try:
+                self._floor = _json.loads(get_fs(self.pos_file).read_bytes(self.pos_file))
+            except FileNotFoundError:
+                self._floor = {"seq": 0, "idx": 0}
 
     # -- metadata ---------------------------------------------------------
     def _meta(self):
@@ -130,19 +164,24 @@ class _IcebergStreamReader(DataSourceStreamReader):
         self._last = {"seq": 0, "idx": 0}
         return {"seq": 0, "idx": 0}
 
+    @staticmethod
+    def _key(off: dict | None):
+        return (-1, -1) if off is None else (int(off["seq"]), off.get("idx", _ALL))
+
     def latestOffset(self) -> dict:
         files = self._indexed_files(self._meta())
+        base = max((self._last, self._floor), key=self._key)
         if not files:
-            return self._last or {"seq": 0, "idx": 0}
+            return base or {"seq": 0, "idx": 0}
         end_seq, end_i, _ = files[-1]
         full = {"seq": end_seq, "idx": end_i + 1}
-        if self.max_files is None or self._last is None:
+        if self.max_files is None or base is None:
             self._last = full
             return full
-        s0, k0 = self._last["seq"], self._last.get("idx", _ALL)
+        s0, k0 = base["seq"], base.get("idx", _ALL)
         pending = [f for f in files if f[0] > s0 or (f[0] == s0 and f[1] >= k0)]
         if not pending:
-            return self._last
+            return base
         take = pending[: self.max_files]
         off = {"seq": take[-1][0], "idx": take[-1][1] + 1}
         self._last = off
@@ -150,13 +189,18 @@ class _IcebergStreamReader(DataSourceStreamReader):
 
     # -- planning (driver): files in the (start, end] window --------------
     def partitions(self, start: dict, end: dict):
-        s0, k0 = int(start["seq"]), start.get("idx", _ALL)
-        s1, k1 = int(end["seq"]), end.get("idx", _ALL)
         # learn the true position (Spark calls latestOffset before
         # initialOffset on a fresh query, and never calls initialOffset
         # on a restart — partitions() is where the reader reliably sees
-        # where the query actually is)
-        self._last = dict(end)
+        # where the query actually is); both trackers only RATCHET UP
+        self._last = max((self._last, end), key=self._key)
+        if self._floor is not None:
+            self._floor = max((self._floor, start), key=self._key)
+            # never emit at-or-below the floor, even if the offset-log
+            # window regressed (see _floor comment in __init__)
+            start = max((start, self._floor), key=self._key)
+        s0, k0 = int(start["seq"]), start.get("idx", _ALL)
+        s1, k1 = int(end["seq"]), end.get("idx", _ALL)
         if (s1, k1) <= (s0, k0):
             return []
         import json as _json
@@ -188,7 +232,18 @@ class _IcebergStreamReader(DataSourceStreamReader):
         yield from _read_aligned(partition).to_batches()
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the query's checkpoint
+        # offsets live in the query's checkpoint; positionFile (when
+        # set) additionally records them durably so the next reader
+        # instance can cap its first batch (see module doc)
+        if self.pos_file:
+            import json as _json
+
+            from ..plans.fs import get_fs
+
+            self._floor = max((self._floor, end), key=self._key)
+            get_fs(self.pos_file).write_atomic(
+                self.pos_file, _json.dumps(self._floor).encode("utf-8")
+            )
 
 
 _S3_OPT_TO_ENV = {

@@ -323,6 +323,69 @@ def test_stream_max_files_per_trigger(spark, tmp_path):
         q.stop()
 
 
+def test_stream_initial_load_bounded_with_position_file(spark, tmp_path):
+    """First load of a PRE-POPULATED table must start as bounded
+    batches, not one giant catch-up batch: positionFile lets the very
+    first latestOffset cap from position zero (without it the first
+    trigger is uncapped by design — Spark fixes the first batch's end
+    before the reader learns the query's position). Second leg: a
+    checkpoint restart caps from the recorded position with no
+    re-emission (file sink supports recovery; memory sink does not)."""
+    from duckdb_iceberg_spark import IcebergTable
+    from duckdb_iceberg_spark.streaming.iceberg_source import read_table_stream
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    path = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    first = cust.filter("c_custkey <= 30")
+    n_first = first.count()
+    # pre-populate: 12 data files BEFORE the stream ever starts
+    t = IcebergTable.create(spark, path, first.repartition(12))
+
+    def _run():
+        return (
+            read_table_stream(
+                spark,
+                path,
+                maxFilesPerTrigger=3,
+                positionFile=str(tmp_path / "pos.json"),
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    q = _run()
+    try:
+        q.processAllAvailable()
+        batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+    assert spark.read.parquet(out).count() == n_first
+    assert len(batches) >= 4  # 12 files / 3 per trigger
+    # bounded: no batch may exceed maxFilesPerTrigger files' worth
+    # (repartition spreads rows near-evenly; +2 slack for remainder)
+    assert max(p["numInputRows"] for p in batches) <= 3 * (n_first / 12) + 2
+
+    # restart with the same checkpoint + positionFile: new commits are
+    # consumed capped from the recorded position, with no re-emission
+    second = cust.filter("c_custkey > 30 and c_custkey <= 45")
+    n_second = second.count()
+    t.append(second.repartition(6))
+    q2 = _run()
+    try:
+        q2.processAllAvailable()
+        batches2 = [p for p in q2.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q2.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == n_first + n_second  # exactly once, no re-emission
+    assert got.select("c_custkey").distinct().count() == n_first + n_second
+    assert len(batches2) >= 2  # 6 files / 3 per trigger
+
+
 def test_stream_v1_table_raises(spark, tmp_path):
     """A format-version-1 table must error loudly instead of streaming
     silently empty (v1 has no sequence numbers to use as offsets)."""
