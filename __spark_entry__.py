@@ -20,6 +20,7 @@ to an order-dependent double accumulation.
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -37,13 +38,75 @@ from duckdb_iceberg_spark.operators import similarity as SIM
 GEN2 = "/root/reference/data/iceberg/generated_spec2_0_001"
 
 
+# Opt-in physical-layout overlay: (abs sf_dir, table) -> catalog table
+# name of a bucketed+sorted copy written by prepare_bucketed_fixtures.
+# Empty unless explicitly populated (bench.py does; the correctness
+# driver never does), and results are layout-independent either way.
+_BUCKETED_OVERLAY: dict[tuple[str, str], str] = {}
+
+# fact tables and their co-location keys: lineitem/orders cluster on
+# orderkey (the q3/q5/q10/q18 join spine), customer on custkey (the
+# second hop). At cluster scale these are the tables you'd store
+# bucketed in the warehouse; bucket count scales with SF.
+_BUCKET_SPECS = (
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_orderkey"),
+    ("customer", "c_custkey"),
+    # events cluster on user_id: the funnel self-join, sessionize
+    # window, and per-user rollups all key on it (events is written
+    # normalized, so the overlay read needs no ts sniffing)
+    ("events", "user_id"),
+)
+
+
+def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int = 32) -> float:
+    """One-time write-amortized layout prep: persist the fact tables
+    bucketed+sorted on their join keys (engine's own
+    operators.bucketed.write_bucketed) and route _t() reads through
+    them. The write is the one shuffle these keys ever pay — every
+    subsequent orderkey/custkey join or aggregation compiles without
+    an Exchange on that key (plan-asserted in
+    tests/test_plan_shapes.py::test_tpch_join_spine_no_orderkey_exchange).
+
+    Returns the prep wall-seconds (bench.py reports it separately —
+    it is storage layout, not query time, exactly like the reference
+    engine's own on-disk layout)."""
+    import time as _time
+
+    from duckdb_iceberg_spark.operators.bucketed import write_bucketed
+
+    t0 = _time.perf_counter()
+    key_dir = os.path.abspath(sf_dir)
+    sfx = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(key_dir.rstrip("/")))
+    for name, bkey in _BUCKET_SPECS:
+        src = os.path.join(key_dir, f"{name}.parquet")
+        if not os.path.exists(src):
+            continue
+        tbl = f"bkt_{name}_{sfx}"
+        if not spark.catalog.tableExists(tbl):
+            df = spark.read.parquet(src)
+            if name == "events":
+                from duckdb_iceberg_spark.session import normalize_event_ts
+
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                df = normalize_event_ts(df)
+            write_bucketed(df, tbl, bkey, num_buckets)
+        _BUCKETED_OVERLAY[(key_dir, name)] = tbl
+    return _time.perf_counter() - t0
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    tbl = _BUCKETED_OVERLAY.get((os.path.abspath(sf_dir), name))
+    if tbl is not None and spark.catalog.tableExists(tbl):
+        df = spark.table(tbl)
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # The fixture's physical ts type has changed across driver
         # regens; sniff and normalize to session-TZ TIMESTAMP so
-        # downstream arithmetic is fixture-independent.
+        # downstream arithmetic is fixture-independent (idempotent —
+        # the bucketed overlay copy is already normalized).
         from duckdb_iceberg_spark.session import normalize_event_ts
 
         df = normalize_event_ts(df)
@@ -2494,6 +2557,46 @@ def _mm_features(spark, sf):
     return MM.extract_features(MM.synth_media(d))
 
 
+def _mm_features_bmp(spark, sf):
+    """REAL image decode, oracle-checked: deterministic 24-bit BMPs
+    built from doc_id (modular pixel ramps), decoded by the engine's
+    pure-Python BMP codec inside Arrow-batched mapInPandas; the
+    emitted per-channel pixel sums and dims have closed forms the
+    DuckDB oracle recomputes analytically (generate_series). A wrong
+    header parse, stride, channel order, or row direction shifts the
+    sums and fails the hash."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    feats = MM.extract_features(MM.synth_bmp_media(d))
+    f = F.col("feature")
+    w = F.round(f[3] * 256).cast("long")
+    h = F.round(f[4] * 256).cast("long")
+    npix = (w * h).cast("double")
+    return feats.select(
+        "media_id",
+        w.alias("w"),
+        h.alias("h"),
+        F.round(f[0].cast("double") * 255 * npix).cast("long").alias("sum_r"),
+        F.round(f[1].cast("double") * 255 * npix).cast("long").alias("sum_g"),
+        F.round(f[2].cast("double") * 255 * npix).cast("long").alias("sum_b"),
+    )
+
+
+_MM_FEATURES_BMP_SQL = """
+WITH px AS (
+  SELECT d.doc_id, x.g AS x, y.g AS y
+  FROM documents d, generate_series(0, 22) x(g), generate_series(0, 18) y(g)
+  WHERE d.doc_id < 400 AND x.g < d.doc_id % 16 + 8 AND y.g < d.doc_id % 12 + 8
+)
+SELECT doc_id AS media_id,
+       CAST(doc_id % 16 + 8 AS BIGINT) AS w,
+       CAST(doc_id % 12 + 8 AS BIGINT) AS h,
+       CAST(SUM((doc_id + x + y) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((doc_id + y) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((doc_id + x) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id
+"""
+
+
 def _streaming_stateful(spark, sf):
     """Custom stateful operator (applyInPandasWithState) — rows-only."""
     from duckdb_iceberg_spark.streaming.events import (
@@ -3401,6 +3504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal
         "mm_frame_sample": _mm_frame_sample,
         "mm_features": _mm_features,  # rows-only
+        "mm_features_bmp": _mm_features_bmp,
         # streaming
         "streaming_hourly": _streaming_hourly,  # rows-only
         "streaming_stateful": _streaming_stateful,  # rows-only
@@ -3500,6 +3604,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_quantized": _SIM_QUANT_SQL,
         "sim_neardup": _SIM_NEARDUP_SQL,
         "mm_frame_sample": _MM_FRAME_SQL,
+        "mm_features_bmp": _MM_FEATURES_BMP_SQL,
         "iceberg_scan_generated": _ICEBERG_SCAN_SQL,
         "iceberg_arrow_scan": _ICEBERG_SCAN_SQL,
         "iceberg_snapshots": _ICEBERG_SNAPSHOTS_SQL,

@@ -105,9 +105,44 @@ def test_multimodal_features_deterministic(spark, sf_dir):
     assert all(again[r.media_id] == r.digest for r in rows)
 
 
-def test_multimodal_real_codec_is_stubbed():
-    with pytest.raises(NotImplementedError, match="codecs"):
+def test_multimodal_non_bmp_codecs_are_stubbed():
+    """JPEG/PNG/audio/video still route to the documented hook; only
+    BMP/PPM decode natively."""
+    with pytest.raises(NotImplementedError, match="PIL"):
         MM._decode_payload("image", b"\x89PNG", use_real_codecs=True)
+
+
+def test_bmp_codec_roundtrip_and_feature():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(19, 23, 3), dtype=np.uint8)  # odd width -> row padding
+    back = MM.decode_image(MM.encode_bmp(px))
+    assert back.shape == (19, 23, 3)
+    assert (back == px).all()
+    feat = MM._decode_payload("image", MM.encode_bmp(px))
+    assert feat[0] == pytest.approx(px[..., 0].mean() / 255.0)
+    assert feat[3] * 256 == 23 and feat[4] * 256 == 19
+
+
+def test_ppm_codec_decode():
+    import numpy as np
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = b"P6\n# comment\n3 2\n255\n" + px.tobytes()
+    back = MM.decode_image(payload)
+    assert (back == px).all()
+
+
+def test_bmp_resize_real_nearest_neighbor():
+    import numpy as np
+
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    px[4:, :, 0] = 200  # bottom half red
+    out = MM._resize_payload(MM.encode_bmp(px), 4, 4)
+    small = MM.decode_image(out)
+    assert small.shape == (4, 4, 3)
+    assert (small[:2, :, 0] == 0).all() and (small[2:, :, 0] == 200).all()
 
 
 def test_streaming_equals_batch(spark, sf_dir):

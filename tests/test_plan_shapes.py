@@ -131,6 +131,57 @@ def test_bucketed_join_no_exchange(spark):
     assert "BroadcastHashJoin" not in plan
 
 
+def test_tpch_join_spine_no_orderkey_exchange(spark):
+    """With the bucketed fixture overlay active (lineitem/orders on
+    orderkey, customer on custkey), the q3/q5/q10/q18 join spine must
+    compile with ZERO Exchange on an orderkey — the sf10 exchange cost
+    the round-4 verdict flagged is structural, not tuning. q3/q18 are
+    fully exchange-free; q5/q10 keep exactly one (the custkey hop's
+    stream side / final agg)."""
+    import __spark_entry__ as E2
+
+    E2.prepare_bucketed_fixtures(spark, SF)
+    try:
+        budget = {
+            "q3_shipping_priority": 0,
+            "q18_large_orders": 0,
+            "q5_local_supplier": 1,
+            "q10_returned_items": 1,
+        }
+        for name, max_ex in budget.items():
+            plan = _plan(E2.queries()[name](spark, SF))
+            okey = [
+                ln
+                for ln in plan.splitlines()
+                if "Exchange hashpartitioning" in ln and "orderkey" in ln
+            ]
+            assert not okey, f"{name}: orderkey exchange present: {okey[0][:200]}"
+            assert plan.count("Exchange hashpartitioning") <= max_ex, (
+                f"{name}: more exchanges than budgeted"
+            )
+    finally:
+        # do not leak the overlay into other tests' plan assertions
+        for k in [k for k, v in E2._BUCKETED_OVERLAY.items() if k[0] == os.path.abspath(SF)]:
+            del E2._BUCKETED_OVERLAY[k]
+
+
+def test_bucketed_overlay_rows_identical_to_raw(spark):
+    """Layout independence: the same entry over bucketed fixtures
+    returns row-identical results to the raw-parquet read (the
+    correctness driver always runs raw; bench runs bucketed)."""
+    import __spark_entry__ as E2
+
+    name = "q3_shipping_priority"
+    raw = [tuple(r) for r in E2.queries()[name](spark, SF).collect()]
+    E2.prepare_bucketed_fixtures(spark, SF)
+    try:
+        bkt = [tuple(r) for r in E2.queries()[name](spark, SF).collect()]
+    finally:
+        for k in [k for k, v in E2._BUCKETED_OVERLAY.items() if k[0] == os.path.abspath(SF)]:
+            del E2._BUCKETED_OVERLAY[k]
+    assert raw == bkt
+
+
 def test_contamination_broadcasts_benchmark(spark):
     """The benchmark n-gram set must broadcast; the corpus side must
     not shuffle for the membership join (only the final per-doc
