@@ -349,6 +349,12 @@ def iceberg_scan(
     else:
         reader = spark.read
         if skip_schema_inference:
+            # Deliberately NOT the fast path: mergeSchema=true pays a
+            # footer merge across every file. This branch exists only
+            # for parity with the reference's skip_schema_inference
+            # quirk (schema from the files, not the metadata); the
+            # default branch pins the metadata schema so no footer
+            # merging ever happens.
             reader = reader.option("mergeSchema", "true")
         else:
             reader = reader.schema(schema.to_struct_type())

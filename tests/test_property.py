@@ -158,6 +158,27 @@ def test_snappy_decoder_handles_all_copy_forms():
         _snappy_decompress(bytes([99]) + bytes([(1 << 2) | 0]) + b"ab")
 
 
+def test_real_manifest_reencoded_snappy_roundtrips():
+    """A REAL Iceberg manifest (reference lineitem_iceberg, written
+    deflate by Spark) re-encoded with snappy decodes to identical
+    records — the interop case: manifests written by engines that
+    default to snappy must load."""
+    import glob
+    import json
+    import tempfile
+
+    src = sorted(
+        glob.glob("/root/reference/data/iceberg/lineitem_iceberg/metadata/*-m0.avro")
+    )[0]
+    meta, recs = read_avro_file(src)
+    schema = json.loads(meta["avro.schema"])
+    with tempfile.NamedTemporaryFile(suffix=".avro") as f:
+        write_avro_file(f.name, schema, recs, codec="snappy")
+        meta2, back = read_avro_file(f.name)
+    assert meta2["avro.codec"] == b"snappy"
+    assert back == recs
+
+
 def test_avro_snappy_crc_mismatch_raises():
     import tempfile
 
