@@ -47,10 +47,23 @@ def main() -> None:
     # queries and bias engine-vs-oracle ratios in the engine's favor).
     budget = float(os.environ.get("BENCH_ORACLE_BUDGET_S", "120"))
     over_budget: list[str] = []
+    cold_excluded: list[str] = []
     for name in names:  # warmup (buffer cache + plan cache)
         t0 = time.perf_counter()
         con.execute(oracles[name]).fetchall()
-        if time.perf_counter() - t0 > budget:
+        warm0 = time.perf_counter() - t0
+        if warm0 > budget * 4:
+            # pathological (e.g. text_repetition's regex plan, ~30
+            # min/pass at sf10): record the COLD time but flag it so
+            # comparisons exclude it from speedup ratios entirely —
+            # never present a cold number as a warm one.
+            timings[name] = round(warm0, 3)
+            cold_excluded.append(name)
+            print(
+                f"# {name}: {timings[name]}s (COLD min-of-1 — excluded from ratios)",
+                file=sys.stderr,
+            )
+        elif warm0 > budget:
             over_budget.append(name)
             t1 = time.perf_counter()
             con.execute(oracles[name]).fetchall()
@@ -61,7 +74,7 @@ def main() -> None:
             )
     for _pass in range(2):
         for name in names:
-            if name in over_budget:
+            if name in over_budget or name in cold_excluded:
                 continue
             t0 = time.perf_counter()
             rows = con.execute(oracles[name]).fetchall()
@@ -81,6 +94,7 @@ def main() -> None:
                 "queries": timings,
                 "skipped_no_oracle": skipped,
                 "over_budget_min_of_1": over_budget,
+                "cold_excluded_from_ratios": cold_excluded,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
