@@ -223,15 +223,29 @@ def _q5_local_supplier(spark, sf):
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     li = _t(spark, sf, "lineitem")
-    s = _t(spark, sf, "supplier")
-    return (
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    # The supplier join only maps suppkey -> nation (each lineitem has
+    # exactly one supplier), so resolve it on the co-located
+    # lineitem⋈orders spine and aggregate revenue per (custkey,
+    # supplier-nation) BEFORE touching customer: the custkey exchange
+    # then carries at most customers×nations partial rows instead of
+    # the whole fact, and the bucketed customer side joins without its
+    # own exchange (bucket cols ⊆ join keys). Supplier is projected to
+    # two columns so AQE broadcast-sizes it from real stats.
+    per_cust_nat = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("o_custkey").alias("c_custkey"), F.col("s_nationkey"))
+        .agg(F.sum((_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(18,2)")).alias("rev"))
+    )
+    return (
+        per_cust_nat.join(
+            c, (per_cust_nat.c_custkey == c.c_custkey) & (per_cust_nat.s_nationkey == c.c_nationkey)
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum((_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(18,2)")).cast("double").alias("revenue"))
+        .agg(F.sum("rev").cast("double").alias("revenue"))
     )
 
 
@@ -275,12 +289,21 @@ def _q10_returned_items(spark, sf):
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf, "nation")
-    return (
+    # Aggregate below the customer join: c_name/n_name are functionally
+    # dependent on c_custkey, so revenue can be summed per custkey first.
+    # The lineitem⋈orders spine is bucket-co-located (no exchange); the
+    # one custkey exchange then carries per-customer partials instead of
+    # every returned lineitem row, and its hash partitioning lines up
+    # with the bucketed customer table for the final hop.
+    per_cust = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(F.sum((_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(18,2)")).cast("double").alias("revenue"))
+    )
+    return (
+        per_cust.join(c, "c_custkey")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -2208,6 +2231,202 @@ FROM documents
 """
 
 
+_BM25_TERMS = ("hash", "join", "vector")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _text_bm25(spark, sf):
+    """BM25 relevance scoring of the corpus against a fixed term set —
+    the retrieval primitive of data curation (nearest-to-benchmark
+    selection, quality-by-query mining). Scale shape: one tokenize
+    scan feeds BOTH the per-doc-length agg and the per-(doc,term) tf
+    agg (each with map-side partials); document frequencies (≤|terms|
+    rows) and the corpus stats (1 row) broadcast back — the corpus
+    never shuffles except by doc_id for the tf groupBy. Scores are
+    floor-quantized to 4 decimals so both engines hash identically."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TX.TOKEN_PATTERN), F.lit(0))
+        ).alias("tok"),
+    )
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = doclen.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    df_t = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    w = idf * (F.col("tf") * (_BM25_K1 + 1)) / (
+        F.col("tf") + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg((F.floor(F.sum(w) * 10000) / 10000).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_TEXT_BM25_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TX.TOKEN_PATTERN}')) AS tok
+  FROM documents),
+doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM doclen),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+       WHERE tok IN ('hash', 'join', 'vector') GROUP BY doc_id, tok),
+dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
+SELECT tf.doc_id,
+  FLOOR(SUM(
+    ln((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+    * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * doclen.dl / stats.avgdl))
+  ) * 10000) / 10000 AS bm25
+FROM tf JOIN dft USING (tok) JOIN doclen USING (doc_id) CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+"""
+
+
+def _sample_token_budget(spark, sf):
+    """Token-budget-capped sampling: per language, documents are
+    visited in a seeded md5 pseudorandom order and kept until the
+    cumulative token count reaches the budget — how a 100 TB corpus
+    is downsampled to 'N tokens per language' reproducibly. One
+    window per language partition (the same exchange a per-lang sort
+    pays); output is budget-bounded, independent of corpus size."""
+    budget = 3_000
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id", "lang", TX.token_count(F.col("text")).cast("bigint").alias("toks"))
+    order = F.md5(F.concat_ws(":", F.lit("7"), F.col("doc_id").cast("string")))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(order, "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.select("doc_id", "lang", "toks", F.sum("toks").over(w).alias("cum_toks"))
+        .filter(F.col("cum_toks") <= budget)
+        .orderBy("lang", "cum_toks")
+    )
+
+
+_SAMPLE_TOKEN_BUDGET_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+    CAST(len(regexp_extract_all(lower(text), '{TX.TOKEN_PATTERN}')) AS BIGINT) AS toks
+  FROM documents)
+SELECT doc_id, lang, toks, cum_toks FROM (
+  SELECT doc_id, lang, toks,
+    CAST(SUM(toks) OVER (PARTITION BY lang
+                    ORDER BY md5(concat_ws(':', '7', CAST(doc_id AS VARCHAR))), doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
+  FROM toks)
+WHERE cum_toks <= 3000
+ORDER BY lang, cum_toks
+"""
+
+
+def _events_anomaly(spark, sf):
+    """Hot-spot detection: user-hours whose event count is at least
+    2x the user's average hourly rate. The comparison is pure integer
+    arithmetic (n * user_hours >= 2 * user_total) so the kept set has
+    no floating-point boundary, at any scale; the reported ratio is
+    floor-quantized. Shape: one (user,hour) agg + one per-user window
+    over the already-partitioned aggregate — no second shuffle of raw
+    events."""
+    e = _t(spark, sf, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id")
+    per_user = hourly.select(
+        "user_id",
+        "hour",
+        "n",
+        F.sum("n").over(w).alias("total"),
+        F.count("*").over(w).alias("hours"),
+    )
+    return (
+        per_user.filter(F.col("n") * F.col("hours") >= 2 * F.col("total"))
+        .select(
+            "user_id",
+            "hour",
+            "n",
+            (F.floor(F.col("n") * F.col("hours") * 10000 / F.col("total")) / 10000).alias(
+                "ratio"
+            ),
+        )
+        .orderBy(F.desc("ratio"), "user_id", "hour")
+        .limit(100)
+    )
+
+
+_EVENTS_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+per_user AS (
+  SELECT user_id, hour, n,
+    SUM(n) OVER (PARTITION BY user_id) AS total,
+    COUNT(*) OVER (PARTITION BY user_id) AS hours
+  FROM hourly)
+SELECT user_id, hour, n,
+  FLOOR(n * hours * 10000 / total) / 10000 AS ratio
+FROM per_user WHERE n * hours >= 2 * total
+ORDER BY ratio DESC, user_id, hour LIMIT 100
+"""
+
+
+def _dedup_incremental(spark, sf):
+    """Incremental corpus refresh: only NEW documents (a doc_id-gated
+    'batch') are fingerprinted and kept when their fingerprint is
+    (a) absent from the historical corpus and (b) first within the
+    batch. The historical side reduces to a distinct-fingerprint set
+    before the anti join — at 100 TB the running fingerprint store is
+    what an incremental pipeline persists between runs, so each tick
+    costs O(new batch) + one membership join, never a full-corpus
+    rescan."""
+    d = _t(spark, sf, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    hist = d.filter(F.col("doc_id") < 300).select(fp.alias("fp")).distinct()
+    new = d.filter(F.col("doc_id") >= 300).select("doc_id", "source", fp.alias("fp"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    first_in_batch = (
+        new.select("doc_id", "source", "fp", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    kept = first_in_batch.join(hist, "fp", "left_anti")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_new"), F.min("doc_id").alias("first_doc")
+    )
+
+
+_DEDUP_INCREMENTAL_SQL = """
+WITH hist AS (
+  SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents WHERE doc_id < 300),
+new_batch AS (
+  SELECT doc_id, source, md5(lower(trim(text))) AS fp
+  FROM documents WHERE doc_id >= 300),
+first_in_batch AS (
+  SELECT doc_id, source, fp FROM (
+    SELECT doc_id, source, fp,
+           ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM new_batch) WHERE rn = 1)
+SELECT source, COUNT(*) AS n_new, MIN(doc_id) AS first_doc
+FROM first_in_batch WHERE fp NOT IN (SELECT fp FROM hist)
+GROUP BY source
+"""
+
+
 def _text_pii_scrub(spark, sf):
     """PII redaction pass (email/phone/IPv4/SSN -> typed tokens) —
     chained JVM regexp_replace over the full documents table."""
@@ -3504,6 +3723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": _orc_roundtrip,
         "avro_roundtrip": _avro_roundtrip,
         # text analysis
+        "text_bm25": _text_bm25,
         "text_quality": _text_quality,
         "text_langid": _text_langid,
         "text_fingerprint": _text_fingerprint,
@@ -3511,6 +3731,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_entropy": _text_entropy,
         "text_pii_scrub": _text_pii_scrub,
         # training-data pipeline (packing / sampling / curation)
+        "sample_token_budget": _sample_token_budget,
+        "events_anomaly": _events_anomaly,
+        "dedup_incremental": _dedup_incremental,
         "sample_stratified": _sample_stratified,
         "split_train_val_test": _split_train_val_test,
         "mixture_sample": _mixture_sample,
@@ -3623,6 +3846,10 @@ def oracle_sql() -> dict[str, str]:
         "split_train_val_test": _SPLIT_SQL,
         "mixture_sample": _MIXTURE_SQL,
         "text_vocab_topk": _TEXT_VOCAB_SQL,
+        "text_bm25": _TEXT_BM25_SQL,
+        "sample_token_budget": _SAMPLE_TOKEN_BUDGET_SQL,
+        "events_anomaly": _EVENTS_ANOMALY_SQL,
+        "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
         "lateral_topn": _LATERAL_SQL,
         "shuffle_deterministic": _SHUFFLE_SQL,
         "curate_pipeline": _CURATE_SQL,
