@@ -50,12 +50,27 @@ def regex_token_count(col) -> Column:
 
 
 def stopword_count(col) -> Column:
-    pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
-    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pat), F.lit(0)))
+    # regexp_count + non-capturing group: same match count as
+    # size(regexp_extract_all(...)) without materializing the match
+    # array (sf10 documents: 5.8 -> 4.3 s net)
+    pat = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
+    return F.regexp_count(F.lower(col), F.lit(pat))
+
+
+# every char the regex formulation [^a-zA-Z0-9\s] treats as
+# non-punct; Java \s is exactly [ \t\n\x0B\f\r]
+_NON_PUNCT = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 \t\n\x0b\f\r"
+)
 
 
 def punct_count(col) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(r"[^a-zA-Z0-9\s]"), F.lit(0)))
+    """Count of chars outside [a-zA-Z0-9\\s]. Implemented as
+    translate-delete of the keep-set + length: one hash lookup per
+    char instead of a regex match allocating a per-char array
+    (sf10 documents: 10.2 -> 3.1 s net; values identical — the
+    DuckDB oracle keeps the regex formulation)."""
+    return F.length(F.translate(col, _NON_PUNCT, ""))
 
 
 def quality_score(col) -> Column:
