@@ -60,13 +60,24 @@ def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     # and one double division at output is IEEE-exact. See
     # __spark_entry__ module doc.
     cents = F.round(F.col("value") * 100).cast("long")
-    return (
-        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            (F.sum(cents).cast("double") / F.lit(100.0)).alias("sum_value"),
+    aggs = [
+        F.count("*").alias("n_events"),
+        (F.sum(cents).cast("double") / F.lit(100.0)).alias("sum_value"),
+    ]
+    if events.isStreaming:
+        # streaming needs the window struct: watermark eviction keys on it
+        return (
+            src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(*aggs)
+            .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value")
         )
-        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value")
+    # batch: date_trunc('hour') is the same epoch-aligned tumbling
+    # bucket with one timestamp conversion instead of window()'s
+    # struct-of-start/end build (value-identical, asserted in tests)
+    return (
+        src.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type")
+        .agg(*aggs)
+        .select("hour_start", "event_type", "n_events", "sum_value")
     )
 
 
@@ -158,6 +169,13 @@ def click_purchase_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame
     if events.isStreaming:
         clicks = clicks.withWatermark("c_ts", "2 hours")
         purchases = purchases.withWatermark("p_ts", "2 hours")
+    else:
+        # batch on a user_id-bucketed layout: hash join beats
+        # sort-merge (no per-bucket sort of the click side; the range
+        # predicate is evaluated post-match either way). With bucketed
+        # inputs this compiles to zero Exchanges — plan-asserted in
+        # tests/test_plan_shapes.py.
+        clicks = clicks.hint("SHUFFLE_HASH")
     return purchases.join(
         clicks,
         (F.col("p_user") == F.col("c_user"))

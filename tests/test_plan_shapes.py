@@ -145,7 +145,11 @@ def test_tpch_join_spine_no_orderkey_exchange(spark):
         budget = {
             "q3_shipping_priority": 0,
             "q18_large_orders": 0,
-            "q5_local_supplier": 1,
+            # q5: the custkey partial-agg hop plus the final n_name
+            # agg exchange (carries at most one row per nation — the
+            # pre-aggregated spine from the r5 restructure shrank the
+            # custkey hop to customers x nations partials)
+            "q5_local_supplier": 2,
             "q10_returned_items": 1,
         }
         for name, max_ex in budget.items():
@@ -161,6 +165,23 @@ def test_tpch_join_spine_no_orderkey_exchange(spark):
             )
     finally:
         # do not leak the overlay into other tests' plan assertions
+        for k in [k for k, v in E2._BUCKETED_OVERLAY.items() if k[0] == os.path.abspath(SF)]:
+            del E2._BUCKETED_OVERLAY[k]
+
+
+def test_funnel_join_bucketed_no_exchange(spark):
+    """With events bucketed on user_id, the purchase->click interval
+    self-join compiles to a shuffle-free hash join: zero Exchanges and
+    no per-bucket sort (the SHUFFLE_HASH hint in click_purchase_join's
+    batch branch — sort-merge would add a Sort per side)."""
+    import __spark_entry__ as E2
+
+    E2.prepare_bucketed_fixtures(spark, SF)
+    try:
+        plan = _plan(E2.queries()["funnel_join"](spark, SF))
+        assert "ShuffledHashJoin" in plan, plan[:500]
+        assert "Exchange" not in plan, plan[:500]
+    finally:
         for k in [k for k, v in E2._BUCKETED_OVERLAY.items() if k[0] == os.path.abspath(SF)]:
             del E2._BUCKETED_OVERLAY[k]
 
