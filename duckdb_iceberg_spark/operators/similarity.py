@@ -38,11 +38,43 @@ def cosine_topk(
     k: int = 10,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
+    vectorized: bool = True,
 ) -> DataFrame:
     """Exact top-k by cosine similarity to a literal query vector.
 
+    ``vectorized=True`` scores each Arrow batch as one numpy matrix op
+    (see cosine_topk_int8 — Catalyst evaluates HOF lambdas interpreted
+    per element, so the dense kernel is faster off-JVM even counting
+    the Arrow hop); ``vectorized=False`` keeps the pure-JVM
+    zip_with/aggregate path. Both round to 4 digits JVM-side before
+    the top-k, which also absorbs summation-order differences between
+    backends. Scoring runs on executors either way; only k rows reach
+    the driver.
+
     Returns (key_col, cos) — k rows, deterministic tie-break on key.
     """
+    if vectorized:
+        try:
+            import numpy as np
+            import pandas as pd
+            from pyspark.sql.functions import pandas_udf
+        except ImportError:
+            pass
+        else:
+            qarr = np.asarray([float(v) for v in query_vec], dtype=np.float64)
+            qn = math.sqrt(float(qarr @ qarr)) or 1e-30
+
+            def _cos_kernel(emb):
+                x = np.stack(emb.to_numpy()).astype(np.float64)
+                dot = x @ qarr
+                n = np.sqrt((x * x).sum(axis=1))
+                return pd.Series(dot / (n * qn))
+
+            _cos_raw = pandas_udf(_cos_kernel, "double")
+            scored = df.select(
+                key_col, F.round(_cos_raw(F.col(vec_col)), 4).alias("cos")
+            )
+            return scored.orderBy(F.desc("cos"), F.asc(key_col)).limit(k)
     scored = df.select(
         key_col, F.round(VEC.cosine_to_query(F.col(vec_col), query_vec), 4).alias("cos")
     )
