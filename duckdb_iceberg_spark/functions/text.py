@@ -49,12 +49,18 @@ def regex_token_count(col) -> Column:
     return F.size(F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), F.lit(0)))
 
 
+# trie-factored alternation over exactly STOPWORDS: the regex engine
+# tries 5 prefix branches per position instead of 10 literals
+# (sf10 documents: another ~20% off the scan; equivalence to the flat
+# "|".join(STOPWORDS) pattern is pinned by a unit test)
+_STOPWORD_TRIE = r"\b(?:a(?:nd)?|t(?:he|o)|o[fn]|i[nst]|for)\b"
+
+
 def stopword_count(col) -> Column:
     # regexp_count + non-capturing group: same match count as
     # size(regexp_extract_all(...)) without materializing the match
     # array (sf10 documents: 5.8 -> 4.3 s net)
-    pat = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
-    return F.regexp_count(F.lower(col), F.lit(pat))
+    return F.regexp_count(F.lower(col), F.lit(_STOPWORD_TRIE))
 
 
 # every char the regex formulation [^a-zA-Z0-9\s] treats as

@@ -193,3 +193,27 @@ def test_avro_snappy_crc_mismatch_raises():
 
     with pytest.raises(ValueError, match="CRC32"):
         read_avro_bytes(bytes(data))
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            list("abcdefghijklmnopqrstuvwxyz .,!\n\t'-:")
+            + ["the ", "a ", "and ", "of ", "to ", "in ", "is ", "it ", "for ", "on "]
+        ),
+        max_size=80,
+    ).map("".join)
+)
+def test_stopword_trie_equals_flat_alternation(s):
+    """The hand-factored trie pattern in text.stopword_count must match
+    the definitional flat alternation over STOPWORDS exactly (both are
+    plain alternation + \\b — identical semantics in Python re and Java
+    regex)."""
+    import re
+
+    from duckdb_iceberg_spark.functions.text import STOPWORDS, _STOPWORD_TRIE
+
+    flat = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
+    low = s.lower()
+    assert len(re.findall(_STOPWORD_TRIE, low)) == len(re.findall(flat, low))
