@@ -2038,6 +2038,43 @@ WHERE (rn - 1) % 10 = 0
 """
 
 
+def _sample_cluster_balanced(spark, sf):
+    """Diversity sampling over semantic clusters: embeddings bucketed
+    by 4 random-hyperplane sign bits (fixed seed), then at most 25
+    rows kept per bucket by deterministic md5 rank — the
+    cap-the-boilerplate-cluster rebalance step of a curation pipeline
+    (near-identical documents land in the same bucket and can't
+    dominate the mixture). One shuffle on the bucket key; the kept set
+    depends only on (bucket, key, seed), never on partitioning."""
+    from duckdb_iceberg_spark.functions import vectors as VEC
+    from duckdb_iceberg_spark.operators.similarity import _planes
+
+    e = _t(spark, sf, "embeddings")
+    planes = _planes(4, 64, seed=7)
+    b = e.select("vec_id", VEC.sign_bits(F.col("embedding"), planes).alias("bucket"))
+    return SA.cluster_balanced_sample(b, "bucket", "vec_id", n_per_cluster=25)
+
+
+def _sample_cluster_balanced_sql() -> str:
+    from duckdb_iceberg_spark.operators.similarity import _planes
+
+    planes = _planes(4, 64, seed=7)
+    vals = ", ".join(
+        f"({p}, {i + 1}, {w!r})" for p, pl in enumerate(planes) for i, w in enumerate(pl)
+    )
+    qualify = SA.cluster_balanced_sample_sql("bucket", "vec_id", 25)
+    return f"""
+WITH planes(p, i, w) AS (VALUES {vals}),
+ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
+       FROM embeddings),
+bits AS (SELECT e.vec_id, pl.p, CASE WHEN SUM(e.x * pl.w) >= 0 THEN '1' ELSE '0' END AS b
+         FROM ex e JOIN planes pl ON e.i = pl.i GROUP BY e.vec_id, pl.p),
+bk AS (SELECT vec_id, string_agg(b, '' ORDER BY p) AS bucket FROM bits GROUP BY vec_id)
+SELECT vec_id, bucket FROM bk
+{qualify}
+"""
+
+
 def _split_train_val_test(spark, sf):
     """Deterministic hash-based train/val/test split: a key's split
     never changes as the corpus grows (md5 bucketing, no RNG) — the
@@ -3782,6 +3819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": _events_anomaly,
         "dedup_incremental": _dedup_incremental,
         "sample_stratified": _sample_stratified,
+        "sample_cluster_balanced": _sample_cluster_balanced,
         "split_train_val_test": _split_train_val_test,
         "mixture_sample": _mixture_sample,
         "text_vocab_topk": _text_vocab_topk,
@@ -3890,6 +3928,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _CONTAM_SQL,
         "pack_sequences": _PACK_SQL,
         "sample_stratified": _SAMPLE_SQL,
+        "sample_cluster_balanced": _sample_cluster_balanced_sql(),
         "split_train_val_test": _SPLIT_SQL,
         "mixture_sample": _MIXTURE_SQL,
         "text_vocab_topk": _TEXT_VOCAB_SQL,

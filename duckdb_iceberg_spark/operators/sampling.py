@@ -139,3 +139,48 @@ def sample_to_mixture_sql(
     for d, r in reversed(list(rates.items())):
         cutoff = f"CASE WHEN {domain_col} = '{d}' THEN '{hi(r)}' ELSE {cutoff} END"
     return f"{prefix} <= {cutoff}"
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    cluster_col: str,
+    key_col: str,
+    n_per_cluster: int,
+    seed: str = "42",
+) -> DataFrame:
+    """Diversity sampling: keep at most ``n_per_cluster`` rows from
+    each cluster, chosen by a deterministic md5 rank within the
+    cluster — the semantic-rebalance step of a curation pipeline
+    (cap boilerplate-heavy clusters so near-identical documents don't
+    dominate the training mixture; pair with
+    :func:`~..operators.similarity.ivf_build` centroids or
+    :func:`~..functions.vectors.sign_bits` buckets as the cluster key).
+
+    Deterministic like the rest of this module: the kept set depends
+    only on (cluster, key, seed), never on partitioning, task order,
+    or RNG state. One shuffle on the cluster key; at 100 TB the
+    per-cluster rank is a bounded-memory window (no global sort), and
+    clusters are processed independently so skewed clusters parallelize
+    across their window partitions' spill path rather than the job.
+    """
+    if n_per_cluster < 1:
+        raise ValueError("n_per_cluster must be >= 1")
+    rank_key = F.md5(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string")))
+    w = Window.partitionBy(cluster_col).orderBy(rank_key, F.col(key_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_cluster)
+        .drop("__rk")
+    )
+
+
+def cluster_balanced_sample_sql(
+    cluster_col: str, key_col: str, n_per_cluster: int, seed: str = "42"
+) -> str:
+    """DuckDB twin of :func:`cluster_balanced_sample` (QUALIFY form):
+    append to a SELECT over the same input relation."""
+    rank = (
+        f"ROW_NUMBER() OVER (PARTITION BY {cluster_col} ORDER BY "
+        f"md5(concat_ws(':', '{seed}', CAST({key_col} AS VARCHAR))), {key_col})"
+    )
+    return f"QUALIFY {rank} <= {n_per_cluster}"

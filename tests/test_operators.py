@@ -503,3 +503,28 @@ def test_salt_autotuning(spark):
     # uniform auto mode takes the plain-join path (no __salt in plan)
     plan = salted_join(uniform, dim, on="k")._jdf.queryExecution().executedPlan().toString()
     assert "__salt" not in plan
+
+
+def test_cluster_balanced_sample_caps_and_determinism(spark):
+    """Every cluster contributes at most n rows; the kept set is a
+    pure function of (cluster, key, seed) — stable under repartitioning
+    and row-arrival order (the diversity-sampling contract)."""
+    from duckdb_iceberg_spark.operators.sampling import cluster_balanced_sample
+
+    df = spark.range(1000).selectExpr("id AS k", "CAST(id % 7 AS STRING) AS c")
+    out = cluster_balanced_sample(df, "c", "k", n_per_cluster=20)
+    per = {r["c"]: r["n"] for r in out.groupBy("c").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 20 for n in per.values()) and len(per) == 7
+    # a cluster smaller than the cap keeps every row
+    small = cluster_balanced_sample(df.filter("c = '0' AND k < 50"), "c", "k", 20)
+    assert small.count() == 8  # ids 0,7,...,49
+    # partitioning-invariant: same kept keys after an adversarial shuffle
+    a = sorted(r["k"] for r in out.collect())
+    b = sorted(
+        r["k"]
+        for r in cluster_balanced_sample(df.repartition(13, "k"), "c", "k", 20).collect()
+    )
+    assert a == b
+    # seed changes the kept set (it is a real knob, not decoration)
+    c = sorted(r["k"] for r in cluster_balanced_sample(df, "c", "k", 20, seed="other").collect())
+    assert a != c
