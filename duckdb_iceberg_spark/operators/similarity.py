@@ -65,6 +65,8 @@ def cosine_topk(
             qn = math.sqrt(float(qarr @ qarr)) or 1e-30
 
             def _cos_kernel(emb):
+                if len(emb) == 0:  # empty Arrow batch (empty partition)
+                    return pd.Series([], dtype="float64")
                 x = np.stack(emb.to_numpy()).astype(np.float64)
                 dot = x @ qarr
                 n = np.sqrt((x * x).sum(axis=1))
@@ -131,6 +133,8 @@ def cosine_topk_int8(
             qarr = np.asarray(qcodes, dtype=np.float64)
 
             def _qcos_kernel(emb):
+                if len(emb) == 0:  # empty Arrow batch (empty partition)
+                    return pd.Series([], dtype="float64")
                 x = np.stack(emb.to_numpy()).astype(np.float64)
                 scale = np.maximum(np.abs(x).max(axis=1) / 127.0, 1e-30)
                 codes = np.floor(x / scale[:, None] + 0.5)
