@@ -30,6 +30,7 @@ from duckdb_iceberg_spark import iceberg_scan
 from duckdb_iceberg_spark.functions import text as TX
 from duckdb_iceberg_spark.functions.text import lang_id_sql
 from duckdb_iceberg_spark.operators import dedup as DD
+from duckdb_iceberg_spark.operators import lm as LM
 from duckdb_iceberg_spark.operators import multimodal as MM
 from duckdb_iceberg_spark.operators import packing as PK
 from duckdb_iceberg_spark.operators import sampling as SA
@@ -2648,6 +2649,119 @@ SELECT node, MIN(r) AS component FROM reach GROUP BY node ORDER BY node
 """
 
 
+def _dedup_keep_best(spark, sf):
+    """Near-dup components + QUALITY-argmax survivor per component
+    (keep the longest copy, not the lowest id) — the selection rule
+    real curation pipelines use. Same pair set and recursive-CTE
+    transitive closure as dedup_clusters; the survivor pick is one
+    tiny-partition window over component."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    pairs = DD.jaccard_pairs(d, threshold=0.9).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    surv = DD.dedup_keep_best(
+        d, pairs, order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()]
+    )
+    return surv.select("doc_id", "n_chars").orderBy("doc_id")
+
+
+_DEDUP_KEEP_BEST_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS tok
+  FROM documents WHERE doc_id < 300),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+  FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes a ON id_a = a.doc_id JOIN sizes b ON id_b = b.doc_id
+  WHERE ROUND(i / (a.sz + b.sz - i), 4) >= 0.9),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs),
+reach AS (
+  SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT reach.node, sym.v FROM reach JOIN sym ON sym.u = reach.r
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+allc AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+  WHERE d.doc_id < 300),
+rk AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY component ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM allc)
+SELECT doc_id, n_chars FROM rk WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def _dedup_boilerplate(spark, sf):
+    """CCNet-style corpus-level boilerplate removal: segment every doc
+    into 8-token windows, strip segments whose document frequency
+    across the corpus exceeds 2, reassemble in order. One shuffle to
+    count, one broadcast anti join (the boilerplate set is small by
+    definition), one groupBy to reassemble."""
+    d = _t(spark, sf, "documents")
+    return DD.line_dedup(
+        d,
+        max_doc_freq=2,
+        segmenter=TX.chunk_text_builtin(F.col("text"), 8),
+    ).orderBy("doc_id")
+
+
+_DEDUP_BOILERPLATE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM documents),
+seg AS (
+  SELECT doc_id, CAST((s.s - 1) / 8 + 1 AS INT) AS pos,
+         array_to_string(toks[s.s : s.s + 7], ' ') AS seg
+  FROM t, LATERAL (SELECT unnest(generate_series(1, GREATEST(CAST(CEIL(len(toks) / 8.0) AS BIGINT), 1) * 8 - 7, 8)) AS s) s
+),
+freq AS (SELECT LOWER(TRIM(seg)) AS k, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY 1),
+common AS (SELECT k FROM freq WHERE df > 2),
+kept AS (SELECT doc_id, pos, seg FROM seg WHERE LOWER(TRIM(seg)) NOT IN (SELECT k FROM common)),
+agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text FROM kept GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.text, '') AS text
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+"""
+
+
+def _text_lm_score(spark, sf):
+    """Self-trained bigram LM quality score (the KenLM-perplexity
+    curation signal, dependency-free): mean smoothed bigram
+    log-probability per doc. Count tables are map-side-combine
+    groupBys; scoring is one shuffle join on the bigram key plus a
+    broadcast unigram/vocab join — documents never shuffle."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 1500)
+    return (
+        LM.bigram_lm_score(d)
+        .select("doc_id", F.round(F.col("lm_score"), 3).alias("lm_score"))
+        .orderBy("doc_id")
+    )
+
+
+_TEXT_LM_SCORE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
+  FROM documents WHERE doc_id < 1500),
+bg AS (
+  SELECT doc_id, toks[s.i] || ' ' || toks[s.i + 1] AS bg
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) s),
+c12 AS (SELECT bg, COUNT(*) AS c12 FROM bg GROUP BY bg),
+uni AS (SELECT unnest(toks) AS w FROM t),
+c1 AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY w),
+v AS (SELECT COUNT(*) AS v FROM c1)
+SELECT doc_id, ROUND(AVG(LN((c12 + 0.5) / (c1 + 0.5 * v))), 3) AS lm_score
+FROM bg JOIN c12 USING (bg) JOIN c1 ON split_part(bg, ' ', 1) = c1.w CROSS JOIN v
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _sim_topk(spark, sf):
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -3744,6 +3858,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_jaccard": _dedup_jaccard,
         "dedup_clusters": _dedup_clusters,
+        "dedup_keep_best": _dedup_keep_best,
+        "dedup_boilerplate": _dedup_boilerplate,
+        "text_lm_score": _text_lm_score,
         "contamination": _contamination,
         "sim_topk": _sim_topk,
         "sim_quantized": _sim_quantized,
@@ -3943,6 +4060,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_sig": _DEDUP_MINHASH_SQL,
         "dedup_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
+        "dedup_boilerplate": _DEDUP_BOILERPLATE_SQL,
+        "text_lm_score": _TEXT_LM_SCORE_SQL,
         "sim_topk": _SIM_TOPK_SQL,
         "sim_quantized": _SIM_QUANT_SQL,
         "sim_neardup": _SIM_NEARDUP_SQL,

@@ -433,3 +433,124 @@ def dedup_groups(
         F.col("node").alias(key_col)
     )
     return df.join(losers, key_col, "left_anti")
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "doc_id",
+    order_by=None,
+    pair_cols: tuple = ("a", "b"),
+) -> DataFrame:
+    """:func:`dedup_groups` with a QUALITY-aware survivor: resolve
+    near-duplicate pairs into components, then keep the best-ranked
+    row per component under ``order_by`` (default: ``key_col`` asc —
+    identical to dedup_groups). Real curation pipelines keep the
+    longest / highest-quality copy of a near-dup cluster, not the
+    lowest id.
+
+    Scale shape: components come from min-label propagation
+    (:func:`connected_components`, one shuffle per round); the
+    survivor pick is one window over ``component`` — dedup components
+    are near-cliques of a handful of docs, so the window partitions
+    are tiny no matter how large the corpus. Rows that appear in no
+    pair keep ``component = key`` via the left join + coalesce and
+    pass through the window as singletons.
+    """
+    from pyspark.sql import Window
+
+    if order_by is None:
+        order_by = [F.col(key_col).asc()]
+    comp = connected_components(pairs, *pair_cols)
+    labeled = (
+        df.join(comp, df[key_col] == comp.node, "left")
+        .drop("node")
+        .withColumn("component", F.coalesce(F.col("component"), F.col(key_col)))
+    )
+    w = Window.partitionBy("component").orderBy(*order_by)
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_doc_freq: int = 5,
+    segmenter=None,
+    joiner: str = " ",
+    broadcast_common: bool = True,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the CCNet / RefinedWeb line
+    dedup step): segment every document, count each normalized
+    segment's document frequency across the WHOLE corpus, strip
+    segments that appear in more than ``max_doc_freq`` documents
+    (headers, footers, cookie banners, nav bars), and reassemble the
+    surviving segments in original order. Documents whose every
+    segment is boilerplate come back with empty text rather than
+    disappearing.
+
+    ``segmenter`` is a Column producing ``array<struct<chunk_no int,
+    chunk string>>`` (default: newline split; pass
+    ``functions.text.chunk_text_builtin`` for token-window segments
+    when the corpus has no line structure).
+
+    Scale shape: one shuffle to doc-frequency-count the distinct
+    (segment, doc) projection, one broadcast anti join against the
+    over-threshold segment set (boilerplate sets are small BY
+    DEFINITION — each member appears in > max_doc_freq docs, so the
+    set has at most corpus_segments / max_doc_freq entries and in
+    practice orders of magnitude fewer; set ``broadcast_common=False``
+    to shuffle-join if a pathological corpus inflates it), and one
+    groupBy(doc) to reassemble. The corpus text itself never joins
+    against anything bigger than the boilerplate set.
+    """
+    if segmenter is None:
+        lines = F.split(F.col(text_col), r"\n")
+
+        def _seg(arr):
+            return F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(arr), F.lit(1))),
+                lambda i: F.struct(
+                    i.cast("int").alias("chunk_no"),
+                    F.element_at(arr, i).alias("chunk"),
+                ),
+            )
+
+        from ..functions.text import bind_once
+
+        segmenter = bind_once(lines, _seg)
+    segs = df.select(F.col(key_col), F.explode(segmenter).alias("s")).select(
+        F.col(key_col),
+        F.col("s.chunk_no").alias("__pos"),
+        F.col("s.chunk").alias("__seg"),
+    )
+    norm = F.lower(F.trim(F.col("__seg")))
+    common = (
+        segs.select(norm.alias("__k"), F.col(key_col))
+        .distinct()
+        .groupBy("__k")
+        .agg(F.count("*").alias("__df"))
+        .where(F.col("__df") > max_doc_freq)
+        .select("__k")
+    )
+    if broadcast_common:
+        common = F.broadcast(common)
+    kept = segs.join(common, norm == common["__k"], "left_anti")
+    reassembled = kept.groupBy(key_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__seg"))),
+                lambda s: s["__seg"],
+            ),
+            joiner,
+        ).alias(text_col)
+    )
+    return (
+        df.select(key_col)
+        .join(reassembled, key_col, "left")
+        .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    )

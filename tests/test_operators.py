@@ -528,3 +528,85 @@ def test_cluster_balanced_sample_caps_and_determinism(spark):
     # seed changes the kept set (it is a real knob, not decoration)
     c = sorted(r["k"] for r in cluster_balanced_sample(df, "c", "k", 20, seed="other").collect())
     assert a != c
+
+
+def test_dedup_keep_best_quality_argmax(spark):
+    from duckdb_iceberg_spark.operators.dedup import dedup_keep_best
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (7, 99), (9, 5)],
+        "doc_id long, n_chars long",
+    )
+    # component {1,2,3}: 2 and 3 tie on n_chars=50 -> lower id (2) wins
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    out = dedup_keep_best(
+        df, pairs, order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()]
+    )
+    ids = sorted(r.doc_id for r in out.collect())
+    # singletons 7 and 9 survive untouched
+    assert ids == [2, 7, 9]
+
+
+def test_line_dedup_strips_boilerplate_preserves_order(spark):
+    from duckdb_iceberg_spark.operators.dedup import line_dedup
+
+    footer = "subscribe to our newsletter"
+    rows = [
+        (1, f"alpha one\n{footer}\nbeta two"),
+        (2, f"{footer}\ngamma three"),
+        (3, f"delta four\n{footer}"),
+        (4, footer),  # every segment is boilerplate -> empty text, row kept
+        (5, "unique content only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.text
+        for r in line_dedup(df, max_doc_freq=2, joiner="\n").collect()
+    }
+    assert out[1] == "alpha one\nbeta two"  # order preserved around the cut
+    assert out[2] == "gamma three"
+    assert out[3] == "delta four"
+    assert out[4] == ""  # all-boilerplate doc kept as empty, not dropped
+    assert out[5] == "unique content only"
+    # below-threshold segments are never touched
+    assert len(out) == 5
+
+
+def test_line_dedup_threshold_boundary(spark):
+    from duckdb_iceberg_spark.operators.dedup import line_dedup
+
+    # "shared" appears in exactly 2 docs: with max_doc_freq=2 (strictly
+    # greater-than semantics) it must SURVIVE
+    df = spark.createDataFrame(
+        [(1, "shared\nx"), (2, "shared\ny")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.text for r in line_dedup(df, max_doc_freq=2, joiner="\n").collect()}
+    assert out == {1: "shared\nx", 2: "shared\ny"}
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    import math
+
+    from duckdb_iceberg_spark.operators.lm import bigram_lm_score
+
+    # corpus: "a b" x2 and "a c" -> c(a b)=2, c(a c)=1, c(a)=3, V=3
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.lm_score for r in bigram_lm_score(df, alpha=0.5).collect()}
+    p_ab = math.log((2 + 0.5) / (3 + 0.5 * 3))
+    p_ac = math.log((1 + 0.5) / (3 + 0.5 * 3))
+    assert abs(got[1] - p_ab) < 1e-12 and abs(got[2] - p_ab) < 1e-12
+    assert abs(got[3] - p_ac) < 1e-12
+
+
+def test_bigram_lm_score_penalizes_improbable_order(spark):
+    from duckdb_iceberg_spark.operators.lm import bigram_lm_score
+
+    # P(w2|w1) scores SEQUENCES, not vocabulary: a doc using the same
+    # known words in an order the corpus never produces must rank
+    # below the dominant pattern.
+    rows = [(i, "x y z") for i in range(50)] + [(999, "z y x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {r.doc_id: r.lm_score for r in bigram_lm_score(df).collect()}
+    assert scores[999] < scores[0]
