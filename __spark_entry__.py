@@ -2767,7 +2767,7 @@ def _text_lm_score(spark, sf):
     log-probability per doc. Count tables are map-side-combine
     groupBys; scoring is one shuffle join on the bigram key plus a
     broadcast unigram/vocab join — documents never shuffle."""
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 1500)
+    d = _t(spark, sf, "documents")
     return (
         LM.bigram_lm_score(d)
         .select("doc_id", F.round(F.col("lm_score"), 3).alias("lm_score"))
@@ -2778,7 +2778,7 @@ def _text_lm_score(spark, sf):
 _TEXT_LM_SCORE_SQL = r"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
-  FROM documents WHERE doc_id < 1500),
+  FROM documents),
 bg AS (
   SELECT doc_id, toks[s.i] || ' ' || toks[s.i + 1] AS bg
   FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) s),

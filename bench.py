@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "curate_pipeline",
     "funnel_join",
     "text_repetition",
+    "dedup_boilerplate",
+    "text_lm_score",
     "contamination",
     "sim_quantized",
     "resample_events",
