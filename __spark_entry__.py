@@ -1107,8 +1107,14 @@ FROM grid g LEFT JOIN pb ON g.user_id = pb.user_id AND g.b = pb.b
 
 
 def _ewma_events(spark, sf):
-    """Per-user EWMA (Arrow grouped-map recurrence) — rows-only:
-    verified against a pandas reference in tests."""
+    """Per-user EWMA (Arrow grouped-map recurrence).
+
+    Oracle: the recurrence e_i = 0.7*e_{i-1} + 0.3*x_i is replayed in
+    DuckDB by list_reduce over a 100-row trailing window — the weight
+    of anything older is < 0.7^99 ~ 5e-16, below double noise, so the
+    truncated replay is bit-identical to the full recurrence after
+    ROUND(.., 4). (user_id, ts) is unique in the fixtures, so the
+    per-user order is deterministic on both sides."""
     from duckdb_iceberg_spark.operators.timeseries import ewma
 
     ev = _t(spark, sf, "events")
@@ -1119,6 +1125,19 @@ def _ewma_events(spark, sf):
         F.round("value", 2).alias("value"),
         F.round("ewma", 4).alias("ewma"),
     )
+
+
+_EWMA_SQL = r"""
+WITH w AS (
+  SELECT user_id, ts, value,
+    list(value) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS lst
+  FROM events)
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS t,
+  ROUND(value, 2) AS value,
+  ROUND(list_reduce(lst, (acc, x) -> 0.7*acc + 0.3*x), 4) AS ewma
+FROM w
+"""
 
 
 def _case_bucketing(spark, sf):
@@ -2899,6 +2918,47 @@ def _dedup_minhash_pairs(spark, sf):
     )
 
 
+# The whole LSH pipeline is md5-deterministic, so the oracle replays
+# it end-to-end in SQL: 3-gram shingles -> 16 per-permutation minima
+# -> 4 band digests -> bucket-capped self-join -> component-agreement
+# estimate. Any drift in shingling, hashing, banding, the 10k bucket
+# cap, or the >= 0.5 cut shows up as a hash mismatch.
+_DEDUP_MINHASH_PAIRS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(CASE WHEN len(t) >= 3
+      THEN [array_to_string(t[i+1:i+3], ' ') for i in range(0, len(t) - 2)]
+      ELSE [array_to_string(t, ' ')] END) AS g
+  FROM toks),
+sig AS (
+  SELECT doc_id, p.i, MIN(md5(CAST(p.i AS VARCHAR) || ':' || g)) AS h
+  FROM sh, (SELECT unnest(generate_series(0, 15)) AS i) p
+  GROUP BY doc_id, p.i),
+wide AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM sig GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, b.band,
+    md5(hs[b.band*4+1] || '|' || hs[b.band*4+2] || '|' ||
+        hs[b.band*4+3] || '|' || hs[b.band*4+4]) AS bkey
+  FROM wide, (SELECT unnest(generate_series(0, 3)) AS band) b),
+capped AS (
+  SELECT band, bkey, doc_id FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM banded)
+  WHERE bsz <= 10000),
+cands AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM capped x JOIN capped y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+est AS (
+  SELECT id_a, id_b,
+    ROUND(list_sum(list_transform(generate_series(1, 16),
+      i -> CASE WHEN a.hs[i] = b.hs[i] THEN 1 ELSE 0 END)) / 16.0, 4) AS est_jaccard
+  FROM cands JOIN wide a ON cands.id_a = a.doc_id JOIN wide b ON cands.id_b = b.doc_id)
+SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+"""
+
+
 def _dedup_simhash_pairs(spark, sf):
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
     return DD.simhash_pairs(d, max_hamming=3)
@@ -3023,6 +3083,36 @@ def _knn_join(spark, sf):
     e = _t(spark, sf, "embeddings")
     left = e.filter(F.col("vec_id") < 20)
     return SIM.knn_join(left, e.filter(F.col("vec_id") >= 20), k=5)
+
+
+def _knn_join_exact(spark, sf):
+    """Brute-force kNN join (exact=True correctness baseline), fully
+    oracle-checked: both engines compute the dot product in double
+    from the same float32 inputs and rank on the ROUNDED cosine with
+    an nid tiebreak, so the top-k sets are deterministic. The left
+    side is a fixed 20-query panel; the right side scans the whole
+    embeddings table, so the entry stays data-proportional."""
+    e = _t(spark, sf, "embeddings")
+    return SIM.knn_join(
+        e.filter(F.col("vec_id") < 20), e.filter(F.col("vec_id") >= 20), k=5, exact=True
+    )
+
+
+_KNN_EXACT_SQL = r"""
+WITH l AS (
+  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 20),
+r AS (
+  SELECT vec_id AS nid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nv
+  FROM embeddings WHERE vec_id >= 20),
+p AS (
+  SELECT qid, nid, ROUND(list_cosine_similarity(qv, nv), 4) AS cos FROM l, r),
+rk AS (
+  SELECT qid, nid, cos,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM p)
+SELECT qid, nid, cos, rank FROM rk WHERE rank <= 5
+"""
 
 
 def _mm_features(spark, sf):
@@ -3947,7 +4037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_unpivot": _events_unpivot,
         "case_bucketing": _case_bucketing,
         # time-series operators
-        "ewma_events": _ewma_events,  # rows-only (pandas-verified in tests)
+        "ewma_events": _ewma_events,
         # file sources / sinks beyond parquet
         "csv_roundtrip": _csv_roundtrip,
         "json_roundtrip": _json_roundtrip,
@@ -3976,12 +4066,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup
         "dedup_minhash_sig": _dedup_minhash_sig,
         "dedup_jaccard_3gram": _dedup_jaccard_3gram,  # rows-only
-        "dedup_minhash_pairs": _dedup_minhash_pairs,  # rows-only
+        "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_simhash_pairs": _dedup_simhash_pairs,  # rows-only
         # similarity search
         "ann_lsh_topk": _ann_lsh_topk,  # rows-only
         "ann_ivf_topk": _ann_ivf_topk,  # rows-only
-        "knn_join": _knn_join,  # rows-only
+        "knn_join": _knn_join,  # rows-only (LSH-blocked; exact twin below is oracle-checked)
+        "knn_join_exact": _knn_join_exact,
         "agg_approx": _agg_approx,  # rows-only (sketches)
         "agg_percentiles": _agg_percentiles,
         "agg_listagg": _agg_listagg,
@@ -4088,6 +4179,9 @@ def oracle_sql() -> dict[str, str]:
         "curate_pipeline": _CURATE_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_sig": _DEDUP_MINHASH_SQL,
+        "dedup_minhash_pairs": _DEDUP_MINHASH_PAIRS_SQL,
+        "ewma_events": _EWMA_SQL,
+        "knn_join_exact": _KNN_EXACT_SQL,
         "dedup_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
