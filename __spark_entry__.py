@@ -2897,10 +2897,32 @@ FROM documents WHERE doc_id % 3 = 2
 
 
 def _dedup_jaccard_3gram(spark, sf):
-    """Word-trigram shingle Jaccard near-dup pairs — rows-only (the
-    trigram construction has no tractable SQL twin)."""
+    """Word-trigram shingle Jaccard near-dup pairs. The oracle builds
+    the same trigram shingle sets with a DuckDB list comprehension and
+    scores all pairs exactly — the Spark side's prefix filter is a
+    lossless optimization, so the outputs must agree row-for-row."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
     return DD.jaccard_pairs(d, threshold=0.8, n_shingle=3)
+
+
+_DEDUP_J3_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS t
+  FROM documents WHERE doc_id < 300),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 3
+      THEN [array_to_string(t[i+1:i+3], ' ') for i in range(0, len(t) - 2)]
+      ELSE [array_to_string(t, ' ')] END) AS g
+  FROM toks),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS i
+  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, ROUND(i / (a.sz + b.sz - i), 4) AS jaccard
+FROM inter JOIN sizes a ON id_a = a.doc_id JOIN sizes b ON id_b = b.doc_id
+WHERE ROUND(i / (a.sz + b.sz - i), 4) >= 0.8
+"""
 
 
 def _dedup_minhash_pairs(spark, sf):
@@ -2960,8 +2982,41 @@ SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
 
 
 def _dedup_simhash_pairs(spark, sf):
+    """SimHash near-dup pairs, oracle-checked end-to-end: the token
+    hash is the first 8 hex chars of md5 (parsed nibble-by-nibble in
+    SQL), so the sign-sum bits, the 8-bit chunk banding, and the
+    hamming cut are all replayed exactly in DuckDB."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
     return DD.simhash_pairs(d, max_hamming=3)
+
+
+_DEDUP_SIMHASH_SQL = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS tok
+  FROM documents WHERE doc_id < 500),
+th AS (
+  SELECT doc_id,
+    list_sum(list_transform(generate_series(1, 8),
+      j -> (strpos('0123456789abcdef', substr(md5(tok), j, 1)) - 1)::BIGINT
+           << ((8 - j) * 4))) AS h
+  FROM toks),
+bits AS (
+  SELECT doc_id, b.i,
+    SUM(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, (SELECT unnest(generate_series(0, 31)) AS i) b
+  GROUP BY doc_id, b.i),
+sim AS (
+  SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS sh
+  FROM bits GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, sh, c.c, (sh >> (c.c * 8)) & 255 AS ck
+  FROM sim, (SELECT unnest(generate_series(0, 3)) AS c) c),
+cands AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.sh AS sha, y.sh AS shb
+  FROM banded x JOIN banded y ON x.c = y.c AND x.ck = y.ck AND x.doc_id < y.doc_id)
+SELECT id_a, id_b, bit_count(xor(sha, shb))::INT AS hamming
+FROM cands WHERE bit_count(xor(sha, shb)) <= 3
+"""
 
 
 def _ann_lsh_topk(spark, sf):
@@ -4065,9 +4120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_deterministic": _shuffle_deterministic,
         # dedup
         "dedup_minhash_sig": _dedup_minhash_sig,
-        "dedup_jaccard_3gram": _dedup_jaccard_3gram,  # rows-only
+        "dedup_jaccard_3gram": _dedup_jaccard_3gram,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
-        "dedup_simhash_pairs": _dedup_simhash_pairs,  # rows-only
+        "dedup_simhash_pairs": _dedup_simhash_pairs,
         # similarity search
         "ann_lsh_topk": _ann_lsh_topk,  # rows-only
         "ann_ivf_topk": _ann_ivf_topk,  # rows-only
@@ -4180,6 +4235,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_minhash_sig": _DEDUP_MINHASH_SQL,
         "dedup_minhash_pairs": _DEDUP_MINHASH_PAIRS_SQL,
+        "dedup_jaccard_3gram": _DEDUP_J3_SQL,
+        "dedup_simhash_pairs": _DEDUP_SIMHASH_SQL,
         "ewma_events": _EWMA_SQL,
         "knn_join_exact": _KNN_EXACT_SQL,
         "dedup_jaccard": _DEDUP_JACCARD_SQL,
