@@ -3019,6 +3019,95 @@ FROM cands WHERE bit_count(xor(sha, shb)) <= 3
 """
 
 
+def _dedup_span_stats(spark, sf):
+    """Span-level (substring) duplication per document — the
+    distributed stand-in for suffix-array substring dedup."""
+    d = _t(spark, sf, "documents")
+    return DD.substring_span_stats(d, window=8)
+
+
+_DEDUP_SPAN_STATS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS t FROM documents),
+sp AS (
+  SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 8
+      THEN [array_to_string(t[i+1:i+8], ' ') for i in range(0, len(t) - 7)]
+      ELSE [array_to_string(t, ' ')] END) AS g
+  FROM toks),
+dfreq AS (SELECT g, COUNT(*) AS nd FROM sp GROUP BY g)
+SELECT doc_id, COUNT(*) AS n_spans,
+  SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+  FLOOR(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*) * 10000) / 10000 AS shared_frac
+FROM sp JOIN dfreq USING (g) GROUP BY doc_id
+"""
+
+
+def _dedup_span_topk(spark, sf):
+    """Most widely shared 8-token spans — cross-document boilerplate
+    mining; the cut is a TakeOrdered with a deterministic tiebreak."""
+    d = _t(spark, sf, "documents")
+    return DD.common_span_topk(d, window=8, top_k=20)
+
+
+_DEDUP_SPAN_TOPK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS t FROM documents),
+sp AS (
+  SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 8
+      THEN [array_to_string(t[i+1:i+8], ' ') for i in range(0, len(t) - 7)]
+      ELSE [array_to_string(t, ' ')] END) AS g
+  FROM toks)
+SELECT g AS span, COUNT(*) AS ndocs FROM sp GROUP BY g HAVING COUNT(*) > 1
+ORDER BY ndocs DESC, span ASC LIMIT 20
+"""
+
+
+def _fuzzy_pairs_suppliers(spark, sf):
+    """Edit-distance-1 supplier-name pairs via FastSS deletion
+    neighborhoods (one equi-join on the variant key, |s|+1 keys per
+    row — no quadratic blocking), verified with the exact JVM
+    levenshtein. The oracle regenerates the same neighborhoods with a
+    DuckDB list comprehension and DuckDB's levenshtein()."""
+    from duckdb_iceberg_spark.operators import fuzzy as FZ
+
+    s = _t(spark, sf, "supplier")
+    return FZ.edit_distance_pairs(s, col="s_name", key_col="s_suppkey", max_dist=1)
+
+
+_FUZZY_SUPPLIERS_SQL = r"""
+WITH v AS (
+  SELECT DISTINCT s_suppkey AS k, s_name AS s,
+    unnest(list_prepend(s_name,
+      [substr(s_name, 1, i) || substr(s_name, i + 2) for i in range(0, len(s_name))])) AS var
+  FROM supplier),
+cand AS (
+  SELECT DISTINCT x.k AS id_a, y.k AS id_b, x.s AS sa, y.s AS sb
+  FROM v x JOIN v y ON x.var = y.var AND x.k < y.k)
+SELECT id_a, id_b, levenshtein(sa, sb)::INT AS dist
+FROM cand WHERE levenshtein(sa, sb) = 1
+"""
+
+
+def _text_bpe_pairs(spark, sf):
+    """BPE tokenizer-training statistic: corpus-wide adjacent char
+    pair counts weighted by word frequency, top 50."""
+    d = _t(spark, sf, "documents")
+    return LM.bpe_pair_counts(d, top_k=50)
+
+
+_TEXT_BPE_SQL = r"""
+WITH words AS (
+  SELECT tok AS w, COUNT(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS tok FROM documents)
+  GROUP BY tok),
+pairs AS (
+  SELECT unnest([substr(w, i + 1, 2) for i in range(0, len(w) - 1)]) AS pair, freq
+  FROM words WHERE len(w) >= 2)
+SELECT pair, SUM(freq)::BIGINT AS cnt FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair ASC LIMIT 50
+"""
+
+
 def _ann_lsh_topk(spark, sf):
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -4123,6 +4212,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_3gram": _dedup_jaccard_3gram,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
+        "dedup_span_stats": _dedup_span_stats,
+        "dedup_span_topk": _dedup_span_topk,
+        "fuzzy_pairs_suppliers": _fuzzy_pairs_suppliers,
+        "text_bpe_pairs": _text_bpe_pairs,
         # similarity search
         "ann_lsh_topk": _ann_lsh_topk,  # rows-only
         "ann_ivf_topk": _ann_ivf_topk,  # rows-only
@@ -4237,6 +4330,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_pairs": _DEDUP_MINHASH_PAIRS_SQL,
         "dedup_jaccard_3gram": _DEDUP_J3_SQL,
         "dedup_simhash_pairs": _DEDUP_SIMHASH_SQL,
+        "dedup_span_stats": _DEDUP_SPAN_STATS_SQL,
+        "dedup_span_topk": _DEDUP_SPAN_TOPK_SQL,
+        "fuzzy_pairs_suppliers": _FUZZY_SUPPLIERS_SQL,
+        "text_bpe_pairs": _TEXT_BPE_SQL,
         "ewma_events": _EWMA_SQL,
         "knn_join_exact": _KNN_EXACT_SQL,
         "dedup_jaccard": _DEDUP_JACCARD_SQL,

@@ -554,3 +554,72 @@ def line_dedup(
         .join(reassembled, key_col, "left")
         .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     )
+
+
+def substring_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """Span-level duplication: for each document, the fraction of its
+    distinct ``window``-token spans that appear verbatim in at least
+    one OTHER document — the distributed analogue of suffix-array
+    substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better": exact duplicated substrings of a
+    minimum token length). Documents shorter than ``window`` tokens
+    contribute their whole text as one span (consistent with
+    functions.text.shingles).
+
+    Returns (key_col, n_spans, n_shared, shared_frac) where
+    shared_frac is floor-quantized to 4 decimals (hash-stable).
+
+    Scale shape: spans are md5 digests, DISTINCT PER DOCUMENT before
+    the explode (array_distinct, same reasoning as _doc_tokens); the
+    doc-frequency table is one map-side-combine groupBy on the digest
+    and the per-doc rollup one shuffle on the key. The exploded
+    (key, digest) stream is O(total tokens) — nothing quadratic at
+    100 TB, unlike a literal suffix array.
+    """
+    spans = _doc_tokens(df, key_col, text_col, window).select(
+        key_col, F.md5("tok").alias("__d")
+    )
+    dfreq = spans.groupBy("__d").agg(F.count("*").alias("__ndocs"))
+    return (
+        spans.join(dfreq, "__d")
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("__ndocs") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+        .withColumn(
+            "shared_frac",
+            F.floor(F.col("n_shared") / F.col("n_spans") * 10000) / 10000,
+        )
+    )
+
+
+def common_span_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    window: int = 8,
+    top_k: int = 20,
+) -> DataFrame:
+    """The ``top_k`` most widely shared ``window``-token spans across
+    the corpus — cross-document boilerplate mining (the spans a
+    curation pipeline would strip or down-weight). Ties broken by the
+    span text ascending, so the cut is deterministic.
+
+    Returns (span, ndocs). Same linear scale shape as
+    :func:`substring_span_stats`; the top-k is a TakeOrdered, never a
+    global sort materialization.
+    """
+    spans = _doc_tokens(df, key_col, text_col, window)
+    return (
+        spans.groupBy(F.col("tok").alias("span"))
+        .agg(F.count("*").alias("ndocs"))
+        .where(F.col("ndocs") > 1)
+        .orderBy(F.desc("ndocs"), F.asc("span"))
+        .limit(top_k)
+    )

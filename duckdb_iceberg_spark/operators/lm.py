@@ -33,6 +33,47 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.text import shingles, tokens
 
 
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_k: int = 50
+) -> DataFrame:
+    """Corpus-wide adjacent-character-pair frequencies — the statistic
+    BPE tokenizer training greedily merges on (Sennrich et al. 2016,
+    step 1: count symbol pairs weighted by word frequency).
+
+    Returns the ``top_k`` (pair, cnt) rows, ordered by cnt desc then
+    pair asc (deterministic tie-break).
+
+    Scale shape: the corpus collapses to a (word, freq) table first —
+    a map-side-combine groupBy whose shuffle carries the vocabulary,
+    not the text — and pair extraction is a per-row JVM transform over
+    that small table. At 100 TB the heavy shuffle is the word count;
+    everything after is vocabulary-sized. Repeated pairs inside one
+    word each count ("aaa" -> "aa" twice), exactly as BPE requires.
+    """
+    words = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    # sequence() infers a DESCENDING step when start > stop, so 1-char
+    # words need the explicit empty-array guard, not sequence(1, 0).
+    pairs = words.where(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(top_k)
+    )
+
+
 def bigram_counts(df: DataFrame, text_col: str = "text") -> tuple[DataFrame, DataFrame]:
     """Train the model: (bigram counts, unigram counts) over the corpus.
 
