@@ -105,19 +105,55 @@ def bigram_lm_score(
     default trains on ``df`` itself. Documents with no bigrams (< 2
     tokens) are dropped — they carry no signal.
     """
-    c12, c1 = counts if counts is not None else bigram_counts(df, text_col)
+    from pyspark.sql import Window
+
+    from ..functions.text import bind_once
+
+    if counts is not None:
+        # External (reference-corpus) model: counts come in as tables
+        # keyed by the "w1 w2" bigram string, so the join is
+        # unavoidable — this path trades speed for the cross-corpus
+        # API.
+        c12, c1 = counts
+        bg = df.select(
+            F.col(key_col), F.explode(shingles(F.col(text_col), 2)).alias("bg")
+        ).where(F.col("bg").contains(" "))
+        scored = bg.join(c12, "bg").withColumn("__w1", F.split(F.col("bg"), " ")[0])
+    else:
+        # Self-trained fast path. Two structural choices, both forced
+        # by scale: (1) the bigram is a (w1, w2) STRUCT, never a
+        # concatenated string — no per-shingle concat_ws on the way
+        # out, no split() re-parse on the way back; (2) the corpus
+        # count c12 is a FULL-PARTITION WINDOW over the instance
+        # stream, not a join against a re-exploded copy of the corpus
+        # — one tokenize pass, ONE exchange on the pair, zero
+        # self-joins. (The join formulation paid the big side's
+        # shuffle before AQE could see the model table was
+        # broadcast-sized — an AQE replanning boundary, so the fix is
+        # structural, not a hint. sf10: 61 s -> ~20 s.)
+        t = tokens(F.lower(F.col(text_col)))
+
+        def _pairs(tb):
+            return F.zip_with(
+                F.slice(tb, 1, F.size(tb) - 1),
+                F.slice(tb, 2, F.size(tb) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+
+        scored = (
+            df.select(F.col(key_col), F.explode(bind_once(t, _pairs)).alias("p"))
+            .withColumn("c12", F.count("*").over(Window.partitionBy("p")))
+            .withColumn("__w1", F.col("p.w1"))
+        )
+        uni = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
     vocab = c1.agg(F.count("*").alias("__v"))
     c1w = c1.select(F.col("w").alias("__w1"), F.col("c1"))
     if broadcast_unigrams:
         c1w = F.broadcast(c1w)
         vocab = F.broadcast(vocab)
-    bg = df.select(
-        F.col(key_col), F.explode(shingles(F.col(text_col), 2)).alias("bg")
-    ).where(F.col("bg").contains(" "))
     return (
-        bg.join(c12, "bg")
-        .withColumn("__w1", F.split(F.col("bg"), " ")[0])
-        .join(c1w, "__w1")
+        scored.join(c1w, "__w1")
         .crossJoin(vocab)
         .groupBy(key_col)
         .agg(
