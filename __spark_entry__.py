@@ -3108,6 +3108,51 @@ ORDER BY cnt DESC, pair ASC LIMIT 50
 """
 
 
+def _text_bpe_tokens(spark, sf):
+    """Per-doc token count under a TRAINED single-merge BPE: the
+    distributed word-frequency pass feeds the driver-side greedy
+    trainer (operators/bpe.py), and the one learned merge is applied
+    corpus-wide via the once-per-distinct-word encode join. One merge
+    keeps the whole train+apply round-trip SQL-expressible, so the
+    oracle re-derives the argmax pair and replays it with replace()."""
+    from duckdb_iceberg_spark.operators import bpe as BPE
+
+    d = _t(spark, sf, "documents")
+    merges = BPE.bpe_train(d, num_merges=1, min_freq=2)
+    return BPE.bpe_token_counts(d, merges)
+
+
+_TEXT_BPE_TOKENS_SQL = r"""
+WITH words AS (
+  SELECT doc_id, tok AS w FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS tok
+    FROM documents) WHERE tok <> ''),
+wf AS (SELECT w, COUNT(*) AS freq FROM words GROUP BY w),
+pc AS (
+  SELECT unnest([substr(w, i + 1, 2) for i in range(0, len(w) - 1)]) AS pair, freq
+  FROM wf WHERE freq >= 2 AND len(w) >= 2),
+best AS (
+  SELECT pair FROM (SELECT pair, SUM(freq) AS cnt FROM pc GROUP BY pair)
+  ORDER BY cnt DESC, pair ASC LIMIT 1)
+SELECT doc_id,
+  SUM(len(w) - (len(w) - len(replace(w, (SELECT pair FROM best), ''))) // 2)::BIGINT AS bpe_tokens,
+  COUNT(*) AS words
+FROM words GROUP BY doc_id
+"""
+
+
+def _text_bpe_vocab(spark, sf):
+    """Piece-frequency head of a 30-merge BPE vocabulary — iterative
+    greedy training, so no SQL twin (rows-only driver check; the
+    trainer and encoder carry their own hand-computed + invariant
+    tests in tests/test_bpe.py)."""
+    from duckdb_iceberg_spark.operators import bpe as BPE
+
+    d = _t(spark, sf, "documents")
+    merges = BPE.bpe_train(d, num_merges=30, min_freq=2)
+    return BPE.bpe_piece_topk(d, merges, top_k=40)
+
+
 def _ann_lsh_topk(spark, sf):
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -4216,6 +4261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_topk": _dedup_span_topk,
         "fuzzy_pairs_suppliers": _fuzzy_pairs_suppliers,
         "text_bpe_pairs": _text_bpe_pairs,
+        "text_bpe_tokens": _text_bpe_tokens,
+        "text_bpe_vocab": _text_bpe_vocab,  # rows-only: iterative BPE training has no SQL twin
         # similarity search
         "ann_lsh_topk": _ann_lsh_topk,  # rows-only
         "ann_ivf_topk": _ann_ivf_topk,  # rows-only
@@ -4334,6 +4381,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_span_topk": _DEDUP_SPAN_TOPK_SQL,
         "fuzzy_pairs_suppliers": _FUZZY_SUPPLIERS_SQL,
         "text_bpe_pairs": _TEXT_BPE_SQL,
+        "text_bpe_tokens": _TEXT_BPE_TOKENS_SQL,
         "ewma_events": _EWMA_SQL,
         "knn_join_exact": _KNN_EXACT_SQL,
         "dedup_jaccard": _DEDUP_JACCARD_SQL,

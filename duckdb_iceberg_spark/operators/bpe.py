@@ -1,0 +1,191 @@
+"""BPE tokenizer induction over a document corpus (Sennrich et al.
+2016, "Neural Machine Translation of Rare Words with Subword Units").
+
+Reference parity note: the reference engine (duckdb_iceberg) has no
+tokenizer operators — this family belongs to the training-data
+pipeline surface the build brief layers on top of the reference's
+query engine.
+
+Scale shape
+-----------
+Training never iterates over the corpus. The ONE distributed pass
+collapses 100 TB of text to a (word, freq) vocabulary table — a
+map-side-combine groupBy whose shuffle carries the vocabulary, not
+the text. The greedy merge loop then runs driver-side over an
+explicitly capped vocabulary (``max_vocab_words``, most-frequent
+first) — the same word-count-table formulation HuggingFace
+``tokenizers`` trains from; the cap is the documented, bounded
+driver-memory budget (1M words ≈ tens of MB), not an accidental
+collect.
+
+Encoding re-uses the same collapse: each DISTINCT word is encoded
+exactly once by an Arrow-batched pandas UDF (pure per-word local
+work), and the per-word piece counts flow back to documents through
+one join on the word key — the corpus text itself is never shipped
+through Python row-at-a-time.
+"""
+
+# NOTE: no `from __future__ import annotations` here — it stringifies
+# the pandas_udf signature hints and PySpark's typehint inference
+# cannot resolve them inside a function body.
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..functions.text import tokens
+
+__all__ = ["bpe_train", "bpe_word_pieces", "bpe_token_counts", "bpe_piece_topk"]
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the lowercased whitespace-tokenized corpus —
+    the single corpus-wide pass everything else derives from."""
+    return (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _merge_word(sym: tuple, pair: tuple) -> tuple:
+    """Apply one merge to a symbol tuple (left-to-right, as BPE does)."""
+    out, i, n = [], 0, len(sym)
+    a, b = pair
+    while i < n:
+        if i < n - 1 and sym[i] == a and sym[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 50,
+    min_freq: int = 2,
+    max_vocab_words: int = 1_000_000,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from the corpus.
+
+    Returns the ranked merge list [(left, right), ...]. Deterministic:
+    ties in pair frequency break on the pair's lexicographic order, so
+    the same corpus always trains the same tokenizer.
+    """
+    vocab_rows = (
+        word_frequencies(df, text_col)
+        .where(F.col("freq") >= min_freq)
+        .orderBy(F.desc("freq"), F.asc("w"))
+        .limit(max_vocab_words)
+        .collect()
+    )
+    vocab = {tuple(r.w): r.freq for r in vocab_rows}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, freq in vocab.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        vocab = {_merge_word(sym, best): f for sym, f in vocab.items()}
+    return merges
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Encode one word with a ranked merge list (greedy by rank —
+    identical to applying the merges in training order)."""
+    rank = {p: i for i, p in enumerate(merges)}
+    sym = tuple(word)
+    while len(sym) > 1:
+        pairs = [(sym[i], sym[i + 1]) for i in range(len(sym) - 1)]
+        ranked = [(rank[p], p) for p in pairs if p in rank]
+        if not ranked:
+            break
+        sym = _merge_word(sym, min(ranked)[1])
+    return list(sym)
+
+
+def bpe_word_pieces(
+    df: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """(word, freq, pieces array<string>, n_pieces) — every DISTINCT
+    corpus word encoded once, via an Arrow-batched pandas UDF (the
+    merge table rides to executors inside the closure; per-word work
+    is purely local)."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _enc(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: encode_word(w, merges))
+
+    # Marked nondeterministic to PIN the encode above the vocabulary
+    # aggregate: a downstream explode(pieces) makes Catalyst infer a
+    # size(pieces) > 0 filter and push the (deterministic) UDF down
+    # through the groupBy — re-encoding every token INSTANCE instead
+    # of every distinct word (measured at sf10: 188 s vs 5 s). The
+    # function is pure; the flag only forbids the optimizer from
+    # relocating/duplicating it.
+    _enc = _enc.asNondeterministic()
+
+    wf = word_frequencies(df, text_col)
+    return wf.select(
+        "w",
+        "freq",
+        _enc(F.col("w")).alias("pieces"),
+    ).withColumn("n_pieces", F.size("pieces"))
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE token count under a trained merge list — the
+    token-budget statistic a packing/sampling stage consumes.
+
+    One explode of (doc, word) joined to the once-encoded distinct
+    vocabulary (broadcast-eligible — vocabulary-sized), then a per-doc
+    sum. Words pruned from training (below min_freq) still encode via
+    the same UDF table because the vocabulary here is the full corpus
+    vocabulary, not the capped training one.
+    """
+    pieces = bpe_word_pieces(df, merges, text_col).select("w", "n_pieces")
+    dw = df.select(
+        F.col(key_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
+    ).where(F.col("w") != "")
+    return (
+        dw.join(pieces, "w")
+        .groupBy(key_col)
+        .agg(
+            F.sum("n_pieces").alias("bpe_tokens"),
+            F.count("*").alias("words"),
+        )
+    )
+
+
+def bpe_piece_topk(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus piece-frequency histogram head: the ``top_k`` BPE pieces
+    by total corpus occurrences (piece count × word freq), ties broken
+    by piece text — the vocabulary-usage view a tokenizer audit reads.
+    """
+    wp = bpe_word_pieces(df, merges, text_col)
+    return (
+        wp.select(F.explode("pieces").alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(top_k)
+    )
