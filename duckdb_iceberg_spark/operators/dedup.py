@@ -574,19 +574,23 @@ def substring_span_stats(
     Returns (key_col, n_spans, n_shared, shared_frac) where
     shared_frac is floor-quantized to 4 decimals (hash-stable).
 
-    Scale shape: spans are md5 digests, DISTINCT PER DOCUMENT before
-    the explode (array_distinct, same reasoning as _doc_tokens); the
-    doc-frequency table is one map-side-combine groupBy on the digest
-    and the per-doc rollup one shuffle on the key. The exploded
-    (key, digest) stream is O(total tokens) — nothing quadratic at
-    100 TB, unlike a literal suffix array.
+    Scale shape: spans collapse to xxhash64 LONG digests (distinct
+    per document via _doc_tokens' array_distinct) so the one exchange
+    carries 16-byte rows, and the span doc-frequency is a
+    FULL-PARTITION WINDOW over that single exploded stream — not a
+    groupBy + self-join, which would tokenize the corpus twice and
+    shuffle it twice (the join's big side ships before AQE can see
+    the frequency table's size; measured at sf10: 151 s -> 37 s).
+    O(total tokens) end to end — nothing quadratic at 100 TB, unlike
+    a literal suffix array.
     """
+    from pyspark.sql import Window
+
     spans = _doc_tokens(df, key_col, text_col, window).select(
-        key_col, F.md5("tok").alias("__d")
+        key_col, F.xxhash64("tok").alias("__d")
     )
-    dfreq = spans.groupBy("__d").agg(F.count("*").alias("__ndocs"))
     return (
-        spans.join(dfreq, "__d")
+        spans.withColumn("__ndocs", F.count("*").over(Window.partitionBy("__d")))
         .groupBy(key_col)
         .agg(
             F.count("*").alias("n_spans"),
