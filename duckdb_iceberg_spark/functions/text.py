@@ -190,6 +190,33 @@ def shingles(col, n: int = 3) -> Column:
     return bind_once(t, _build)
 
 
+def span_hashes(col, n: int = 8) -> Column:
+    """xxhash64 digests of the word n-gram spans -> array<long>.
+
+    The COUNTING twin of :func:`shingles`: identical span boundaries
+    (including the whole-text fallback for docs shorter than ``n``
+    tokens), but each span surfaces as the xxhash64 of its token
+    sub-array instead of a concatenated string — no per-span string
+    allocation on the way out and 8-byte rows on any downstream
+    exchange. Collisions are the usual 2^-64-scale rounding error of
+    hash-based dedup statistics. Use where only span IDENTITY matters
+    (doc-frequency, duplication stats); use shingles() where the span
+    TEXT must survive.
+    """
+    t = tokens(F.lower(col))
+
+    def _build(tb):
+        return F.when(
+            F.size(tb) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tb) - n),
+                lambda i: F.xxhash64(F.slice(tb, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.xxhash64(tb)))
+
+    return bind_once(t, _build)
+
+
 def _dup_fraction(arr) -> Column:
     """(size - distinct size) / size over a BOUND array (see
     bind_once — the caller's array expression must evaluate once)."""

@@ -586,8 +586,11 @@ def substring_span_stats(
     """
     from pyspark.sql import Window
 
-    spans = _doc_tokens(df, key_col, text_col, window).select(
-        key_col, F.xxhash64("tok").alias("__d")
+    spans = df.select(
+        key_col,
+        F.explode(
+            F.array_distinct(TX.span_hashes(F.col(text_col), window))
+        ).alias("__d"),
     )
     return (
         spans.withColumn("__ndocs", F.count("*").over(Window.partitionBy("__d")))

@@ -2,9 +2,13 @@
 
 EWMA is the canonical "iterative per-key recurrence" Spark's built-in
 window functions can't express directly (state folds across rows).
-The scalable shape is ``applyInPandas``: one shuffle on the key, then
-each group's recurrence runs vectorized in Arrow batches — no state
-larger than a group ever materializes anywhere.
+The scalable shape is ONE shuffle on the key, then a PARTITION-level
+``mapInPandas`` over (key, ts)-sorted input — each Arrow batch holds
+many keys and the recurrence runs as a vectorized pandas
+groupby().ewm(); per-key state never exceeds one group's rows. (A
+grouped applyInPandas is semantically identical but pays one Arrow
+round-trip per key — with millions of small keys that overhead IS the
+runtime.)
 
 For the oracle there is a closed form: with gap-independent alpha,
     ewma_i = (1-a)^i * x_0 + a * sum_{j<=i} (1-a)^(i-j) x_j
