@@ -621,12 +621,80 @@ def common_span_topk(
     Returns (span, ndocs). Same linear scale shape as
     :func:`substring_span_stats`; the top-k is a TakeOrdered, never a
     global sort materialization.
+
+    Two-phase to keep span TEXT off every large exchange: phase 1
+    counts 8-byte slice digests (functions.text.span_hashes) and
+    derives the k-th doc-frequency boundary declaratively (no
+    collect); phase 2 rebuilds the string for ONE witness position
+    per surviving digest — a broadcast-pruned posexplode, then a
+    second broadcast join back to the witness documents. Ties at the
+    boundary stay exact because every digest with ndocs >= the k-th
+    count is recovered before the final (ndocs desc, span asc) cut.
+    (The direct string groupBy shipped 25M ~90-char spans through the
+    exchange: sf10 65 s -> ~30 s.)
     """
-    spans = _doc_tokens(df, key_col, text_col, window)
-    return (
-        spans.groupBy(F.col("tok").alias("span"))
+    # The tokenize+hash explode is the expensive pass, so it runs
+    # exactly once: the posexploded stream is hash-repartitioned on
+    # the digest and BOTH consumers (the doc-frequency count and the
+    # witness lookup) hang off that one exchange — Spark's
+    # ReusedExchange materializes it once. Its partitioning satisfies
+    # the groupBy and the dropDuplicates alike, so neither adds a
+    # second data-proportional shuffle.
+    # persist() is the fence that makes "runs exactly once" true: a
+    # bare repartition() exchange is NOT reusable here because the
+    # witness branch's semi-join gets pushed below it (changing that
+    # branch's exchange subtree), and Catalyst then re-runs the whole
+    # explode. The persisted stream is MEMORY_AND_DISK — at cluster
+    # scale it spills like any shuffle materialization would.
+    stream = (
+        df.select(
+            F.col(key_col),
+            F.posexplode(
+                TX.span_hashes(F.col(text_col), window)
+            ).alias("__pos", "__d"),
+        )
+        .repartition("__d")
+        .persist()
+    )
+    # distinct per (doc, digest): a doc repeating a span must count
+    # once (array_distinct did this pre-explode in phase-1 designs;
+    # here the stream keeps positions, so dedupe on the digest side)
+    per_doc = stream.dropDuplicates([key_col, "__d"])
+    cnt = (
+        per_doc.groupBy("__d")
         .agg(F.count("*").alias("ndocs"))
         .where(F.col("ndocs") > 1)
+    )
+    # k-th boundary via rank() so ties survive exactly, derived from
+    # cnt IN PLACE (a min-of-top-k scalar subquery grows its own plan
+    # subtree and re-runs the explode). The global window only ever
+    # sees the shared-span candidate set — the same volume the final
+    # TakeOrdered handles anyway.
+    from pyspark.sql import Window
+
+    hot = F.broadcast(
+        cnt.withColumn(
+            "__rk", F.rank().over(Window.orderBy(F.desc("ndocs")))
+        ).where(F.col("__rk") <= top_k)
+    )
+    # one witness (doc, position) per hot digest, then its text
+    witness = (
+        stream.join(hot.select("__d"), "__d", "left_semi")
+        .dropDuplicates(["__d"])
+    )
+    toks = TX.tokens(F.lower(F.col(text_col)))
+    span_at = F.when(
+        F.size(toks) >= window,
+        F.concat_ws(" ", F.slice(toks, F.col("__pos") + 1, window)),
+    ).otherwise(F.concat_ws(" ", toks))
+    recovered = (
+        df.join(F.broadcast(witness), key_col)
+        .select(F.col("__d"), span_at.alias("span"))
+        .dropDuplicates(["__d"])
+    )
+    return (
+        recovered.join(F.broadcast(hot.select("__d", "ndocs")), "__d")
+        .select("span", "ndocs")
         .orderBy(F.desc("ndocs"), F.asc("span"))
         .limit(top_k)
     )
