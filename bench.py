@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "contamination",
     "sim_quantized",
     "resample_events",
+    "ewma_events",
+    "text_bpe_tokens",
 ]
 
 
