@@ -1112,9 +1112,20 @@ def _ewma_events(spark, sf):
     Oracle: the recurrence e_i = 0.7*e_{i-1} + 0.3*x_i is replayed in
     DuckDB by list_reduce over a 100-row trailing window — the weight
     of anything older is < 0.7^99 ~ 5e-16, below double noise, so the
-    truncated replay is bit-identical to the full recurrence after
-    ROUND(.., 4). (user_id, ts) is unique in the fixtures, so the
-    per-user order is deterministic on both sides."""
+    truncated replay matches the full recurrence after ROUND(.., 4).
+    (user_id, ts) is unique in the fixtures, so the per-user order is
+    deterministic on both sides.
+
+    The +1e-9 nudge before ROUND is a cross-engine tie-breaker: the
+    inputs carry exactly 2 decimals, so early recurrence steps produce
+    values that are EXACT decimal ties at the 4th place (e.g.
+    0.7*a+0.3*b = x.xxxx5). pandas' ewm and DuckDB's list_reduce walk
+    the same recurrence through different fp instruction sequences
+    (~1 ulp apart), which flips such ties either way — at sf10 that was
+    ~1770 of 10M rows off by exactly 1e-4. Nudging both engines 1e-9
+    above the boundary makes every tie round up decisively; non-tie
+    values (≥1e-5 from a boundary until step ~8, ≫1e-9 in practice)
+    are untouched."""
     from duckdb_iceberg_spark.operators.timeseries import ewma
 
     ev = _t(spark, sf, "events")
@@ -1123,7 +1134,7 @@ def _ewma_events(spark, sf):
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t"),
         F.round("value", 2).alias("value"),
-        F.round("ewma", 4).alias("ewma"),
+        F.round(F.col("ewma") + F.lit(1e-9), 4).alias("ewma"),
     )
 
 
@@ -1135,7 +1146,7 @@ WITH w AS (
   FROM events)
 SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS t,
   ROUND(value, 2) AS value,
-  ROUND(list_reduce(lst, (acc, x) -> 0.7*acc + 0.3*x), 4) AS ewma
+  ROUND(list_reduce(lst, (acc, x) -> 0.7*acc + 0.3*x) + 1e-9, 4) AS ewma
 FROM w
 """
 
