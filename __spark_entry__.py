@@ -2186,18 +2186,48 @@ LATERAL (
 
 
 def _agg_approx_sketches(spark, sf):
-    """Sketch aggregates — the 100 TB answer to COUNT(DISTINCT) and
-    exact percentiles: HLL++ (approx_count_distinct) and GK
-    (percentile_approx) run in one pass with map-side partial merge,
-    constant memory per partition, no giant shuffle of distinct keys.
-    Values are implementation-defined (no cross-engine oracle);
-    accuracy vs exact is pinned in tests/test_operators.py."""
+    """Per-group sketch aggregates — the 100 TB answer to
+    COUNT(DISTINCT) and exact percentiles: HLL++
+    (approx_count_distinct) and GK (percentile_approx) run in one pass
+    with map-side partial merge, constant memory per partition, no
+    giant shuffle of distinct keys.
+
+    Sketch VALUES are implementation-defined, so the cross-engine
+    contract is: emit the exact statistics both engines agree on plus
+    booleans asserting each engine's OWN sketch lands inside its
+    published error bound (rsd=0.01 -> 5-sigma 0.05; GK accuracy 104
+    -> rank window [q-0.05, q+0.05]). All columns are scalar and
+    hash-exact; both engines' sketch paths genuinely execute. Tighter
+    accuracy pins live in tests/test_operators.py."""
     li = _t(spark, sf, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("price_q"),
+    exact_parts = F.countDistinct("l_partkey")
+    p45 = F.percentile("l_extendedprice", F.lit(0.45))
+    p55 = F.percentile("l_extendedprice", F.lit(0.55))
+    p85 = F.percentile("l_extendedprice", F.lit(0.85))
+    p95 = F.percentile("l_extendedprice", F.lit(0.95))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            exact_parts.alias("exact_parts"),
+            (F.abs(F.approx_count_distinct("l_partkey", 0.01) - exact_parts) <= 0.05 * exact_parts).alias("parts_ok"),
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).between(p45, p55).alias("p50_ok"),
+            F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(10000)).between(p85, p95).alias("p90_ok"),
+        )
     )
+
+
+_AGG_SKETCHES_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+  COUNT(DISTINCT l_partkey) AS exact_parts,
+  ABS(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+    <= 0.05 * COUNT(DISTINCT l_partkey) AS parts_ok,
+  approx_quantile(l_extendedprice, 0.5)
+    BETWEEN quantile_cont(l_extendedprice, 0.45) AND quantile_cont(l_extendedprice, 0.55) AS p50_ok,
+  approx_quantile(l_extendedprice, 0.9)
+    BETWEEN quantile_cont(l_extendedprice, 0.85) AND quantile_cont(l_extendedprice, 0.95) AS p90_ok
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def _text_vocab_topk(spark, sf):
@@ -2403,14 +2433,21 @@ def _text_bm25(spark, sf):
         ]
         return F.struct(*cols)
 
-    base = (
+    from duckdb_iceberg_spark.cache import scoped_persist
+
+    # dl > 0 matches the oracle's explode semantics: docs that tokenize
+    # to zero tokens (or NULL text, where size(null) = -1) contribute to
+    # neither n_docs nor avgdl — without the filter they'd count here
+    # but not in the DuckDB twin, a cross-engine divergence the current
+    # fixtures just happen not to trigger.
+    base = scoped_persist(
         d.select("doc_id", TX.bind_once(arr, _stats).alias("__s"))
         .select(
             "doc_id",
             F.col("__s.dl").alias("dl"),
             *[F.col(f"__s.tf{i}") for i in range(len(_BM25_TERMS))],
         )
-        .persist()
+        .where(F.col("dl") > 0)
     )
     doclen = base.select("doc_id", "dl")
     tf = (
@@ -3188,17 +3225,22 @@ best AS (
   SELECT pair FROM (SELECT pair, SUM(freq) AS cnt FROM pc GROUP BY pair)
   ORDER BY cnt DESC, pair ASC LIMIT 1)
 SELECT doc_id,
-  SUM(len(w) - (len(w) - len(replace(w, (SELECT pair FROM best), ''))) // 2)::BIGINT AS bpe_tokens,
+  SUM(len(w) - (len(w) - len(replace(w, COALESCE((SELECT pair FROM best), ''), ''))) // 2)::BIGINT AS bpe_tokens,
   COUNT(*) AS words
 FROM words GROUP BY doc_id
 """
 
 
 def _text_bpe_vocab(spark, sf):
-    """Piece-frequency head of a 30-merge BPE vocabulary — iterative
-    greedy training, so no SQL twin (rows-only driver check; the
-    trainer and encoder carry their own hand-computed + invariant
-    tests in tests/test_bpe.py)."""
+    """Piece-frequency head of a 30-merge BPE vocabulary. The greedy
+    trainer is iterative, but each step is SQL-expressible, so the
+    DuckDB twin UNROLLS all 30 merge steps as chained CTEs over a
+    chr(1)-delimited symbol-string state (fixture text contains no
+    chr(1); pair argmax tie-breaks on (a, b) exactly like the
+    Python trainer's (-count, pair) min). Spark applies the trained
+    merges via the greedy-by-rank encoder, which is equivalent to
+    in-order application for any trained (consistent) merge list —
+    asserted in tests/test_bpe.py."""
     from duckdb_iceberg_spark.operators import bpe as BPE
 
     d = _t(spark, sf, "documents")
@@ -3206,31 +3248,176 @@ def _text_bpe_vocab(spark, sf):
     return BPE.bpe_piece_topk(d, merges, top_k=40)
 
 
+def _bpe_vocab_sql(num_merges: int = 30, min_freq: int = 2, top_k: int = 40) -> str:
+    """DuckDB twin of bpe_train + bpe_piece_topk: state = word symbols
+    joined/delimited by chr(1); one CTE trio per merge step (pair
+    counts over freq>=min_freq training words, argmax pair, replace
+    applied to ALL words — matching the Python trainer counting pairs
+    on the capped vocab but the encoder covering the full corpus)."""
+    steps = []
+    for k in range(1, num_merges + 1):
+        prev = f"v{k-1}"
+        steps.append(f"""
+st{k} AS (SELECT string_split(trim(s, chr(1)), chr(1)) AS l, freq FROM {prev}),
+pc{k} AS (
+  SELECT p[1] AS a, p[2] AS b, SUM(freq) AS cnt
+  FROM (SELECT unnest([[list_extract(l, i), list_extract(l, i + 1)] for i in range(1, len(l))]) AS p,
+               freq
+        FROM st{k} WHERE freq >= {min_freq})
+  GROUP BY 1, 2),
+best{k} AS (SELECT a, b FROM pc{k} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+v{k} AS MATERIALIZED (
+  SELECT CASE WHEN NOT EXISTS (SELECT 1 FROM best{k}) THEN s
+    ELSE replace(s,
+      (SELECT chr(1) || a || chr(1) || b || chr(1) FROM best{k}),
+      (SELECT chr(1) || a || b || chr(1) FROM best{k})) END AS s, freq
+  FROM {prev})""")
+    chain = ",".join(steps)
+    return rf"""
+WITH words AS MATERIALIZED (
+  SELECT tok AS w, COUNT(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY tok),
+v0 AS MATERIALIZED (
+  SELECT chr(1) || array_to_string([substr(w, i + 1, 1) for i in range(0, len(w))], chr(1)) || chr(1) AS s,
+         freq
+  FROM words),{chain}
+SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split(trim(s, chr(1)), chr(1))) AS piece, freq FROM v{num_merges})
+GROUP BY piece ORDER BY cnt DESC, piece ASC LIMIT {top_k}
+"""
+
+
 def _ann_lsh_topk(spark, sf):
+    """Random-hyperplane LSH ANN with multiprobe (hamming<=2 of the
+    query's bucket). The planes come from a fixed seed, so the bucket
+    of every vector — and therefore the approximate candidate set and
+    the final top-10 — is deterministic; the DuckDB twin recomputes
+    the SAME LSH (plane literals embedded in the SQL) and reproduces
+    the approximate result exactly. The oracle checks the ANN answer
+    itself, not a brute-force stand-in."""
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return SIM.lsh_topk(e.filter(F.col("vec_id") > 0), q, k=10, n_planes=4, probe_hamming=2)
 
 
 def _ann_ivf_topk(spark, sf):
-    """IVF-Flat ANN: k-means inverted lists, probe-limited scan."""
+    """IVF-Flat ANN: k-means inverted lists, probe-limited scan. The
+    entry probes ALL 8 lists (n_probe = n_centroids), so the full
+    index machinery runs — build, per-row JVM assignment, driver-side
+    centroid ranking, list-pruned scan — while the result is provably
+    exact and hash-checked against a brute-force DuckDB twin.
+    Partial-probe recall bounds live in tests/test_operators.py."""
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     base = e.filter(F.col("vec_id") > 0)
     centroids, assigned = SIM.ivf_build(base, n_centroids=8, iters=2)
-    return SIM.ivf_topk(assigned, centroids, q, k=10, n_probe=4)
+    return SIM.ivf_topk(assigned, centroids, q, k=10, n_probe=8)
+
+
+_ANN_IVF_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id, ROUND(list_cosine_similarity(v, qv), 4) AS cos
+FROM e, q WHERE vec_id > 0 ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
+def _plane_values_sql(n_planes: int = 4, dim: int = 64, seed: int = 42) -> str:
+    """VALUES clause of the seeded LSH hyperplanes (full-precision
+    string->DOUBLE literals, exact round-trip) — lets the DuckDB twin
+    compute the identical buckets the Spark LSH uses. dim matches the
+    fixture embedding length (TESTDATA.md)."""
+    rows = ", ".join(
+        "({}, [{}])".format(i, ", ".join(f"'{float(x)!r}'::DOUBLE" for x in p))
+        for i, p in enumerate(SIM._planes(n_planes, dim, seed))
+    )
+    return f"(VALUES {rows}) t(pid, p)"
+
+
+_ANN_LSH_SQL = f"""
+WITH pl AS (SELECT pid, p FROM {_plane_values_sql()}),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+bits AS (
+  SELECT e.vec_id,
+    string_agg(CASE WHEN list_dot_product(e.v, pl.p) >= 0 THEN '1' ELSE '0' END,
+               '' ORDER BY pl.pid) AS bucket
+  FROM e, pl GROUP BY e.vec_id),
+qb AS (SELECT bucket AS q FROM bits WHERE vec_id = 0),
+qv AS (SELECT v FROM e WHERE vec_id = 0),
+cand AS (
+  SELECT b.vec_id FROM bits b, qb
+  WHERE b.vec_id > 0 AND
+    (CASE WHEN substr(b.bucket,1,1) <> substr(qb.q,1,1) THEN 1 ELSE 0 END
+   + CASE WHEN substr(b.bucket,2,1) <> substr(qb.q,2,1) THEN 1 ELSE 0 END
+   + CASE WHEN substr(b.bucket,3,1) <> substr(qb.q,3,1) THEN 1 ELSE 0 END
+   + CASE WHEN substr(b.bucket,4,1) <> substr(qb.q,4,1) THEN 1 ELSE 0 END) <= 2)
+SELECT e.vec_id AS vec_id, ROUND(list_cosine_similarity(e.v, qv.v), 4) AS cos
+FROM cand c JOIN e ON e.vec_id = c.vec_id, qv
+ORDER BY cos DESC, e.vec_id LIMIT 10
+"""
+
+
+_KNN_LSH_SQL = f"""
+WITH pl AS (SELECT pid, p FROM {_plane_values_sql()}),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+bits AS (
+  SELECT e.vec_id,
+    string_agg(CASE WHEN list_dot_product(e.v, pl.p) >= 0 THEN '1' ELSE '0' END,
+               '' ORDER BY pl.pid) AS bucket
+  FROM e, pl GROUP BY e.vec_id),
+l AS (SELECT e.vec_id AS qid, e.v AS qv, b.bucket FROM e JOIN bits b USING (vec_id)
+      WHERE e.vec_id < 20),
+r AS (SELECT e.vec_id AS nid, e.v AS nv, b.bucket FROM e JOIN bits b USING (vec_id)
+      WHERE e.vec_id >= 20),
+p2 AS (SELECT qid, nid, ROUND(list_cosine_similarity(qv, nv), 4) AS cos
+       FROM l JOIN r USING (bucket)),
+rk AS (SELECT qid, nid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       FROM p2)
+SELECT qid, nid, cos, rank FROM rk WHERE rank <= 5
+"""
 
 
 def _agg_approx(spark, sf):
-    """Sketch aggregates (HLL distinct, quantile sketch) — rows-only:
-    approximate by design, no exact oracle."""
+    """Global sketch aggregates (HLL++ distinct, GK quantile sketch),
+    driver-checkable: scalar exact statistics plus in-tolerance
+    booleans for each engine's own sketch (see _agg_approx_sketches
+    for the contract rationale). One pass, mergeable partials —
+    the shape that replaces exact COUNT(DISTINCT) at 100 TB."""
     li = _t(spark, sf, "lineitem")
+    exact_orders = F.countDistinct("l_orderkey")
+    exact_parts = F.countDistinct("l_partkey")
+    p45 = F.percentile("l_extendedprice", F.lit(0.45))
+    p55 = F.percentile("l_extendedprice", F.lit(0.55))
+    q20 = F.percentile("l_quantity", F.lit(0.20))
+    q30 = F.percentile("l_quantity", F.lit(0.30))
     return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("p50_price"),
-        F.percentile_approx("l_quantity", [0.25, 0.75], 1000).alias("qty_quartiles"),
+        exact_orders.alias("exact_orders"),
+        exact_parts.alias("exact_parts"),
+        (F.abs(F.approx_count_distinct("l_orderkey", 0.01) - exact_orders) <= 0.05 * exact_orders).alias("orders_ok"),
+        (F.abs(F.approx_count_distinct("l_partkey", 0.01) - exact_parts) <= 0.05 * exact_parts).alias("parts_ok"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).between(p45, p55).alias("p50_ok"),
+        F.percentile_approx("l_quantity", F.lit(0.25), F.lit(1000)).between(q20, q30).alias("q25_ok"),
     )
+
+
+_AGG_APPROX_SQL = """
+SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+  COUNT(DISTINCT l_partkey) AS exact_parts,
+  ABS(approx_count_distinct(l_orderkey) - COUNT(DISTINCT l_orderkey))
+    <= 0.05 * COUNT(DISTINCT l_orderkey) AS orders_ok,
+  ABS(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+    <= 0.05 * COUNT(DISTINCT l_partkey) AS parts_ok,
+  approx_quantile(l_extendedprice, 0.5)
+    BETWEEN quantile_cont(l_extendedprice, 0.45) AND quantile_cont(l_extendedprice, 0.55) AS p50_ok,
+  approx_quantile(l_quantity, 0.25)
+    BETWEEN quantile_cont(l_quantity, 0.20) AND quantile_cont(l_quantity, 0.30) AS q25_ok
+FROM lineitem
+"""
 
 
 def _join_bucketed(spark, sf):
@@ -3358,8 +3545,42 @@ SELECT qid, nid, cos, rank FROM rk WHERE rank <= 5
 
 
 def _mm_features(spark, sf):
+    """Multimodal feature extraction over the deterministic fake
+    media table (payload = utf-8 text bytes): the Arrow-batched
+    mapInPandas plumbing runs for real, and because the stub feature
+    is md5-derived (feature[i] = digest_byte[i]/255) every output has
+    a closed form the DuckDB twin recomputes from md5(text). Feature
+    bytes are emitted as exact integers (round(f*255) inverts the
+    float32 normalization losslessly) — scalar columns only, per the
+    driver-canon contract."""
     d = _t(spark, sf, "documents")
-    return MM.extract_features(MM.synth_media(d))
+    feats = MM.extract_features(MM.synth_media(d))
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        "media_type",
+        "payload_bytes",
+        "digest",
+        *[F.round(f[i].cast("double") * 255).cast("long").alias(f"b{i}") for i in range(8)],
+    )
+
+
+_MM_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+  CAST(octet_length(encode(text)) AS INT) AS payload_bytes,
+  md5(text) AS digest,
+  CAST(('0x' || substr(md5(text), 1, 2)) AS INT)::BIGINT AS b0,
+  CAST(('0x' || substr(md5(text), 3, 2)) AS INT)::BIGINT AS b1,
+  CAST(('0x' || substr(md5(text), 5, 2)) AS INT)::BIGINT AS b2,
+  CAST(('0x' || substr(md5(text), 7, 2)) AS INT)::BIGINT AS b3,
+  CAST(('0x' || substr(md5(text), 9, 2)) AS INT)::BIGINT AS b4,
+  CAST(('0x' || substr(md5(text), 11, 2)) AS INT)::BIGINT AS b5,
+  CAST(('0x' || substr(md5(text), 13, 2)) AS INT)::BIGINT AS b6,
+  CAST(('0x' || substr(md5(text), 15, 2)) AS INT)::BIGINT AS b7
+FROM documents
+"""
 
 
 def _mm_features_bmp(spark, sf):
@@ -3403,7 +3624,12 @@ FROM px GROUP BY doc_id
 
 
 def _streaming_stateful(spark, sf):
-    """Custom stateful operator (applyInPandasWithState) — rows-only."""
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running count / exact-cents value sum / last-seen, maintained
+    across micro-batches. The update-mode memory sink records one row
+    per user per batch; the entry keeps each user's FINAL state (max
+    n_events — running counts are monotone), which equals the batch
+    per-user aggregate — the DuckDB twin recomputes exactly that."""
     from duckdb_iceberg_spark.streaming.events import (
         read_events_stream,
         run_stream_to_memory,
@@ -3412,9 +3638,25 @@ def _streaming_stateful(spark, sf):
 
     stream = read_events_stream(spark, sf)
     out = run_stream_to_memory(stateful_user_stats(stream), "stream_stateful_entry", output_mode="update")
-    return out.select(
-        "user_id", "n_events", "sum_value", F.date_format("last_seen", "yyyy-MM-dd HH:mm:ss").alias("last_seen")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            "sum_value",
+            F.date_format("last_seen", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        )
     )
+
+
+_STREAM_STATEFUL_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+FROM events GROUP BY user_id
+"""
 
 
 def _streaming_to_iceberg(spark, sf):
@@ -3473,8 +3715,13 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
 
 
 def _streaming_dedup(spark, sf):
-    """Cross-batch streaming dedup: the events file delivered twice
-    must come out once (rows-only; exactness asserted in tests)."""
+    """Cross-batch streaming dedup (dropDuplicatesWithinWatermark):
+    the events file delivered twice must come out exactly once —
+    batch 1 creates state for every event_id, batch 2's re-delivery
+    is either state-deduped (ts >= watermark) or dropped as late
+    (ts < watermark), so the appended output is precisely one copy of
+    each event. The DuckDB twin is the source table itself (event_id
+    is unique in the fixture)."""
     from duckdb_iceberg_spark.streaming.events import (
         dedup_stream,
         read_events_files,
@@ -3485,6 +3732,11 @@ def _streaming_dedup(spark, sf):
     return run_stream_to_memory(dedup_stream(stream), "streaming_dedup_entry", output_mode="append").select(
         "event_id", "user_id", "event_type"
     )
+
+
+_STREAM_DEDUP_SQL = """
+SELECT event_id, user_id, event_type FROM events
+"""
 
 
 def _streaming_enrich(spark, sf):
@@ -3523,6 +3775,10 @@ GROUP BY 1, 2
 
 
 def _streaming_hourly(spark, sf):
+    """Watermarked tumbling-window rollup drained with availableNow in
+    complete mode: the materialized result equals the batch hourly
+    aggregate (exact-cents sums), which is the DuckDB twin — the
+    streaming == batch equivalence the north-star design promises."""
     from duckdb_iceberg_spark.streaming.events import (
         hourly_rollup,
         read_events_stream,
@@ -3537,6 +3793,14 @@ def _streaming_hourly(spark, sf):
         "n_events",
         "sum_value",
     )
+
+
+_STREAM_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM events GROUP BY 1, 2
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -4319,24 +4583,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs_suppliers": _fuzzy_pairs_suppliers,
         "text_bpe_pairs": _text_bpe_pairs,
         "text_bpe_tokens": _text_bpe_tokens,
-        "text_bpe_vocab": _text_bpe_vocab,  # rows-only: iterative BPE training has no SQL twin
+        "text_bpe_vocab": _text_bpe_vocab,
         # similarity search
-        "ann_lsh_topk": _ann_lsh_topk,  # rows-only
-        "ann_ivf_topk": _ann_ivf_topk,  # rows-only
-        "knn_join": _knn_join,  # rows-only (LSH-blocked; exact twin below is oracle-checked)
+        "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "knn_join": _knn_join,
         "knn_join_exact": _knn_join_exact,
-        "agg_approx": _agg_approx,  # rows-only (sketches)
+        "agg_approx": _agg_approx,
         "agg_percentiles": _agg_percentiles,
         "agg_listagg": _agg_listagg,
         "agg_regression": _agg_regression,
         # multimodal
         "mm_frame_sample": _mm_frame_sample,
-        "mm_features": _mm_features,  # rows-only
+        "mm_features": _mm_features,
         "mm_features_bmp": _mm_features_bmp,
         # streaming
-        "streaming_hourly": _streaming_hourly,  # rows-only
-        "streaming_stateful": _streaming_stateful,  # rows-only
-        "streaming_dedup": _streaming_dedup,  # rows-only (exactness in tests)
+        "streaming_hourly": _streaming_hourly,
+        "streaming_stateful": _streaming_stateful,
+        "streaming_dedup": _streaming_dedup,
         # iceberg parity
         "iceberg_history": _iceberg_history_q,
         "iceberg_arrow_scan": _iceberg_arrow_scan,
@@ -4441,6 +4705,16 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_tokens": _TEXT_BPE_TOKENS_SQL,
         "ewma_events": _EWMA_SQL,
         "knn_join_exact": _KNN_EXACT_SQL,
+        "knn_join": _KNN_LSH_SQL,
+        "ann_lsh_topk": _ANN_LSH_SQL,
+        "ann_ivf_topk": _ANN_IVF_SQL,
+        "agg_approx": _AGG_APPROX_SQL,
+        "agg_approx_sketches": _AGG_SKETCHES_SQL,
+        "mm_features": _MM_FEATURES_SQL,
+        "streaming_hourly": _STREAM_HOURLY_SQL,
+        "streaming_stateful": _STREAM_STATEFUL_SQL,
+        "streaming_dedup": _STREAM_DEDUP_SQL,
+        "text_bpe_vocab": _bpe_vocab_sql(),
         "dedup_jaccard": _DEDUP_JACCARD_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,

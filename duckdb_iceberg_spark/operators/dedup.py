@@ -645,16 +645,18 @@ def common_span_topk(
     # witness branch's semi-join gets pushed below it (changing that
     # branch's exchange subtree), and Catalyst then re-runs the whole
     # explode. The persisted stream is MEMORY_AND_DISK — at cluster
-    # scale it spills like any shuffle materialization would.
-    stream = (
+    # scale it spills like any shuffle materialization would. Scoped:
+    # the next scoped_persist anywhere in the session releases it, so
+    # a long entry suite never accumulates stranded cache blocks.
+    from ..cache import scoped_persist
+
+    stream = scoped_persist(
         df.select(
             F.col(key_col),
             F.posexplode(
                 TX.span_hashes(F.col(text_col), window)
             ).alias("__pos", "__d"),
-        )
-        .repartition("__d")
-        .persist()
+        ).repartition("__d")
     )
     # distinct per (doc, digest): a doc repeating a span must count
     # once (array_distinct did this pre-explode in phase-1 designs;

@@ -118,7 +118,16 @@ def bigram_lm_score(
         bg = df.select(
             F.col(key_col), F.explode(shingles(F.col(text_col), 2)).alias("bg")
         ).where(F.col("bg").contains(" "))
-        scored = bg.join(c12, "bg").withColumn("__w1", F.split(F.col("bg"), " ")[0])
+        # LEFT join + coalesce-to-0: bigrams absent from the reference
+        # model must score the smoothing floor a/(c1+aV), not vanish
+        # from the average — an OOV-garbage doc scored only on its few
+        # known bigrams would otherwise rank as high quality, the
+        # opposite of the KenLM-style filter this advertises.
+        scored = (
+            bg.join(c12, "bg", "left")
+            .withColumn("c12", F.coalesce(F.col("c12"), F.lit(0)))
+            .withColumn("__w1", F.split(F.col("bg"), " ")[0])
+        )
     else:
         # Self-trained fast path. Two structural choices, both forced
         # by scale: (1) the bigram is a (w1, w2) STRUCT, never a
@@ -152,8 +161,11 @@ def bigram_lm_score(
     if broadcast_unigrams:
         c1w = F.broadcast(c1w)
         vocab = F.broadcast(vocab)
+    # Left join for the same OOV reason (self-trained path always
+    # matches — w1 comes from the same tokenization that built c1).
     return (
-        scored.join(c1w, "__w1")
+        scored.join(c1w, "__w1", "left")
+        .withColumn("c1", F.coalesce(F.col("c1"), F.lit(0)))
         .crossJoin(vocab)
         .groupBy(key_col)
         .agg(

@@ -170,7 +170,10 @@ def _decode_payload(media_type: str, payload: bytes, use_real_codecs: bool = Fal
     are reproducible. ``use_real_codecs=True`` makes non-BMP/PPM
     payloads raise instead of falling back (the PIL/librosa/av hook)."""
     if media_type == "image" and payload and payload[:2] in (b"BM", b"P6"):
-        return _image_feature(decode_image(payload))
+        try:
+            return _image_feature(decode_image(payload))
+        except ValueError:
+            pass  # magic-bytes false positive (e.g. text starting "BM") -> stub feature
     if use_real_codecs:
         raise NotImplementedError(
             "only BMP/PPM decode natively; plug PIL/librosa/av into "

@@ -26,8 +26,11 @@ Semantics parity with the default path:
 - positional deletes apply per file, sequence-scoped (a delete file
   only affects data files with sequence <= the delete's), matched by
   normalized path or filename tail under ``allow_moved_paths``;
-- equality deletes are NOT supported here (the default path handles
-  them); iceberg_scan raises before planning.
+- equality deletes apply per file, sequence-scoped like the default
+  path (a delete only affects data files with sequence STRICTLY
+  smaller, matching ``_apply_equality_deletes``): each applicable
+  delete file's key columns are read in-reader and matching rows are
+  masked out with null-safe tuple equality.
 
 The plan JSON rides in a data source option — O(#files) strings.
 Fine for the thousands-of-files regime; beyond that use the default
@@ -54,12 +57,14 @@ def _tail(p: str) -> str:
 
 class _ArrowSlice(InputPartition):
     """One data file: (path, [(field_id, name, spark_type_json)],
-    applicable positional-delete paths, moved-path flag, S3 conf)."""
+    applicable positional-delete paths, applicable equality deletes
+    ([{path, cols}]), moved-path flag, S3 conf)."""
 
-    def __init__(self, path, fields, deletes, moved, fs_conf):
+    def __init__(self, path, fields, deletes, eq_deletes, moved, fs_conf):
         self.path = path
         self.fields = fields
         self.deletes = deletes
+        self.eq_deletes = eq_deletes
         self.moved = moved
         self.fs_conf = fs_conf
 
@@ -128,6 +133,34 @@ def _delete_positions(partition: _ArrowSlice) -> set:
     return drop
 
 
+def _equality_mask(table, eq_deletes, fs_conf):
+    """Boolean keep-mask over ``table`` rows for the applicable
+    equality-delete files: a row is dropped when its tuple of key
+    values (null-safe — None matches None, per the Iceberg spec's
+    equality semantics) appears in any delete file sharing that key
+    set. Delete keys load as python tuples (delete files are small
+    relative to data, the same bound the default path's broadcast
+    anti-join assumes)."""
+    import pyarrow.parquet as pq
+
+    from ..plans.fs import arrow_fs_path
+
+    keep = [True] * table.num_rows
+    by_cols: dict = {}
+    for spec in eq_deletes:
+        cols = tuple(spec["cols"])
+        afs, ap = arrow_fs_path(spec["path"], fs_conf)
+        dt = pq.read_table(ap, columns=list(cols), filesystem=afs)
+        keys = by_cols.setdefault(cols, set())
+        keys.update(zip(*[dt.column(c).to_pylist() for c in cols]))
+    for cols, keys in by_cols.items():
+        data = [table.column(c).to_pylist() for c in cols]
+        for i, tup in enumerate(zip(*data)):
+            if tup in keys:
+                keep[i] = False
+    return keep
+
+
 class _IcebergArrowReader(DataSourceReader):
     def __init__(self, plan: dict):
         self.plan = plan
@@ -136,7 +169,14 @@ class _IcebergArrowReader(DataSourceReader):
         p = self.plan
         fields = [tuple(x) for x in p["fields"]]
         return [
-            _ArrowSlice(f["path"], fields, f.get("deletes") or [], p["moved"], p.get("fs_conf"))
+            _ArrowSlice(
+                f["path"],
+                fields,
+                f.get("deletes") or [],
+                f.get("eq") or [],
+                p["moved"],
+                p.get("fs_conf"),
+            )
             for f in p["files"]
         ]
 
@@ -149,6 +189,10 @@ class _IcebergArrowReader(DataSourceReader):
             if drop:
                 mask = pa.array([i not in drop for i in range(table.num_rows)])
                 table = table.filter(mask)
+        if partition.eq_deletes and table.num_rows:
+            keep = _equality_mask(table, partition.eq_deletes, partition.fs_conf)
+            if not all(keep):
+                table = table.filter(pa.array(keep))
         yield from table.to_batches()
 
 
@@ -189,16 +233,23 @@ def arrow_scan_df(
     pos_entries,
     allow_moved_paths: bool,
     name_mapping: dict | None = None,
+    eq_entries=None,
 ):
     """DataFrame over the resolved scan plan, read through pyarrow.
 
     ``schema`` is the snapshot's IcebergSchema; ``data_entries`` /
-    ``pos_entries`` are the pruned ManifestEntry lists;
+    ``pos_entries`` / ``eq_entries`` are the pruned ManifestEntry
+    lists (equality deletes carry ``equality_ids``);
     ``name_mapping`` is the parsed schema.name-mapping.default
     ({field_id: [names]}) for id-less imported files."""
     from ..plans.fs import s3_env_conf, scheme_of
 
-    paths = [e.file_path for e in data_entries] + [e.file_path for e in pos_entries]
+    eq_entries = eq_entries or []
+    paths = (
+        [e.file_path for e in data_entries]
+        + [e.file_path for e in pos_entries]
+        + [e.file_path for e in eq_entries]
+    )
     fs_conf = (
         s3_env_conf() if any(scheme_of(p) in ("s3", "s3a") for p in paths) else None
     )
@@ -211,11 +262,25 @@ def arrow_scan_df(
             val = fs_conf.pop(key, None)
             if val:
                 creds[key] = val
+    id_to_name = {c.field_id: c.name for c in schema.columns}
     files = []
     for e in data_entries:
         seq = e.sequence_number or 0
         dels = [d.file_path for d in pos_entries if (d.sequence_number or 0) >= seq]
-        files.append({"path": e.file_path, "deletes": dels})
+        # equality deletes scope STRICTLY after the data file's
+        # sequence — same rule as the default path's
+        # _apply_equality_deletes (sources/iceberg.py)
+        eqs = [
+            {
+                "path": d.file_path,
+                "cols": [id_to_name[i] for i in (d.equality_ids or []) if i in id_to_name],
+            }
+            for d in eq_entries
+            if (d.sequence_number or 0) > seq and (d.equality_ids or [])
+        ]
+        files.append(
+            {"path": e.file_path, "deletes": dels, "eq": [x for x in eqs if x["cols"]]}
+        )
     st = schema.to_struct_type()
     plan = {
         "schema": json.loads(st.json()),

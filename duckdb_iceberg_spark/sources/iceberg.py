@@ -278,10 +278,6 @@ def iceberg_scan(
     if io == "arrow":
         # pyarrow-native executor reads (object-store tables without a
         # JVM connector) — see sources/arrow_scan.py for semantics
-        if eq_deletes:
-            raise NotImplementedError(
-                "io='arrow' does not support equality deletes; use the default io='spark'"
-            )
         if skip_schema_inference or _keep_position_columns:
             raise ValueError(
                 "io='arrow' requires schema inference and does not expose position columns"
@@ -299,6 +295,7 @@ def iceberg_scan(
             scan.positional_delete_files(),
             allow_moved_paths,
             name_mapping=mapping,
+            eq_entries=eq_deletes,
         )
         for c in schema.columns:
             if c.initial_default is not None:

@@ -54,6 +54,30 @@ def test_arrow_io_time_travel(spark):
     assert got == 60175
 
 
+def test_arrow_io_equality_deletes_match_spark_io(spark, tmp_path):
+    """MoR-equality golden through io='arrow': a table carrying
+    equality-delete files (plus a post-delete append that must NOT be
+    affected — sequence scoping) reads row-identical on both paths."""
+    from duckdb_iceberg_spark import IcebergTable
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    df = spark.read.parquet(f"{sf}/customer.parquet")
+    t = IcebergTable.create(spark, str(tmp_path / "eqarrow"), df)
+    n0 = df.count()
+    victims = df.filter("c_custkey % 10 = 3").select("c_custkey")
+    n_victims = victims.count()
+    t.delete_where_equality(victims)
+    revived = df.filter("c_custkey % 10 = 3").limit(5)
+    t.append(revived)
+    path = str(tmp_path / "eqarrow")
+    a = iceberg_scan(spark, path, io="arrow")
+    assert a.count() == n0 - n_victims + 5
+    assert a.filter("c_custkey % 10 = 3").count() == 5
+    got = sorted(a.collect())
+    want = sorted(iceberg_scan(spark, path).collect())
+    assert got == want
+
+
 def test_arrow_io_rejects_bad_mode(spark):
     with pytest.raises(ValueError, match="io must be"):
         iceberg_scan(spark, f"{B}/lineitem_iceberg", allow_moved_paths=True, io="duck")

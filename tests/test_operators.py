@@ -610,3 +610,35 @@ def test_bigram_lm_score_penalizes_improbable_order(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     scores = {r.doc_id: r.lm_score for r in bigram_lm_score(df).collect()}
     assert scores[999] < scores[0]
+
+
+def test_bigram_lm_score_cross_corpus_oov_floor(spark):
+    import math
+
+    from duckdb_iceberg_spark.operators.lm import bigram_counts, bigram_lm_score
+
+    # Model trained on "a b"; scored corpus has one in-model doc, one
+    # doc that is ALL OOV garbage, and one mixed doc. OOV bigrams must
+    # contribute the smoothing floor a/(c1+aV) — not be dropped (the
+    # old inner join scored the garbage doc only on its known bigrams,
+    # i.e. not at all, and the mixed doc as if fully in-model).
+    ref = spark.createDataFrame([(1, "a b"), (2, "a b")], "doc_id long, text string")
+    counts = bigram_counts(ref)
+    tgt = spark.createDataFrame(
+        [(10, "a b"), (11, "zz qq ww"), (12, "a b zz")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.lm_score
+        for r in bigram_lm_score(tgt, alpha=0.5, counts=counts).collect()
+    }
+    # model: c(a b)=2, c(a)=2, V={a,b} -> V=2
+    p_known = math.log((2 + 0.5) / (2 + 0.5 * 2))
+    p_oov = math.log(0.5 / (0 + 0.5 * 2))  # fully unseen w1 and bigram
+    p_bzz = math.log(0.5 / (2 + 0.5 * 2))  # seen w1='b', unseen bigram
+    assert abs(got[10] - p_known) < 1e-12
+    assert abs(got[11] - p_oov) < 1e-12
+    assert abs(got[12] - (p_known + p_bzz) / 2) < 1e-12
+    # both OOV-carrying docs rank below the in-model doc (with this
+    # tiny V=2 model the a/(aV) floor is 1/V — unrealistically high —
+    # so no ordering claim between the two OOV docs themselves)
+    assert got[11] < got[10] and got[12] < got[10]
