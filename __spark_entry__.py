@@ -3623,6 +3623,29 @@ FROM px GROUP BY doc_id
 """
 
 
+def _mm_features_png(spark, sf):
+    """REAL PNG decode, oracle-checked: the same modular-ramp images
+    as mm_features_bmp, but encoded as genuine zlib-compressed PNGs
+    and decoded by the engine's pure-Python PNG codec (chunk walk,
+    inflate, scanline unfiltering) inside Arrow-batched mapInPandas.
+    Same closed-form oracle — a wrong filter reconstruction, channel
+    order, or stride shifts the per-channel sums and fails the hash."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    feats = MM.extract_features(MM.synth_png_media(d))
+    f = F.col("feature")
+    w = F.round(f[3] * 256).cast("long")
+    h = F.round(f[4] * 256).cast("long")
+    npix = (w * h).cast("double")
+    return feats.select(
+        "media_id",
+        w.alias("w"),
+        h.alias("h"),
+        F.round(f[0].cast("double") * 255 * npix).cast("long").alias("sum_r"),
+        F.round(f[1].cast("double") * 255 * npix).cast("long").alias("sum_g"),
+        F.round(f[2].cast("double") * 255 * npix).cast("long").alias("sum_b"),
+    )
+
+
 def _streaming_stateful(spark, sf):
     """Custom stateful operator (applyInPandasWithState): per-user
     running count / exact-cents value sum / last-seen, maintained
@@ -4597,6 +4620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": _mm_frame_sample,
         "mm_features": _mm_features,
         "mm_features_bmp": _mm_features_bmp,
+        "mm_features_png": _mm_features_png,
         # streaming
         "streaming_hourly": _streaming_hourly,
         "streaming_stateful": _streaming_stateful,
@@ -4725,6 +4749,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_neardup": _SIM_NEARDUP_SQL,
         "mm_frame_sample": _MM_FRAME_SQL,
         "mm_features_bmp": _MM_FEATURES_BMP_SQL,
+        "mm_features_png": _MM_FEATURES_BMP_SQL,
         "iceberg_scan_generated": _ICEBERG_SCAN_SQL,
         "iceberg_arrow_scan": _ICEBERG_SCAN_SQL,
         "iceberg_snapshots": _ICEBERG_SNAPSHOTS_SQL,

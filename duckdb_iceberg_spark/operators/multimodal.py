@@ -4,10 +4,12 @@ Media are opaque ``binary`` payloads plus a typed metadata struct —
 the storage model a 100 TB multimodal corpus uses (payload bytes in
 parquet, metadata columns for pruning). The Spark-side plumbing —
 schema, Arrow-batched ``mapInPandas`` UDFs, batch shapes, partition
-behavior — is real and tested; the codec step itself is stubbed
-(image/audio libraries are not in this container) behind
-``_decode_payload``: a clearly-marked deterministic fake, with the
-real-library hook raising ``NotImplementedError``.
+behavior — is real and tested; image decode/resize is REAL for
+BMP, PPM, and PNG (pure-Python codecs from the public specs; PNG via
+stdlib zlib); JPEG and audio/video are stubbed (those libraries are
+not in this container) behind ``_decode_payload``: a clearly-marked
+deterministic fake, with the real-library hook raising
+``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -74,13 +76,114 @@ def synth_media(documents: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # real image codecs (pure Python/numpy — no PIL needed): 24-bit
-# uncompressed BMP (BI_RGB, bottom-up) and binary PPM (P6). These are
-# the two classic header-plus-raw-pixels formats, decodable from their
-# public specs; JPEG/PNG/audio/video still route to the documented
-# NotImplementedError hook below.
+# uncompressed BMP (BI_RGB, bottom-up), binary PPM (P6), and PNG
+# (stdlib zlib inflate + the five scanline filters, per the public
+# W3C/RFC 2083 spec; 8-bit gray/RGB/RGBA, non-interlaced). JPEG and
+# audio/video still route to the documented NotImplementedError hook
+# below.
 # ---------------------------------------------------------------------------
 
 import struct as _struct
+import zlib as _zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        _struct.pack(">I", len(data))
+        + tag
+        + data
+        + _struct.pack(">I", _zlib.crc32(tag + data))
+    )
+
+
+def encode_png(pixels) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an 8-bit truecolor PNG
+    (filter 0 scanlines, one zlib IDAT, no interlace)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Decode an 8-bit non-interlaced PNG (grayscale, RGB, or RGBA —
+    color types 0/2/6) to an (H, W, 3) uint8 RGB array: chunk walk,
+    zlib inflate of the concatenated IDATs, then per-scanline
+    unfiltering (None/Sub/Up/Average/Paeth). Gray replicates to three
+    channels; alpha is dropped. Raises ValueError on anything the
+    baseline profile doesn't cover (16-bit, palette, interlace)."""
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,), tag = _struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            ihdr = _struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # len + tag + data + crc
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color={color} interlace={interlace}"
+        )
+    raw = _zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    bpp = channels
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1)
+        if ftype == 0:
+            cur = line.copy()
+        elif ftype == 1:  # Sub: per-byte cumsum along x with stride bpp
+            cur = line.copy().reshape(-1, bpp)
+            np.cumsum(cur, axis=0, dtype=np.uint8, out=cur)
+            cur = cur.reshape(-1)
+        elif ftype == 2:  # Up
+            cur = line + prev
+        elif ftype in (3, 4):  # Average / Paeth: sequential in x
+            cur = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if ftype == 3:
+                    cur[x] = (int(line[x]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3].copy()
 
 
 def encode_bmp(pixels) -> bytes:
@@ -103,11 +206,14 @@ def encode_bmp(pixels) -> bytes:
 
 
 def decode_image(payload: bytes):
-    """Decode a BMP (24-bit BI_RGB) or PPM (P6) payload to an
-    (H, W, 3) uint8 RGB numpy array. Raises ValueError on anything
-    else (callers fall back to the stub feature)."""
+    """Decode a BMP (24-bit BI_RGB), PPM (P6), or PNG (8-bit
+    gray/RGB/RGBA, non-interlaced) payload to an (H, W, 3) uint8 RGB
+    numpy array. Raises ValueError on anything else (callers fall
+    back to the stub feature)."""
     import numpy as np
 
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     if payload[:2] == b"BM":
         off, = _struct.unpack_from("<I", payload, 10)
         hdr_size, w, h, planes, bpp, comp = _struct.unpack_from("<IiiHHI", payload, 14)
@@ -162,63 +268,91 @@ def _image_feature(px) -> list[float]:
     ]
 
 
+def _is_image_magic(payload: bytes) -> bool:
+    return bool(payload) and (
+        payload[:2] in (b"BM", b"P6") or payload[:8] == _PNG_SIG
+    )
+
+
 def _decode_payload(media_type: str, payload: bytes, use_real_codecs: bool = False) -> list[float]:
-    """Feature extraction: REAL decode for BMP/PPM image payloads
+    """Feature extraction: REAL decode for BMP/PPM/PNG image payloads
     (pure-Python codecs above); other formats are stubbed — the
     deterministic fake derives an 8-dim feature from the payload
     digest, so the distributed plumbing is fully exercised and results
-    are reproducible. ``use_real_codecs=True`` makes non-BMP/PPM
+    are reproducible. ``use_real_codecs=True`` makes undecodable
     payloads raise instead of falling back (the PIL/librosa/av hook)."""
-    if media_type == "image" and payload and payload[:2] in (b"BM", b"P6"):
+    if media_type == "image" and _is_image_magic(payload):
         try:
             return _image_feature(decode_image(payload))
         except ValueError:
             pass  # magic-bytes false positive (e.g. text starting "BM") -> stub feature
     if use_real_codecs:
         raise NotImplementedError(
-            "only BMP/PPM decode natively; plug PIL/librosa/av into "
-            "_decode_payload here for JPEG/PNG/audio/video"
+            "only BMP/PPM/PNG decode natively; plug PIL/librosa/av into "
+            "_decode_payload here for JPEG/audio/video"
         )
     d = hashlib.md5(payload or b"").digest()
     return [b / 255.0 for b in d[:8]]
 
 
-def synth_bmp_media(documents: DataFrame) -> DataFrame:
-    """Deterministic REAL-BMP media derived from doc_id: pixel(x, y)
-    channels are modular ramps — R=(id+x+y)%256, G=(id+y)%256,
-    B=(id+x)%256, dims w=id%16+8, h=id%12+8 — so every statistic of
-    the DECODED image has a closed form a SQL oracle can recompute
-    analytically. The payloads are genuine 24-bit BMPs; the feature
-    path exercises the real codec, not the digest stub."""
+def _ramp_pixels(did: int):
+    """The shared synthetic image: pixel(x, y) channels are modular
+    ramps — R=(id+x+y)%256, G=(id+y)%256, B=(id+x)%256, dims
+    w=id%16+8, h=id%12+8 — so every statistic of the DECODED image has
+    a closed form a SQL oracle can recompute analytically."""
     import numpy as np
+
+    w, h = did % 16 + 8, did % 12 + 8
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    return np.stack(
+        [
+            (did + x + y) % 256,  # R
+            np.broadcast_to((did + y) % 256, (h, w)),  # G
+            np.broadcast_to((did + x) % 256, (h, w)),  # B
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def _synth_image_media(documents: DataFrame, fmt: str) -> DataFrame:
+    """Deterministic REAL-codec media derived from doc_id (see
+    :func:`_ramp_pixels` for the closed-form pixel law). The payloads
+    are genuine BMP or PNG files; the feature path exercises the real
+    codec, not the digest stub."""
+
+    enc = {"bmp": encode_bmp, "png": encode_png}[fmt]
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                w, h = did % 16 + 8, did % 12 + 8
-                x = np.arange(w)[None, :]
-                y = np.arange(h)[:, None]
-                px = np.stack(
-                    [
-                        (did + x + y) % 256,  # R
-                        np.broadcast_to((did + y) % 256, (h, w)),  # G
-                        np.broadcast_to((did + x) % 256, (h, w)),  # B
-                    ],
-                    axis=-1,
-                ).astype(np.uint8)
+                px = _ramp_pixels(did)
                 rows.append(
                     {
                         "media_id": did,
                         "media_type": "image",
-                        "payload": encode_bmp(px),
-                        "meta": {"format": "bmp", "width": w, "height": h, "duration_ms": 0},
+                        "payload": enc(px),
+                        "meta": {
+                            "format": fmt,
+                            "width": px.shape[1],
+                            "height": px.shape[0],
+                            "duration_ms": 0,
+                        },
                     }
                 )
             yield pd.DataFrame(rows)
 
     return documents.select("doc_id").mapInPandas(build, MEDIA_SCHEMA)
+
+
+def synth_bmp_media(documents: DataFrame) -> DataFrame:
+    return _synth_image_media(documents, "bmp")
+
+
+def synth_png_media(documents: DataFrame) -> DataFrame:
+    return _synth_image_media(documents, "png")
 
 
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
@@ -271,16 +405,18 @@ def resize_pixels(px, w: int, h: int):
 
 
 def _resize_payload(payload: bytes, w: int, h: int, use_real_codecs: bool = False) -> bytes:
-    """REAL nearest-neighbor resize for BMP/PPM payloads (decode ->
-    numpy index -> re-encode BMP). Other formats: deterministic
+    """REAL nearest-neighbor resize for BMP/PPM/PNG payloads (decode
+    -> numpy index -> re-encode in the source family: PNG stays PNG,
+    BMP/PPM re-encode as BMP). Other formats: deterministic
     content-addressed fake so the distribution plumbing stays
     testable; ``use_real_codecs=True`` raises instead (the PIL hook)."""
-    if payload and payload[:2] in (b"BM", b"P6"):
-        return encode_bmp(resize_pixels(decode_image(payload), w, h))
+    if _is_image_magic(payload):
+        px = resize_pixels(decode_image(payload), w, h)
+        return encode_png(px) if payload[:8] == _PNG_SIG else encode_bmp(px)
     if use_real_codecs:
         raise NotImplementedError(
-            "only BMP/PPM resize natively; plug PIL.Image.resize into "
-            "_resize_payload here for JPEG/PNG"
+            "only BMP/PPM/PNG resize natively; plug PIL.Image.resize "
+            "into _resize_payload here for JPEG"
         )
     return b"RESIZED:%dx%d:" % (w, h) + hashlib.md5(payload or b"").digest()
 

@@ -105,11 +105,101 @@ def test_multimodal_features_deterministic(spark, sf_dir):
     assert all(again[r.media_id] == r.digest for r in rows)
 
 
-def test_multimodal_non_bmp_codecs_are_stubbed():
-    """JPEG/PNG/audio/video still route to the documented hook; only
-    BMP/PPM decode natively."""
+def test_multimodal_undecodable_codecs_are_stubbed():
+    """JPEG/audio/video still route to the documented hook; only
+    BMP/PPM/PNG decode natively."""
     with pytest.raises(NotImplementedError, match="PIL"):
-        MM._decode_payload("image", b"\x89PNG", use_real_codecs=True)
+        MM._decode_payload("image", b"\xff\xd8\xff\xe0jpeg", use_real_codecs=True)
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Our encoder writes filter-0 scanlines; the decoder must also
+    reconstruct Sub/Up/Average/Paeth-filtered files (built here by an
+    independent reference filterer) byte-exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    assert (MM.decode_image(MM.encode_png(px)) == px).all()
+
+    def enc(ftypes):
+        h, w, bpp = px.shape[0], px.shape[1], 3
+        raw = bytearray()
+        prev = np.zeros(w * bpp, np.int16)
+        for y in range(h):
+            cur = px[y].reshape(-1).astype(np.int16)
+            ft = ftypes[y % len(ftypes)]
+            raw.append(ft)
+            line = np.empty(w * bpp, np.uint8)
+            for x in range(w * bpp):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (int(cur[x]) - pred) & 0xFF
+            raw += line.tobytes()
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", px.shape[1], px.shape[0], 8, 2, 0, 0, 0)
+        return (
+            MM._PNG_SIG
+            + MM._png_chunk(b"IHDR", ihdr)
+            + MM._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + MM._png_chunk(b"IEND", b"")
+        )
+
+    for fts in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        assert (MM.decode_png(enc(fts)) == px).all(), fts
+
+
+def test_png_gray_and_rgba_decode():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def build(color, channels, arr):
+        h, w = arr.shape[0], arr.shape[1]
+        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (
+            MM._PNG_SIG
+            + MM._png_chunk(b"IHDR", ihdr)
+            + MM._png_chunk(b"IDAT", zlib.compress(raw))
+            + MM._png_chunk(b"IEND", b"")
+        )
+
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    got = MM.decode_png(build(0, 1, g[..., None]))
+    assert (got == np.repeat(g[..., None], 3, axis=2)).all()
+    rgba = np.arange(3 * 4 * 4, dtype=np.uint8).reshape(3, 4, 4)
+    got = MM.decode_png(build(6, 4, rgba))
+    assert (got == rgba[..., :3]).all()
+
+
+def test_png_resize_stays_png():
+    import numpy as np
+
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    px[4:, :, 0] = 200
+    out = MM._resize_payload(MM.encode_png(px), 4, 4)
+    assert out[:8] == MM._PNG_SIG
+    small = MM.decode_image(out)
+    assert small.shape == (4, 4, 3)
+    assert (small[:2, :, 0] == 0).all() and (small[2:, :, 0] == 200).all()
 
 
 def test_bmp_codec_roundtrip_and_feature():
