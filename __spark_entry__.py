@@ -1107,47 +1107,42 @@ FROM grid g LEFT JOIN pb ON g.user_id = pb.user_id AND g.b = pb.b
 
 
 def _ewma_events(spark, sf):
-    """Per-user EWMA (Arrow grouped-map recurrence).
-
-    Oracle: the recurrence e_i = 0.7*e_{i-1} + 0.3*x_i is replayed in
-    DuckDB by list_reduce over a 100-row trailing window — the weight
-    of anything older is < 0.7^99 ~ 5e-16, below double noise, so the
-    truncated replay matches the full recurrence after ROUND(.., 4).
-    (user_id, ts) is unique in the fixtures, so the per-user order is
-    deterministic on both sides.
-
-    The +1e-9 nudge before ROUND is a cross-engine tie-breaker: the
-    inputs carry exactly 2 decimals, so early recurrence steps produce
-    values that are EXACT decimal ties at the 4th place (e.g.
-    0.7*a+0.3*b = x.xxxx5). pandas' ewm and DuckDB's list_reduce walk
-    the same recurrence through different fp instruction sequences
-    (~1 ulp apart), which flips such ties either way — at sf10 that was
-    ~1770 of 10M rows off by exactly 1e-4. Nudging both engines 1e-9
-    above the boundary makes every tie round up decisively; non-tie
-    values (≥1e-5 from a boundary until step ~8, ≫1e-9 in practice)
-    are untouched."""
-    from duckdb_iceberg_spark.operators.timeseries import ewma
+    """Per-user EWMA as an exact fixed-point recurrence (see
+    operators.timeseries.ewma_fixed_point): inputs are non-negative
+    2-decimal values, so every recurrence step is integer micro-unit
+    arithmetic with round-half-up — no floating-point recurrence, no
+    tie-break epsilon on either engine. The DuckDB twin replays the
+    identical integer recurrence with a recursive CTE (depth = max
+    rows per user, ~100 in the fixtures at every SF — users scale,
+    per-user depth doesn't). (user_id, ts) is unique in the fixtures,
+    so per-user order is deterministic on both sides."""
+    from duckdb_iceberg_spark.operators.timeseries import ewma_fixed_point
 
     ev = _t(spark, sf, "events")
-    out = ewma(ev, key="user_id", ts="ts", value="value", alpha=0.3)
+    out = ewma_fixed_point(ev, key="user_id", ts="ts", value="value")
     return out.select(
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t"),
         F.round("value", 2).alias("value"),
-        F.round(F.col("ewma") + F.lit(1e-9), 4).alias("ewma"),
+        "ewma",
     )
 
 
 _EWMA_SQL = r"""
-WITH w AS (
+WITH RECURSIVE src AS (
   SELECT user_id, ts, value,
-    list(value) OVER (PARTITION BY user_id ORDER BY ts
-                      ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS lst
-  FROM events)
+         CAST(ROUND(value * 100) AS BIGINT) * 10000 AS xm,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events),
+r AS (
+  SELECT user_id, ts, value, rn, xm AS m FROM src WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.ts, s.value, s.rn, (7 * r.m + 3 * s.xm + 5) // 10 AS m
+  FROM r JOIN src s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
 SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS t,
   ROUND(value, 2) AS value,
-  ROUND(list_reduce(lst, (acc, x) -> 0.7*acc + 0.3*x) + 1e-9, 4) AS ewma
-FROM w
+  ((m + 50) // 100) / 10000.0 AS ewma
+FROM r
 """
 
 

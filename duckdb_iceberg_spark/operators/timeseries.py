@@ -85,6 +85,84 @@ def ewma(
     )
 
 
+def ewma_fixed_point(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    out_col: str = "ewma",
+    out_decimals: int = 4,
+) -> DataFrame:
+    """Per-key EWMA (alpha = 0.3) as an EXACT fixed-point recurrence
+    for non-negative 2-decimal inputs — every step is integer
+    arithmetic, so the result is bit-reproducible across engines with
+    no epsilon anywhere:
+
+        X_i = round(value_i * 100)            (cents, int64)
+        M_0 = X_0 * 10^4                      (micro-units)
+        M_i = (7*M_{i-1} + 3*X_i*10^4 + 5) // 10   (round-half-up)
+        out = ((M_i + 50) // 100) / 10^4      (for out_decimals=4)
+
+    Each step re-rounds to the nearest micro-unit, so state never
+    grows (the un-rounded exact recurrence needs 7^i-scale numerators
+    — unrepresentable), and the final division of one exact int64 by
+    a power of ten is IEEE-deterministic on any engine.
+
+    Same single-shuffle partition-level scale shape as :func:`ewma`;
+    the recurrence is vectorized ACROSS keys by depth (rows are
+    (key, ts)-sorted and contiguous, so each row's predecessor is the
+    previous row): iteration k updates every key's k-th row in one
+    numpy step — per-batch work is O(rows) with ~max-group-depth numpy
+    calls, no per-row Python loop.
+    """
+    import numpy as np
+    import pandas as pd
+
+    schema = f"{key} long, {ts} timestamp, {value} double, {out_col} double"
+    qdiv = 10 ** (6 - out_decimals)
+    qhalf = qdiv // 2
+    qden = float(10**out_decimals)
+
+    def fold(batches):
+        tail = None
+
+        def run(pdf):
+            xm = (pdf[value].to_numpy() * 100).round().astype(np.int64) * 10000
+            rank = pdf.groupby(key, sort=False).cumcount().to_numpy()
+            m = xm.copy()
+            kmax = int(rank.max()) if len(rank) else 0
+            for k in range(1, kmax + 1):
+                sel = np.flatnonzero(rank == k)
+                m[sel] = (7 * m[sel - 1] + 3 * xm[sel] + 5) // 10
+            out = pdf[[key, ts, value]].copy()
+            out[out_col] = ((m + qhalf) // qdiv) / qden
+            return out
+
+        for pdf in batches:
+            if tail is not None:
+                pdf = pd.concat([tail, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            last_key = pdf[key].iloc[-1]
+            done = pdf[pdf[key] != last_key]
+            tail = pdf[pdf[key] == last_key]
+            if len(done):
+                yield run(done)
+        if tail is not None and len(tail):
+            yield run(tail)
+
+    return (
+        df.select(
+            F.col(key).cast("long"),
+            F.col(ts),
+            F.col(value).cast("double"),
+        )
+        .repartition(key)
+        .sortWithinPartitions(key, ts)
+        .mapInPandas(fold, schema)
+    )
+
+
 def resample(
     df: DataFrame,
     key: str,
