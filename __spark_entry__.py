@@ -1940,7 +1940,10 @@ def _map_funcs(spark, sf):
     return n.select(
         "n_nationkey",
         F.element_at(m, "name").alias("mname"),
-        F.map_keys(m).alias("ks"),
+        # join to a scalar string: array-typed output columns crash the
+        # driver's pandas canonicalizer (unhashable list) — policy is
+        # scalar columns only in every entry.
+        F.concat_ws(",", F.map_keys(m)).alias("ks"),
         F.size(F.map_values(m)).alias("nvals"),
         F.element_at(F.map_from_arrays(F.array(F.lit("r")), F.array(F.col("n_regionkey"))), "r").alias("rk"),
     )
@@ -1949,7 +1952,7 @@ def _map_funcs(spark, sf):
 _MAP_SQL = """
 SELECT n_nationkey,
   MAP(['key','name'], [CAST(n_nationkey AS VARCHAR), n_name])['name'][1] AS mname,
-  map_keys(MAP(['key','name'], [CAST(n_nationkey AS VARCHAR), n_name])) AS ks,
+  array_to_string(map_keys(MAP(['key','name'], [CAST(n_nationkey AS VARCHAR), n_name])), ',') AS ks,
   CAST(LEN(map_values(MAP(['key','name'], [CAST(n_nationkey AS VARCHAR), n_name]))) AS INT) AS nvals,
   MAP(['r'], [n_regionkey])['r'][1] AS rk
 FROM nation
