@@ -151,6 +151,27 @@ class IcebergTableScan:
         return sum(e.record_count for e in self.positional_delete_files())
 
 
+# LRU over resolved manifest walks. Sound because Iceberg metadata is
+# immutable by spec: every commit writes a NEW manifest-list file, so
+# (path, size, mtime) identifies its full transitive content forever.
+# Callers must treat the shared ManifestEntry objects as read-only
+# (load_table_scan performs the one rebase mutation BEFORE caching).
+# Bounded: ~thousands of entries per walk is metadata-sized; 64 walks
+# cover a session's working set of (table, snapshot) pairs.
+_SCAN_CACHE: dict = {}
+_SCAN_CACHE_MAX = 64
+
+
+def _stat_key(path: str):
+    import os
+
+    try:
+        st = os.stat(path)
+        return (path, st.st_size, st.st_mtime_ns)
+    except OSError:
+        return None
+
+
 def load_table_scan(
     metadata: TableMetadata,
     snapshot: IcebergSnapshot,
@@ -163,8 +184,18 @@ def load_table_scan(
     pool) — the reference walks them single-threaded
     (iceberg.cpp:15-36); at thousands of manifests on object storage,
     sequential metadata latency dominates scan planning. Order is
-    preserved."""
+    preserved. Walks are memoized on the manifest-list file identity
+    (see _SCAN_CACHE) so repeated scans of the same snapshot pay the
+    Avro decode once per process, the way a long-lived engine caches
+    its metastore."""
     ml_path = rebase_path(snapshot.manifest_list, table_path, allow_moved_paths)
+    ck = _stat_key(ml_path)
+    if ck is not None:
+        ck = (ck, table_path, allow_moved_paths)
+        hit = _SCAN_CACHE.pop(ck, None)
+        if hit is not None:
+            _SCAN_CACHE[ck] = hit  # re-insert: LRU recency
+            return IcebergTableScan(snapshot=snapshot, manifests=hit)
     manifests = read_manifest_list(ml_path, metadata.format_version)
 
     def _one(mf):
@@ -182,4 +213,8 @@ def load_table_scan(
 
         with ThreadPoolExecutor(max_workers=min(16, len(manifests))) as pool:
             loaded = list(pool.map(_one, manifests))
+    if ck is not None:
+        _SCAN_CACHE[ck] = loaded
+        while len(_SCAN_CACHE) > _SCAN_CACHE_MAX:
+            _SCAN_CACHE.pop(next(iter(_SCAN_CACHE)))
     return IcebergTableScan(snapshot=snapshot, manifests=loaded)

@@ -120,6 +120,12 @@ _DELETE_SCHEMA = T.StructType(
     ]
 )
 
+# Base-relation memo for iceberg_scan's default read path (see the
+# inline comment there). Keyed by session applicationId so a restarted
+# session never serves plans bound to a dead JVM.
+_READ_CACHE: dict = {}
+_READ_CACHE_MAX = 128
+
 
 def _sniff_footer(path: str) -> tuple[bool, frozenset]:
     """(has_field_ids, column_names) of one parquet footer."""
@@ -353,9 +359,25 @@ def iceberg_scan(
             # default branch pins the metadata schema so no footer
             # merging ever happens.
             reader = reader.option("mergeSchema", "true")
+            df = reader.parquet(*data_files)
         else:
-            reader = reader.schema(schema.to_struct_type())
-        df = reader.parquet(*data_files)
+            # Memoize the base relation per (session, file set, schema):
+            # Iceberg data files are immutable, so the list + pinned
+            # schema fully identify the relation, and repeated scans of
+            # the same snapshot skip the JVM DataSource resolution +
+            # InMemoryFileIndex build (~0.17 s per call on a 224-file
+            # table — the dominant plan-time cost for warm queries).
+            ck = (
+                spark.sparkContext.applicationId,
+                schema.to_struct_type().json(),
+                tuple(data_files),
+            )
+            df = _READ_CACHE.pop(ck, None)
+            if df is None:
+                df = reader.schema(schema.to_struct_type()).parquet(*data_files)
+            _READ_CACHE[ck] = df  # (re-)insert: LRU recency
+            while len(_READ_CACHE) > _READ_CACHE_MAX:
+                _READ_CACHE.pop(next(iter(_READ_CACHE)))
         if want_pos:
             df = df.select("*", *pos_cols)
 
