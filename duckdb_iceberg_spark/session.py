@@ -85,6 +85,18 @@ def get_spark(app_name: str = "duckdb_iceberg_spark", **extra) -> SparkSession:
         # sf10. Safe at scale: the size bound caps the per-task hash
         # map, and AQE's skew splitting still applies to SHJ.
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Runtime bloom-filter join pruning: the default 10MB
+        # creation-side cap never fires on a selective FACT filter
+        # (date-filtered orders at sf10 ~80MB), which is exactly where
+        # a bloom pays — pruning the probe side before the join.
+        # 512MB lets the date/flag-filtered spine sides qualify
+        # (measured sf10: q5 -16%, q3 -14%, q10 -12%); the bloom
+        # itself stays numBits-capped (8MB), so the cost is one extra
+        # agg over the creation side's join key.
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            str(512 * 1024 * 1024),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.fieldId.read.enabled", "true")
         .config("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
