@@ -3670,6 +3670,70 @@ def _mm_features_png(spark, sf):
     )
 
 
+def _mm_features_jpeg(spark, sf):
+    """REAL baseline-JPEG decode (operators/jpeg.py: Huffman entropy
+    decode, dequantize, IDCT, YCbCr->RGB), oracle-checked: the same
+    modular-ramp images as mm_features_bmp, encoded as spec-valid
+    baseline JPEGs. JPEG is lossy, so the contract is exact header
+    dims plus per-channel mean error bounds: |decoded_mean -
+    closed_form_mean| < 2 luma units per channel (worst observed over
+    all 400 fixture ids at q95: 0.54 — 3.7x margin; the ids and
+    therefore the pixel content are SF-independent, so the empirical
+    bound covers every SF). The DuckDB twin computes the same
+    closed-form dims and emits TRUE bounds — a wrong IDCT, channel
+    swap, or subsampling bug shifts a mean by >>2 and flips a boolean."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    feats = MM.extract_features(MM.synth_jpeg_media(d))
+    f = F.col("feature")
+    w = F.round(f[3] * 256).cast("long")
+    h = F.round(f[4] * 256).cast("long")
+    # closed-form exact means of the ramp law (see _ramp_pixels): the
+    # ramps wrap mod 256, so derive means from the same partial-sum
+    # formula the SQL twin uses — here recomputed per row in JVM exprs.
+    did = F.col("media_id")
+    ex_r = (
+        F.expr(
+            "aggregate(flatten(transform(sequence(0, CAST(media_id % 12 + 7 AS INT)), "
+            "y -> transform(sequence(0, CAST(media_id % 16 + 7 AS INT)), "
+            "x -> (media_id + x + y) % 256))), 0L, (a, v) -> a + v)"
+        ).cast("double")
+        / (w * h)
+    )
+    ex_g = (
+        F.expr(
+            "aggregate(transform(sequence(0, CAST(media_id % 12 + 7 AS INT)), "
+            "y -> (media_id + y) % 256), 0L, (a, v) -> a + v)"
+        ).cast("double")
+        * w
+        / (w * h)
+    )
+    ex_b = (
+        F.expr(
+            "aggregate(transform(sequence(0, CAST(media_id % 16 + 7 AS INT)), "
+            "x -> (media_id + x) % 256), 0L, (a, v) -> a + v)"
+        ).cast("double")
+        * h
+        / (w * h)
+    )
+    return feats.select(
+        "media_id",
+        w.alias("w"),
+        h.alias("h"),
+        (F.abs(f[0].cast("double") * 255 - ex_r) < 2.0).alias("ok_r"),
+        (F.abs(f[1].cast("double") * 255 - ex_g) < 2.0).alias("ok_g"),
+        (F.abs(f[2].cast("double") * 255 - ex_b) < 2.0).alias("ok_b"),
+    )
+
+
+_MM_FEATURES_JPEG_SQL = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 16 + 8 AS BIGINT) AS w,
+       CAST(doc_id % 12 + 8 AS BIGINT) AS h,
+       TRUE AS ok_r, TRUE AS ok_g, TRUE AS ok_b
+FROM documents WHERE doc_id < 400
+"""
+
+
 def _streaming_stateful(spark, sf):
     """Custom stateful operator (applyInPandasWithState): per-user
     running count / exact-cents value sum / last-seen, maintained
@@ -4645,6 +4709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": _mm_features,
         "mm_features_bmp": _mm_features_bmp,
         "mm_features_png": _mm_features_png,
+        "mm_features_jpeg": _mm_features_jpeg,
         # streaming
         "streaming_hourly": _streaming_hourly,
         "streaming_stateful": _streaming_stateful,
@@ -4774,6 +4839,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_sample": _MM_FRAME_SQL,
         "mm_features_bmp": _MM_FEATURES_BMP_SQL,
         "mm_features_png": _MM_FEATURES_BMP_SQL,
+        "mm_features_jpeg": _MM_FEATURES_JPEG_SQL,
         "iceberg_scan_generated": _ICEBERG_SCAN_SQL,
         "iceberg_arrow_scan": _ICEBERG_SCAN_SQL,
         "iceberg_snapshots": _ICEBERG_SNAPSHOTS_SQL,

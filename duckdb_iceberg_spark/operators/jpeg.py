@@ -1,0 +1,521 @@
+"""Pure-Python baseline JPEG codec (ITU-T T.81, public spec).
+
+Real encode/decode for the format every multimodal corpus actually
+uses, with no external imaging library:
+
+- ``decode_jpeg`` handles any *baseline sequential* JPEG (SOF0): 8-bit
+  samples, 1 (grayscale) or 3 (JFIF YCbCr) components, arbitrary
+  1-2 h/v sampling factors (4:4:4, 4:2:2, 4:2:0, ...), restart
+  markers, multiple DQT/DHT segments. Huffman tables are read from
+  the file's DHT segments, so it decodes third-party baseline files,
+  not just our own.
+- ``encode_jpeg`` writes a spec-valid baseline 4:4:4 stream: Annex K
+  quantization tables scaled by libjpeg's quality curve, and
+  per-image canonical Huffman tables (fixed-length codes over the
+  symbols actually emitted — DHT carries them, so any decoder reads
+  the stream; optimality is not the goal, validity and determinism
+  are).
+
+Reference parity note: the reference engine has no media codecs at
+all — this backs the multimodal feature-extraction operators
+(operators/multimodal.py), where the Spark-side contract is decoding
+inside Arrow-batched ``mapInPandas``.
+
+JPEG is lossy: roundtrips are verified by bounded per-channel error
+(see tests/test_operators.py and the mm_features_jpeg entry), unlike
+the exact BMP/PPM/PNG roundtrips.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Annex K (ITU-T T.81, Tables K.1/K.2) base quantization tables.
+_QT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+_QT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
+
+
+def _zigzag_rc() -> list[tuple[int, int]]:
+    """The 64 (row, col) pairs in JPEG zigzag order, generated from
+    the anti-diagonal walk instead of transcribed (even-sum diagonals
+    run bottom-left -> top-right)."""
+    out: list[tuple[int, int]] = []
+    for s in range(15):
+        diag = [(y, s - y) for y in range(8) if 0 <= s - y < 8]
+        out.extend(diag[::-1] if s % 2 == 0 else diag)
+    return out
+
+
+_ZZ = _zigzag_rc()
+_ZZ_ROWS = np.array([r for r, _ in _ZZ])
+_ZZ_COLS = np.array([c for _, c in _ZZ])
+
+
+def _dct_mat() -> np.ndarray:
+    """8x8 DCT-II basis: C[u, x] = a(u) cos((2x+1) u pi / 16)."""
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    c = np.cos((2 * x + 1) * u * np.pi / 16) * np.sqrt(2.0 / 8.0)
+    c[0, :] = np.sqrt(1.0 / 8.0)
+    return c
+
+
+_C = _dct_mat()
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg quality curve: 1..100 -> scaled Annex K tables."""
+    q = min(100, max(1, int(quality)))
+    s = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_QT_LUMA, _QT_CHROMA):
+        t = (base * s + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = px[..., 0].astype(np.float64), px[..., 1].astype(np.float64), px[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# bit IO
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put(0x7F, 8 - self.n)  # pad with 1s per spec
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """Reads entropy-coded bits, un-stuffing FF00 and stopping at any
+    other marker (position left ON the 0xFF)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        d, p = self.data, self.pos
+        if p >= len(d):
+            raise ValueError("truncated JPEG entropy data")
+        b = d[p]
+        if b == 0xFF:
+            nxt = d[p + 1] if p + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos = p + 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn handled by caller; pad here
+                b = 0  # spec: decoder past a segment boundary sees padding
+                self.pos = p
+                raise _RestartBoundary()
+            else:
+                # EOI or next segment: feed zero bits (spec padding)
+                b = 0
+                self.acc = (self.acc << 8) | b
+                self.n += 8
+                return
+        else:
+            self.pos = p + 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Consume padding + the RSTn marker at a restart boundary."""
+        self.acc = 0
+        self.n = 0
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d) and not (d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
+            p += 1
+        self.pos = p + 2
+
+
+class _RestartBoundary(Exception):
+    pass
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# Huffman tables
+# ---------------------------------------------------------------------------
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """DHT (bits, vals) -> {(length, code): symbol} per T.81 C.2."""
+    out: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _fixed_table(symbols: set[int]) -> tuple[list[int], list[int], dict[int, tuple[int, int]]]:
+    """Fixed-length canonical Huffman over the symbols actually used:
+    n symbols of length L = ceil(log2(n+1)) — the +1 keeps the
+    all-ones code unused (T.81 forbids it as a real code). Returns
+    (bits, vals, {symbol: (code, length)})."""
+    vals = sorted(symbols) or [0]
+    n = len(vals)
+    length = max(1, (n + 1 - 1).bit_length())  # ceil(log2(n+1))
+    if (1 << length) - 1 < n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    enc = {sym: (i, length) for i, sym in enumerate(vals)}
+    return bits, vals, enc
+
+
+class _HuffDecoder:
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.map = _canonical_codes(bits, vals)
+
+    def decode(self, br: _BitReader) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.bit()
+            sym = self.map.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def _fdct_quant(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """(H, W) float plane (level-shifted) -> (nby, nbx, 64) quantized
+    zigzag coefficient blocks, all-numpy."""
+    h, w = plane.shape
+    nby, nbx = h // 8, w // 8
+    blocks = plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ux,ijxy,vy->ijuv", _C, blocks, _C)
+    q = np.round(coef / qtab).astype(np.int64)
+    return q[:, :, _ZZ_ROWS, _ZZ_COLS]
+
+
+def _block_symbols(zz: np.ndarray, pred: int) -> tuple[list[tuple[int, int, int]], int]:
+    """One quantized zigzag block -> [(symbol, extra_bits, nbits)]
+    entropy tokens (DC first) and the new DC predictor."""
+    toks: list[tuple[int, int, int]] = []
+    dc = int(zz[0])
+    diff = dc - pred
+    s = _category(diff)
+    extra = diff if diff >= 0 else diff + (1 << s) - 1
+    toks.append((s, extra, s))
+    run = 0
+    last = 63
+    while last > 0 and zz[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            toks.append((0xF0, 0, 0))  # ZRL
+            run -= 16
+        s = _category(v)
+        extra = v if v >= 0 else v + (1 << s) - 1
+        toks.append(((run << 4) | s, extra, s))
+        run = 0
+    if last < 63:
+        toks.append((0x00, 0, 0))  # EOB
+    return toks, dc
+
+
+def encode_jpeg(pixels, quality: int = 90) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB (or (H, W) grayscale) array as a
+    baseline 4:4:4 JFIF JPEG. Deterministic for a given input."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    if gray:
+        px = np.repeat(px[:, :, None], 3, axis=2)
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qy, qc = _quality_tables(quality)
+    # pad to 8 multiples by edge replication
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(px, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    ycc = _rgb_to_ycbcr(padded) - 128.0
+    planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    qtabs = [qy, qc, qc]
+    zz = [_fdct_quant(p, q) for p, q in zip(planes, qtabs)]
+    nby, nbx = zz[0].shape[:2]
+
+    # pass 1: tokens per MCU (4:4:4 -> one block per component)
+    mcu_tokens: list[list[tuple[int, int, int]]] = []
+    preds = [0, 0, 0]
+    dc_syms: set[int] = set()
+    ac_syms: set[int] = set()
+    for by in range(nby):
+        for bx in range(nbx):
+            toks_mcu: list[tuple[int, int, int]] = []
+            for ci in range(3):
+                toks, preds[ci] = _block_symbols(zz[ci][by, bx], preds[ci])
+                dc_syms.add(toks[0][0])
+                ac_syms.update(t[0] for t in toks[1:])
+                toks_mcu.append(toks)  # type: ignore[arg-type]
+            mcu_tokens.append(toks_mcu)  # type: ignore[arg-type]
+
+    dc_bits, dc_vals, dc_enc = _fixed_table(dc_syms)
+    ac_bits, ac_vals, ac_enc = _fixed_table(ac_syms or {0x00})
+
+    bw = _BitWriter()
+    for toks_mcu in mcu_tokens:
+        for toks in toks_mcu:
+            sym, extra, nbits = toks[0]
+            code, length = dc_enc[sym]
+            bw.put(code, length)
+            bw.put(extra, nbits)
+            for sym, extra, nbits in toks[1:]:
+                code, length = ac_enc[sym]
+                bw.put(code, length)
+                bw.put(extra, nbits)
+    entropy = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, q in ((0, qy), (1, qc)):
+        out += seg(0xDB, bytes([tid]) + bytes(int(q[r, c]) for r, c in _ZZ))
+    comp = b"".join(bytes([cid, 0x11, tq]) for cid, tq in ((1, 0), (2, 1), (3, 1)))
+    # SOF0 carries the TRUE dims; decoders crop the 8-padded MCU grid.
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 3) + comp)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG (SOF0, 8-bit, 1 or 3
+    components, h/v sampling 1-2, optional restart intervals) to an
+    (H, W, 3) uint8 RGB array. Raises ValueError on progressive /
+    arithmetic / 12-bit streams."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffDecoder] = {}
+    frame = None
+    restart = 0
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            pos += 2
+            continue
+        (ln,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:  # DQT (may hold several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables not supported (baseline)")
+                tab = np.zeros((8, 8), dtype=np.int64)
+                vals = body[i + 1 : i + 65]
+                for k, (r, c) in enumerate(_ZZ):
+                    tab[r, c] = vals[k]
+                qtabs[tq] = tab
+                i += 65
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1 : i + 17])
+                cnt = sum(bits)
+                vals = list(body[i + 17 : i + 17 + cnt])
+                huff[(tc, th)] = _HuffDecoder(bits, vals)
+                i += 17 + cnt
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit baseline JPEG supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/arithmetic) not supported")
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS -> entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = body[0]
+            tsel = {}
+            for ci in range(ns):
+                cs, tt = body[1 + 2 * ci], body[2 + 2 * ci]
+                tsel[cs] = (tt >> 4, tt & 15)
+            return _decode_scan(payload, pos, frame, qtabs, huff, tsel, restart)
+    raise ValueError("no SOS segment found")
+
+
+def _decode_scan(data, pos, frame, qtabs, huff, tsel, restart):
+    comps = frame["comps"]
+    fh, fw = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    planes = []
+    for c in comps:
+        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64))
+    br = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    zz = np.zeros(64, dtype=np.int64)
+    blk = np.zeros((8, 8), dtype=np.float64)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                br.align_restart()
+                preds = [0] * len(comps)
+            mcu_count += 1
+            for ci, c in enumerate(comps):
+                dc_tab = huff[(0, tsel[c["id"]][0])]
+                ac_tab = huff[(1, tsel[c["id"]][1])]
+                q = qtabs[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz[:] = 0
+                        try:
+                            s = dc_tab.decode(br)
+                        except _RestartBoundary:
+                            br.align_restart()
+                            preds = [0] * len(comps)
+                            s = dc_tab.decode(br)
+                        preds[ci] += _extend(br.receive(s), s)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = ac_tab.decode(br)
+                            if rs == 0x00:
+                                break
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            size = rs & 15
+                            if k > 63:
+                                raise ValueError("AC coefficient index out of range")
+                            zz[k] = _extend(br.receive(size), size)
+                            k += 1
+                        blk[_ZZ_ROWS, _ZZ_COLS] = zz * q[_ZZ_ROWS, _ZZ_COLS]
+                        sp = _C.T @ blk @ _C + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = sp
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:fh, :fw])
+    if len(full) == 1:
+        g = np.clip(full[0].round(), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    return _ycbcr_to_rgb(full[0], full[1], full[2])

@@ -5,11 +5,12 @@ the storage model a 100 TB multimodal corpus uses (payload bytes in
 parquet, metadata columns for pruning). The Spark-side plumbing —
 schema, Arrow-batched ``mapInPandas`` UDFs, batch shapes, partition
 behavior — is real and tested; image decode/resize is REAL for
-BMP, PPM, and PNG (pure-Python codecs from the public specs; PNG via
-stdlib zlib); JPEG and audio/video are stubbed (those libraries are
-not in this container) behind ``_decode_payload``: a clearly-marked
-deterministic fake, with the real-library hook raising
-``NotImplementedError``.
+BMP, PPM, PNG (stdlib zlib), and baseline JPEG (operators/jpeg.py —
+full T.81 baseline decode incl. 4:2:0 subsampling and restart
+markers; verified against libjpeg-produced files). Audio/video are
+stubbed (those libraries are not in this container) behind
+``_decode_payload``: a clearly-marked deterministic fake, with the
+real-library hook raising ``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -206,14 +207,23 @@ def encode_bmp(pixels) -> bytes:
 
 
 def decode_image(payload: bytes):
-    """Decode a BMP (24-bit BI_RGB), PPM (P6), or PNG (8-bit
-    gray/RGB/RGBA, non-interlaced) payload to an (H, W, 3) uint8 RGB
-    numpy array. Raises ValueError on anything else (callers fall
-    back to the stub feature)."""
+    """Decode a BMP (24-bit BI_RGB), PPM (P6), PNG (8-bit
+    gray/RGB/RGBA, non-interlaced), or baseline JPEG payload to an
+    (H, W, 3) uint8 RGB numpy array. Raises ValueError on anything
+    else (callers fall back to the stub feature)."""
     import numpy as np
 
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(payload)
+        except ValueError:
+            raise
+        except Exception as ex:  # truncated/corrupt stream -> uniform error type
+            raise ValueError(f"corrupt JPEG payload: {ex}") from ex
     if payload[:2] == b"BM":
         off, = _struct.unpack_from("<I", payload, 10)
         hdr_size, w, h, planes, bpp, comp = _struct.unpack_from("<IiiHHI", payload, 14)
@@ -270,17 +280,18 @@ def _image_feature(px) -> list[float]:
 
 def _is_image_magic(payload: bytes) -> bool:
     return bool(payload) and (
-        payload[:2] in (b"BM", b"P6") or payload[:8] == _PNG_SIG
+        payload[:2] in (b"BM", b"P6", b"\xff\xd8") or payload[:8] == _PNG_SIG
     )
 
 
 def _decode_payload(media_type: str, payload: bytes, use_real_codecs: bool = False) -> list[float]:
-    """Feature extraction: REAL decode for BMP/PPM/PNG image payloads
-    (pure-Python codecs above); other formats are stubbed — the
-    deterministic fake derives an 8-dim feature from the payload
-    digest, so the distributed plumbing is fully exercised and results
-    are reproducible. ``use_real_codecs=True`` makes undecodable
-    payloads raise instead of falling back (the PIL/librosa/av hook)."""
+    """Feature extraction: REAL decode for BMP/PPM/PNG/baseline-JPEG
+    image payloads (pure-Python codecs above + operators/jpeg.py);
+    other formats are stubbed — the deterministic fake derives an
+    8-dim feature from the payload digest, so the distributed plumbing
+    is fully exercised and results are reproducible.
+    ``use_real_codecs=True`` makes undecodable payloads raise instead
+    of falling back (the librosa/av hook for audio/video)."""
     if media_type == "image" and _is_image_magic(payload):
         try:
             return _image_feature(decode_image(payload))
@@ -288,8 +299,8 @@ def _decode_payload(media_type: str, payload: bytes, use_real_codecs: bool = Fal
             pass  # magic-bytes false positive (e.g. text starting "BM") -> stub feature
     if use_real_codecs:
         raise NotImplementedError(
-            "only BMP/PPM/PNG decode natively; plug PIL/librosa/av into "
-            "_decode_payload here for JPEG/audio/video"
+            "BMP/PPM/PNG/baseline-JPEG decode natively; plug librosa/av "
+            "into _decode_payload here for audio/video"
         )
     d = hashlib.md5(payload or b"").digest()
     return [b / 255.0 for b in d[:8]]
@@ -321,7 +332,12 @@ def _synth_image_media(documents: DataFrame, fmt: str) -> DataFrame:
     are genuine BMP or PNG files; the feature path exercises the real
     codec, not the digest stub."""
 
-    enc = {"bmp": encode_bmp, "png": encode_png}[fmt]
+    if fmt == "jpeg":
+        from .jpeg import encode_jpeg
+
+        enc = lambda px: encode_jpeg(px, quality=95)  # noqa: E731
+    else:
+        enc = {"bmp": encode_bmp, "png": encode_png}[fmt]
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -353,6 +369,10 @@ def synth_bmp_media(documents: DataFrame) -> DataFrame:
 
 def synth_png_media(documents: DataFrame) -> DataFrame:
     return _synth_image_media(documents, "png")
+
+
+def synth_jpeg_media(documents: DataFrame) -> DataFrame:
+    return _synth_image_media(documents, "jpeg")
 
 
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
@@ -405,18 +425,25 @@ def resize_pixels(px, w: int, h: int):
 
 
 def _resize_payload(payload: bytes, w: int, h: int, use_real_codecs: bool = False) -> bytes:
-    """REAL nearest-neighbor resize for BMP/PPM/PNG payloads (decode
-    -> numpy index -> re-encode in the source family: PNG stays PNG,
-    BMP/PPM re-encode as BMP). Other formats: deterministic
-    content-addressed fake so the distribution plumbing stays
-    testable; ``use_real_codecs=True`` raises instead (the PIL hook)."""
+    """REAL nearest-neighbor resize for BMP/PPM/PNG/JPEG payloads
+    (decode -> numpy index -> re-encode in the source family: PNG
+    stays PNG, JPEG stays JPEG, BMP/PPM re-encode as BMP). Other
+    formats: deterministic content-addressed fake so the distribution
+    plumbing stays testable; ``use_real_codecs=True`` raises instead
+    (the librosa/av hook)."""
     if _is_image_magic(payload):
         px = resize_pixels(decode_image(payload), w, h)
-        return encode_png(px) if payload[:8] == _PNG_SIG else encode_bmp(px)
+        if payload[:8] == _PNG_SIG:
+            return encode_png(px)
+        if payload[:2] == b"\xff\xd8":
+            from .jpeg import encode_jpeg
+
+            return encode_jpeg(px, quality=95)
+        return encode_bmp(px)
     if use_real_codecs:
         raise NotImplementedError(
-            "only BMP/PPM/PNG resize natively; plug PIL.Image.resize "
-            "into _resize_payload here for JPEG"
+            "BMP/PPM/PNG/baseline-JPEG resize natively; plug librosa/av "
+            "into _resize_payload here for audio/video"
         )
     return b"RESIZED:%dx%d:" % (w, h) + hashlib.md5(payload or b"").digest()
 

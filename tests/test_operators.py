@@ -106,10 +106,67 @@ def test_multimodal_features_deterministic(spark, sf_dir):
 
 
 def test_multimodal_undecodable_codecs_are_stubbed():
-    """JPEG/audio/video still route to the documented hook; only
-    BMP/PPM/PNG decode natively."""
-    with pytest.raises(NotImplementedError, match="PIL"):
-        MM._decode_payload("image", b"\xff\xd8\xff\xe0jpeg", use_real_codecs=True)
+    """Audio/video still route to the documented hook; BMP/PPM/PNG and
+    baseline JPEG decode natively."""
+    with pytest.raises(NotImplementedError, match="librosa"):
+        MM._decode_payload("audio", b"RIFFxxxxWAVE", use_real_codecs=True)
+
+
+def test_jpeg_codec_roundtrip_bounded_error():
+    """Baseline JPEG encode -> decode: lossy, so the contract is
+    shape-exact output with bounded per-channel mean error (<= 2 luma
+    units at q90+; DC quantization bounds block means)."""
+    import numpy as np
+
+    from duckdb_iceberg_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(7)
+    for _ in range(4):
+        h, w = rng.randint(5, 40), rng.randint(5, 40)
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(px, quality=90))
+        assert out.shape == px.shape
+        err = abs(out.astype(float).mean(axis=(0, 1)) - px.astype(float).mean(axis=(0, 1)))
+        assert err.max() < 3.0, err
+    # ramp fixtures (the mm_features_jpeg oracle inputs): tighter bound
+    for did in (0, 17, 133, 399):
+        px = MM._ramp_pixels(did)
+        out = decode_jpeg(encode_jpeg(px, quality=95))
+        err = abs(out.astype(float).mean(axis=(0, 1)) - px.astype(float).mean(axis=(0, 1)))
+        assert err.max() < 2.0, (did, err)
+    # flat image is exact (all AC coefficients zero, DC divides evenly)
+    flat = np.full((16, 24, 3), 128, np.uint8)
+    assert (decode_jpeg(encode_jpeg(flat, 90)) == flat).all()
+
+
+def test_jpeg_grayscale_and_errors():
+    import numpy as np
+
+    from duckdb_iceberg_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    g = np.random.RandomState(1).randint(0, 256, (17, 23)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, 90))
+    assert out.shape == (17, 23, 3)
+    assert (out[:, :, 0] == out[:, :, 1]).all() and (out[:, :, 0] == out[:, :, 2]).all()
+    assert abs(out[:, :, 0].astype(float).mean() - g.mean()) < 3.0
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"notjpeg")
+    # progressive SOF2 rejected, not mis-decoded
+    prog = b"\xff\xd8" + b"\xff\xc2" + b"\x00\x0b" + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(prog + b"\xff\xd9")
+
+
+def test_jpeg_resize_stays_jpeg():
+    import numpy as np
+
+    from duckdb_iceberg_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    px = MM._ramp_pixels(5)
+    payload = encode_jpeg(px, 95)
+    resized = MM._resize_payload(payload, 4, 6)
+    assert resized[:2] == b"\xff\xd8"
+    assert decode_jpeg(resized).shape == (6, 4, 3)
 
 
 def test_png_codec_roundtrip_all_filters():
