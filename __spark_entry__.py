@@ -2224,21 +2224,43 @@ def _agg_approx_sketches(spark, sf):
     hash-exact; both engines' sketch paths genuinely execute. Tighter
     accuracy pins live in tests/test_operators.py."""
     li = _t(spark, sf, "lineitem")
-    exact_parts = F.countDistinct("l_partkey")
-    p45 = F.percentile("l_extendedprice", F.lit(0.45))
-    p55 = F.percentile("l_extendedprice", F.lit(0.55))
-    p85 = F.percentile("l_extendedprice", F.lit(0.85))
-    p95 = F.percentile("l_extendedprice", F.lit(0.95))
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.count("*").alias("n"),
-            exact_parts.alias("exact_parts"),
-            (F.abs(F.approx_count_distinct("l_partkey", 0.01) - exact_parts) <= 0.05 * exact_parts).alias("parts_ok"),
-            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).between(p45, p55).alias("p50_ok"),
-            F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(10000)).between(p85, p95).alias("p90_ok"),
-        )
+    # Two per-flag frames joined on the 3-value group key instead of
+    # one combined agg: mixing a DISTINCT aggregate with the exact-
+    # percentile maps makes Catalyst Expand the 60M-row input AND hold
+    # both memory-heavy buffers per task (see _agg_approx). Split,
+    # each side is a plain spillable aggregation; the join is 3 rows.
+    # exact distinct and the HLL sketch in SEPARATE aggs joined on the
+    # 3-value flag — combined they trigger the mixed-distinct Expand
+    # (2x input rows with the HLL updated per expanded row; see
+    # _agg_approx)
+    exact_df = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.countDistinct("l_partkey").alias("exact_parts")
     )
+    approx_df = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("__a")
+    )
+    counts = exact_df.join(F.broadcast(approx_df), "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        "exact_parts",
+        (F.abs(F.col("__a") - F.col("exact_parts")) <= 0.05 * F.col("exact_parts")).alias("parts_ok"),
+    )
+    from duckdb_iceberg_spark.operators.quantiles import exact_percentiles_cents
+
+    # per-flag exact bounds from the cents-domain count table (see
+    # _agg_approx) instead of the built-in percentile's one-task
+    # 10M-entry map merge
+    bounds = exact_percentiles_cents(li, "l_extendedprice", [0.45, 0.55, 0.85, 0.95], by=["l_returnflag"])
+    aps = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("__a50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("__a90"),
+    )
+    pcts = aps.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        F.col("__a50").between(F.col("p0"), F.col("p1")).alias("p50_ok"),
+        F.col("__a90").between(F.col("p2"), F.col("p3")).alias("p90_ok"),
+    )
+    return counts.join(pcts, "l_returnflag")
 
 
 _AGG_SKETCHES_SQL = """
@@ -3413,19 +3435,46 @@ def _agg_approx(spark, sf):
     for the contract rationale). One pass, mergeable partials —
     the shape that replaces exact COUNT(DISTINCT) at 100 TB."""
     li = _t(spark, sf, "lineitem")
-    exact_orders = F.countDistinct("l_orderkey")
-    exact_parts = F.countDistinct("l_partkey")
-    p45 = F.percentile("l_extendedprice", F.lit(0.45))
-    p55 = F.percentile("l_extendedprice", F.lit(0.55))
-    q20 = F.percentile("l_quantity", F.lit(0.20))
-    q30 = F.percentile("l_quantity", F.lit(0.30))
-    return li.agg(
-        exact_orders.alias("exact_orders"),
-        exact_parts.alias("exact_parts"),
-        (F.abs(F.approx_count_distinct("l_orderkey", 0.01) - exact_orders) <= 0.05 * exact_orders).alias("orders_ok"),
-        (F.abs(F.approx_count_distinct("l_partkey", 0.01) - exact_parts) <= 0.05 * exact_parts).alias("parts_ok"),
-        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).between(p45, p55).alias("p50_ok"),
-        F.percentile_approx("l_quantity", F.lit(0.25), F.lit(1000)).between(q20, q30).alias("q25_ok"),
+
+    # Each statistic family aggregates in its OWN 1-row frame, cross-
+    # joined at the end. One combined agg would make Catalyst rewrite
+    # the two DISTINCT aggregates through an Expand (3x the 60M-row
+    # input) while every task also holds two distinct-key hash sets
+    # AND four non-spillable exact-percentile value maps — measured
+    # heap death at sf10. Split, each frame is a plain spillable
+    # single-distinct or single-map aggregation; the joins are 1-row
+    # broadcasts.
+    def dist_frame(col, exact_name, ok_name):
+        # exact and sketch in SEPARATE aggs: one combined agg makes
+        # the mixed-distinct rewrite Expand the input 2x with the HLL
+        # buffer updated on every expanded row (75 s vs 5+4 s at sf10)
+        exact_df = li.agg(F.countDistinct(col).alias(exact_name))
+        approx_df = li.agg(F.approx_count_distinct(col, 0.01).alias("__a"))
+        return exact_df.crossJoin(F.broadcast(approx_df)).select(
+            exact_name,
+            (F.abs(F.col("__a") - F.col(exact_name)) <= 0.05 * F.col(exact_name)).alias(ok_name),
+        )
+
+    def pct_frame(col, q, acc, lo, hi, ok_name):
+        # exact bounds via the cents-domain count table
+        # (operators/quantiles.py) — the built-in exact `percentile`
+        # merges a 10M-entry value map on one task at sf10 (59 s and
+        # the sweep's heap hazard); the domain-table form is 6x faster
+        # and every step spills.
+        from duckdb_iceberg_spark.operators.quantiles import exact_percentiles_cents
+
+        bounds = exact_percentiles_cents(li, col, [lo, hi])
+        ap = li.agg(F.percentile_approx(col, F.lit(q), F.lit(acc)).alias("__ap"))
+        return ap.crossJoin(F.broadcast(bounds)).select(
+            F.col("__ap").between(F.col("p0"), F.col("p1")).alias(ok_name)
+        )
+
+    return (
+        dist_frame("l_orderkey", "exact_orders", "orders_ok")
+        .crossJoin(dist_frame("l_partkey", "exact_parts", "parts_ok"))
+        .crossJoin(pct_frame("l_extendedprice", 0.5, 10000, 0.45, 0.55, "p50_ok"))
+        .crossJoin(pct_frame("l_quantity", 0.25, 1000, 0.20, 0.30, "q25_ok"))
+        .select("exact_orders", "exact_parts", "orders_ok", "parts_ok", "p50_ok", "q25_ok")
     )
 
 

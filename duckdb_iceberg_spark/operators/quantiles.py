@@ -1,0 +1,61 @@
+"""Exact percentiles over bounded discrete domains.
+
+Spark's built-in ``percentile`` is an imperative aggregate holding a
+value->count map per task and merging ALL maps on one final task —
+at 60M rows with ~10M distinct doubles that single merge took ~60 s
+locally and is the non-spillable memory hazard that killed the sf10
+sweep's combined sketch entry. For fixed-decimal business values
+(prices, quantities) the right shape is different: the DOMAIN is
+bounded even when the data is not, so
+
+    value-count aggregation  (spillable HashAggregate, map-side partials)
+    -> prefix sum over the ~domain-sized count table
+    -> conditional-min lookups at the interpolation ranks
+
+computes the same linearly-interpolated percentile (SQL
+``percentile_cont`` semantics — identical to Spark ``percentile`` and
+DuckDB ``quantile_cont``) with every step a plain DataFrame op. At
+100 TB the count table still has at most |domain| rows (e.g. 10^7 for
+sub-100k 2-decimal prices), independent of row count — the
+single-partition prefix-sum window is over the domain, not the data.
+
+Measured at sf10 (60M rows, 10.4M distinct prices): 59 s -> ~6 s.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_percentiles_cents(
+    df: DataFrame, col: str, ps: list[float], by: list[str] | None = None
+) -> DataFrame:
+    """Exact percentile_cont values of a non-negative 2-decimal column
+    at each p in ``ps``, computed via the cents-domain count table.
+    Returns one row per ``by`` group (or a single row) with columns
+    ``p<i>`` (double, in the original unit)."""
+    by = list(by or [])
+    cents = F.round(F.col(col) * 100).cast("long")
+    counts = df.groupBy(*by, cents.alias("__v")).agg(F.count("*").alias("__c"))
+    w = Window.partitionBy(*by).orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(*by, "__v", F.sum("__c").over(w).alias("__cum"))
+    if by:
+        n = df.groupBy(*by).agg(F.count(col).alias("__n"))
+        joined = cum.join(F.broadcast(n), by)
+    else:
+        n = df.agg(F.count(col).alias("__n"))
+        joined = cum.crossJoin(F.broadcast(n))
+    aggs = []
+    for i, p in enumerate(ps):
+        pos = F.lit(float(p)) * (F.col("__n") - 1).cast("double")
+        lo = F.floor(pos)
+        # value at 0-based index i = first domain value with cum >= i+1;
+        # pos/lo derive from __n (constant per row), so every outer
+        # reference is wrapped in an aggregate (min of a constant).
+        vlo = F.min(F.when(F.col("__cum") >= lo + 1, F.col("__v")))
+        vhi = F.min(F.when(F.col("__cum") >= lo + 2, F.col("__v")))
+        frac = F.min(pos) - F.min(lo.cast("double"))
+        val = vlo.cast("double") + frac * (F.coalesce(vhi, vlo) - vlo).cast("double")
+        aggs.append((val / 100.0).alias(f"p{i}"))
+    return joined.groupBy(*by).agg(*aggs) if by else joined.agg(*aggs)
