@@ -789,3 +789,37 @@ def test_bigram_lm_score_cross_corpus_oov_floor(spark):
     # tiny V=2 model the a/(aV) floor is 1/V — unrealistically high —
     # so no ordering claim between the two OOV docs themselves)
     assert got[11] < got[10] and got[12] < got[10]
+
+
+def test_exact_percentiles_cents_matches_builtin(spark, sf_dir):
+    """Domain-table exact percentile (operators/quantiles.py) must
+    equal the built-in percentile (= SQL percentile_cont) to float
+    noise, globally and per group."""
+    from pyspark.sql import functions as F
+
+    from duckdb_iceberg_spark.operators.quantiles import exact_percentiles_cents
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ps = [0.0, 0.25, 0.5, 0.95, 1.0]
+    mine = exact_percentiles_cents(li, "l_extendedprice", ps).first()
+    ref = li.agg(
+        F.percentile("l_extendedprice", F.array(*[F.lit(p) for p in ps]))
+    ).first()[0]
+    for a, b in zip(mine, ref):
+        assert abs(a - b) < 1e-9 * max(1.0, abs(b)), (list(mine), ref)
+
+    grouped = {
+        r.l_returnflag: (r.p0, r.p1)
+        for r in exact_percentiles_cents(
+            li, "l_quantity", [0.25, 0.75], by=["l_returnflag"]
+        ).collect()
+    }
+    ref_g = {
+        r.l_returnflag: r.ps
+        for r in li.groupBy("l_returnflag")
+        .agg(F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.75))).alias("ps"))
+        .collect()
+    }
+    assert set(grouped) == set(ref_g)
+    for k, (a0, a1) in grouped.items():
+        assert abs(a0 - ref_g[k][0]) < 1e-9 and abs(a1 - ref_g[k][1]) < 1e-9
