@@ -3783,6 +3783,45 @@ FROM documents WHERE doc_id < 400
 """
 
 
+def _mm_features_wav(spark, sf):
+    """REAL audio decode, oracle-checked: deterministic RIFF/WAVE
+    PCM-16 square waves built from doc_id (operators/multimodal.py
+    `_square_wave` — amplitude/period/frame-count/channels are modular
+    functions of the id), parsed by the engine's pure-Python WAV
+    reader inside Arrow-batched mapInPandas. Whole-period square waves
+    make every emitted statistic an exact integer (RMS == amplitude,
+    mean == 0, sign flips == (n-1)//half_period), so the DuckDB twin
+    recomputes all of them analytically — a wrong chunk walk, sample
+    width, channel count, or interleave order shifts a value and fails
+    the hash."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    feats = MM.extract_features(MM.synth_wav_media(d))
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        F.round(f[0].cast("double") * 32768).cast("long").alias("rms_amp"),
+        F.round(f[1].cast("double") * 32768).cast("long").alias("peak"),
+        F.round(f[2].cast("double") * 65536).cast("long").alias("n_frames"),
+        F.round(f[3].cast("double") * 65536).cast("long").alias("zero_flips"),
+        F.round(f[4].cast("double") * 65536).cast("long").alias("sample_rate"),
+        F.round(f[5].cast("double") * 8).cast("long").alias("channels"),
+        F.round(f[6].cast("double") * 32768).cast("long").alias("mean_amp"),
+    )
+
+
+_MM_FEATURES_WAV_SQL = """
+SELECT doc_id AS media_id,
+       CAST((doc_id % 100 + 1) * 300 AS BIGINT) AS rms_amp,
+       CAST((doc_id % 100 + 1) * 300 AS BIGINT) AS peak,
+       CAST(2 * (doc_id % 20 + 2) * (doc_id % 30 + 5) AS BIGINT) AS n_frames,
+       CAST(2 * (doc_id % 30 + 5) - 1 AS BIGINT) AS zero_flips,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+       CAST(0 AS BIGINT) AS mean_amp
+FROM documents WHERE doc_id < 400
+"""
+
+
 def _streaming_stateful(spark, sf):
     """Custom stateful operator (applyInPandasWithState): per-user
     running count / exact-cents value sum / last-seen, maintained
@@ -4759,6 +4798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features_bmp": _mm_features_bmp,
         "mm_features_png": _mm_features_png,
         "mm_features_jpeg": _mm_features_jpeg,
+        "mm_features_wav": _mm_features_wav,
         # streaming
         "streaming_hourly": _streaming_hourly,
         "streaming_stateful": _streaming_stateful,
@@ -4889,6 +4929,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_features_bmp": _MM_FEATURES_BMP_SQL,
         "mm_features_png": _MM_FEATURES_BMP_SQL,
         "mm_features_jpeg": _MM_FEATURES_JPEG_SQL,
+        "mm_features_wav": _MM_FEATURES_WAV_SQL,
         "iceberg_scan_generated": _ICEBERG_SCAN_SQL,
         "iceberg_arrow_scan": _ICEBERG_SCAN_SQL,
         "iceberg_snapshots": _ICEBERG_SNAPSHOTS_SQL,

@@ -7,10 +7,12 @@ schema, Arrow-batched ``mapInPandas`` UDFs, batch shapes, partition
 behavior — is real and tested; image decode/resize is REAL for
 BMP, PPM, PNG (stdlib zlib), and baseline JPEG (operators/jpeg.py —
 full T.81 baseline decode incl. 4:2:0 subsampling and restart
-markers; verified against libjpeg-produced files). Audio/video are
-stubbed (those libraries are not in this container) behind
-``_decode_payload``: a clearly-marked deterministic fake, with the
-real-library hook raising ``NotImplementedError``.
+markers; verified against libjpeg-produced files). Audio decode is
+REAL for RIFF/WAVE PCM-16 (pure stdlib struct parsing below);
+compressed audio and video are stubbed (those libraries are not in
+this container) behind ``_decode_payload``: a clearly-marked
+deterministic fake, with the real-library hook raising
+``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -260,6 +262,82 @@ def decode_image(payload: bytes):
     raise ValueError("not a BMP/PPM payload")
 
 
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """Encode an (N,) or (N, CH) int16 sample array as a RIFF/WAVE
+    PCM-16 file (the public canonical WAVE layout: RIFF header, 16-byte
+    PCM fmt chunk, one data chunk; interleaved frames)."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    ch = s.shape[1]
+    data = s.tobytes()  # row-major == interleaved frames
+    fmt = _struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes):
+    """Decode a RIFF/WAVE PCM-16 payload to ((N_frames, CH) int16
+    array, sample_rate). Walks the chunk list (tolerates extra chunks
+    like LIST/INFO, and odd-length chunk padding per the RIFF spec);
+    raises ValueError on non-PCM or non-16-bit files — callers fall
+    back to the stub feature, same contract as the image codecs."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = _struct.unpack_from("<I", payload, pos + 4)
+        chunk = payload[pos + 8 : pos + 8 + length]
+        if tag == b"fmt ":
+            fmt = _struct.unpack_from("<HHIIHH", chunk, 0)
+        elif tag == b"data":
+            data = chunk
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    audio_format, ch, rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAVE: format={audio_format} bits={bits}")
+    n = len(data) // (2 * ch)
+    s = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
+    return s, rate
+
+
+def _audio_feature(samples, rate: int) -> list[float]:
+    """8-dim feature of decoded PCM audio. Every slot is a small
+    integer scaled by a power of two (exact in float32), so an entry
+    can invert the normalization losslessly: rms/32768, peak/32768,
+    n_frames/65536, zero_crossings/65536 (first channel, strict sign
+    flips), rate/65536, channels/8, mean/32768, 0."""
+    import numpy as np
+
+    x = samples.astype(np.float64)
+    n = x.shape[0]
+    c0 = x[:, 0]
+    flips = int(np.count_nonzero(c0[1:] * c0[:-1] < 0))
+    return [
+        float(np.sqrt(np.mean(x * x))) / 32768.0,
+        float(np.max(np.abs(x))) / 32768.0,
+        n / 65536.0,
+        flips / 65536.0,
+        rate / 65536.0,
+        samples.shape[1] / 8.0,
+        float(np.mean(x)) / 32768.0,
+        0.0,
+    ]
+
+
 def _image_feature(px) -> list[float]:
     """8-dim feature of a decoded image: per-channel means (RGB,
     normalized), dims, pixel count — every term has a closed form the
@@ -284,23 +362,33 @@ def _is_image_magic(payload: bytes) -> bool:
     )
 
 
+def _is_wav_magic(payload: bytes) -> bool:
+    return len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+
+
 def _decode_payload(media_type: str, payload: bytes, use_real_codecs: bool = False) -> list[float]:
     """Feature extraction: REAL decode for BMP/PPM/PNG/baseline-JPEG
-    image payloads (pure-Python codecs above + operators/jpeg.py);
-    other formats are stubbed — the deterministic fake derives an
-    8-dim feature from the payload digest, so the distributed plumbing
-    is fully exercised and results are reproducible.
-    ``use_real_codecs=True`` makes undecodable payloads raise instead
-    of falling back (the librosa/av hook for audio/video)."""
+    image payloads (pure-Python codecs above + operators/jpeg.py) and
+    RIFF/WAVE PCM-16 audio; other formats are stubbed — the
+    deterministic fake derives an 8-dim feature from the payload
+    digest, so the distributed plumbing is fully exercised and results
+    are reproducible. ``use_real_codecs=True`` makes undecodable
+    payloads raise instead of falling back (the librosa/av hook for
+    compressed audio and video)."""
     if media_type == "image" and _is_image_magic(payload):
         try:
             return _image_feature(decode_image(payload))
         except ValueError:
             pass  # magic-bytes false positive (e.g. text starting "BM") -> stub feature
+    if media_type == "audio" and _is_wav_magic(payload):
+        try:
+            return _audio_feature(*decode_wav(payload))
+        except ValueError:
+            pass  # non-PCM / truncated WAV -> stub feature
     if use_real_codecs:
         raise NotImplementedError(
-            "BMP/PPM/PNG/baseline-JPEG decode natively; plug librosa/av "
-            "into _decode_payload here for audio/video"
+            "BMP/PPM/PNG/baseline-JPEG and WAVE-PCM decode natively; plug "
+            "librosa/av into _decode_payload here for compressed audio/video"
         )
     d = hashlib.md5(payload or b"").digest()
     return [b / 255.0 for b in d[:8]]
@@ -355,6 +443,54 @@ def _synth_image_media(documents: DataFrame, fmt: str) -> DataFrame:
                             "width": px.shape[1],
                             "height": px.shape[0],
                             "duration_ms": 0,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return documents.select("doc_id").mapInPandas(build, MEDIA_SCHEMA)
+
+
+def _square_wave(did: int):
+    """The shared synthetic audio signal: a ±A square wave whose every
+    statistic has a closed form a SQL oracle can recompute from the id
+    alone — A = (id%100+1)*300, half-period P = id%20+2 samples,
+    n = 2*P*(id%30+5) frames (whole periods, so the mean is exactly 0,
+    RMS is exactly A, and strict sign flips = (n-1)//P = 2*(id%30+5)-1),
+    channels = id%2+1 (stereo duplicates the channel), rate 16000."""
+    import numpy as np
+
+    amp = (did % 100 + 1) * 300
+    half = did % 20 + 2
+    n = 2 * half * (did % 30 + 5)
+    ch = did % 2 + 1
+    i = np.arange(n)
+    s = np.where((i // half) % 2 == 0, amp, -amp).astype(np.int16)
+    return np.repeat(s[:, None], ch, axis=1), 16000
+
+
+def synth_wav_media(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL-codec audio media derived from doc_id (see
+    :func:`_square_wave` for the closed-form signal law). The payloads
+    are genuine RIFF/WAVE PCM-16 files; the feature path exercises the
+    real WAV parser, not the digest stub."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                s, rate = _square_wave(did)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "media_type": "audio",
+                        "payload": encode_wav(s, rate),
+                        "meta": {
+                            "format": "wav",
+                            "width": 0,
+                            "height": 0,
+                            "duration_ms": s.shape[0] * 1000 // rate,
                         },
                     }
                 )

@@ -106,10 +106,62 @@ def test_multimodal_features_deterministic(spark, sf_dir):
 
 
 def test_multimodal_undecodable_codecs_are_stubbed():
-    """Audio/video still route to the documented hook; BMP/PPM/PNG and
-    baseline JPEG decode natively."""
+    """Compressed audio and video still route to the documented hook;
+    BMP/PPM/PNG, baseline JPEG, and WAVE-PCM decode natively."""
+    with pytest.raises(NotImplementedError, match="librosa"):
+        MM._decode_payload("audio", b"ID3\x04mp3-ish", use_real_codecs=True)
+    # a structurally-broken WAV (magic only, no chunks) also reaches the hook
     with pytest.raises(NotImplementedError, match="librosa"):
         MM._decode_payload("audio", b"RIFFxxxxWAVE", use_real_codecs=True)
+
+
+def test_wav_codec_roundtrip_exact():
+    """RIFF/WAVE PCM-16 is lossless: encode -> decode is bit-exact for
+    mono and stereo, chunk walk tolerates trailing LIST chunks, and
+    non-PCM formats raise ValueError."""
+    import struct
+
+    import numpy as np
+
+    mono = (np.sin(np.arange(400) / 7.0) * 12000).astype(np.int16)
+    out, rate = MM.decode_wav(MM.encode_wav(mono, 8000))
+    assert rate == 8000 and out.shape == (400, 1) and (out[:, 0] == mono).all()
+
+    stereo = np.stack([mono, -mono], axis=1)
+    out2, rate2 = MM.decode_wav(MM.encode_wav(stereo, 44100))
+    assert rate2 == 44100 and out2.shape == (400, 2) and (out2 == stereo).all()
+
+    # extra chunk between fmt and data (odd length -> word-aligned pad)
+    payload = MM.encode_wav(mono, 8000)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    patched = payload[:fmt_end] + extra + payload[fmt_end:]
+    out3, _ = MM.decode_wav(patched)
+    assert (out3[:, 0] == mono).all()
+
+    ieee_float = bytearray(MM.encode_wav(mono, 8000))
+    ieee_float[20:22] = struct.pack("<H", 3)  # audio_format = IEEE float
+    with pytest.raises(ValueError, match="unsupported WAVE"):
+        MM.decode_wav(bytes(ieee_float))
+
+
+def test_wav_square_wave_feature_closed_form():
+    """_audio_feature over the synthetic square wave reproduces the
+    closed forms the mm_features_wav oracle computes: RMS == amplitude
+    exactly, mean == 0, flips == (n-1) // half_period."""
+    for did in (0, 1, 17, 123, 399):
+        s, rate = MM._square_wave(did)
+        f = MM._audio_feature(s, rate)
+        amp = (did % 100 + 1) * 300
+        half = did % 20 + 2
+        n = 2 * half * (did % 30 + 5)
+        assert round(f[0] * 32768) == amp and f[0] * 32768 == amp
+        assert round(f[1] * 32768) == amp
+        assert round(f[2] * 65536) == n
+        assert round(f[3] * 65536) == (n - 1) // half == 2 * (did % 30 + 5) - 1
+        assert round(f[4] * 65536) == 16000
+        assert round(f[5] * 8) == did % 2 + 1
+        assert f[6] == 0.0
 
 
 def test_jpeg_codec_roundtrip_bounded_error():
