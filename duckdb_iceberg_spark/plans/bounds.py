@@ -102,15 +102,51 @@ def range_overlaps(
     lo: Any,
     hi: Any,
     dt: T.DataType,
+    lo_strict: bool = False,
+    hi_strict: bool = False,
 ) -> bool:
-    """True iff [file_lower, file_upper] may intersect [lo, hi]
-    (None = unbounded on that side). Missing stats → must keep."""
+    """True iff [file_lower, file_upper] may intersect the requested
+    interval (None = unbounded on that side; a strict flag makes that
+    end exclusive, so e.g. ``col < '1998-01-01'`` drops a file whose
+    lower bound IS 1998-01-01). Missing stats → must keep."""
     fl = deserialize_bound(lower, dt)
     fu = deserialize_bound(upper, dt)
     lo = _canon(lo, dt) if lo is not None else None
     hi = _canon(hi, dt) if hi is not None else None
-    if hi is not None and fl is not None and fl > hi:
+    if hi is not None and fl is not None and (fl > hi or (hi_strict and fl == hi)):
         return False
-    if lo is not None and fu is not None and fu < lo:
+    if lo is not None and fu is not None and (fu < lo or (lo_strict and fu == lo)):
         return False
     return True
+
+
+def range_implied(
+    lower: Optional[bytes],
+    upper: Optional[bytes],
+    op: str,
+    lit: Any,
+    dt: T.DataType,
+) -> bool:
+    """True iff [file_lower, file_upper] PROVES every (non-null) row
+    satisfies ``col <op> lit`` — the dual of range_overlaps, used to
+    drop a residual row filter after manifest pruning (callers must
+    separately prove the column has zero nulls in the file; bounds
+    say nothing about nulls). Missing stats or an unknown op → False
+    (cannot prove, keep the filter)."""
+    fl = deserialize_bound(lower, dt)
+    fu = deserialize_bound(upper, dt)
+    v = _canon(lit, dt)
+    if v is None:
+        return False
+    # float bounds may be widened by writers; only trust exact-type laws
+    if op == ">":
+        return fl is not None and fl > v
+    if op == ">=":
+        return fl is not None and fl >= v
+    if op == "<":
+        return fu is not None and fu < v
+    if op == "<=":
+        return fu is not None and fu <= v
+    if op in ("=", "=="):
+        return fl is not None and fu is not None and fl == v == fu
+    return False

@@ -255,12 +255,20 @@ def iceberg_scan(
     snap = _select_snapshot(meta, snapshot_id, timestamp)
     scan = load_table_scan(meta, snap, _table_root(path), allow_moved_paths)
     data_entries = scan.data_files()
+    where_proven = False
     if where is not None:
-        w_stats, w_part = _predicate_to_pruners(meta, where)
+        w_stats, w_part, w_checks = _predicate_to_pruners(meta, where)
         if w_stats:
             data_entries = _prune_by_stats(meta, data_entries, w_stats)
         if w_part:
             data_entries = _prune_by_partition(meta, data_entries, w_part, strict=False)
+        # After pruning, the bounds of every SURVIVING file often prove
+        # the predicate outright (e.g. a partition-aligned date range);
+        # then the residual per-row filter is pure overhead on exactly
+        # the scans pruning was built for. Deletes re-expose rows only
+        # WITHIN surviving files, so the proof is delete-safe.
+        if w_checks and not _keep_position_columns:
+            where_proven = _residual_implied(meta, data_entries, w_checks)
     if partition_filter is not None:
         data_entries = _prune_by_partition(meta, data_entries, partition_filter)
     if stats_filter is not None:
@@ -310,7 +318,7 @@ def iceberg_scan(
                 )
         if time_as_string:
             df = _render_time_strings(df, schema)
-        if where is not None:
+        if where is not None and not where_proven:
             df = df.filter(where)
         return df
     if io != "spark":
@@ -414,7 +422,7 @@ def iceberg_scan(
     if time_as_string and not skip_schema_inference:
         df = _render_time_strings(df, schema)
 
-    if where is not None:
+    if where is not None and not where_proven:
         df = df.filter(where)
 
     return df
@@ -574,36 +582,58 @@ def _lit_compatible(lit, dt) -> bool:
     return False
 
 
-def _predicate_to_pruners(meta: TableMetadata, where: str) -> tuple[dict, dict]:
+def _predicate_to_pruners(
+    meta: TableMetadata, where: str
+) -> tuple[dict, dict, Optional[list]]:
     """Best-effort translation of a conjunctive SQL predicate into
-    (stats_filter ranges, partition equality dict). Clauses that don't
-    parse contribute nothing — the row filter still applies them."""
+    (stats_filter ranges, partition equality dict, implication checks).
+    Clauses that don't parse contribute nothing — the row filter still
+    applies them.
+
+    The third element is a list of (col, op, literal) checks usable to
+    PROVE the predicate over a file's manifest bounds (so the residual
+    row filter can be dropped — see _residual_implied), or None when
+    any conjunct failed to translate exactly (then the row filter is
+    mandatory). Unlike the ranges dict, the checks keep </<= strictness."""
     schema = meta.schemas[meta.current_schema_id]
     known = {c.name: c.spark_type for c in schema.columns}
     ranges: dict[str, list] = {}
     part_eq: dict = {}
+    checks: list = []
+    complete = True
 
     # Conservative OR guard: a disjunction can scope any clause (e.g.
     # "x BETWEEN 1 AND 2 OR y = 3" must keep rows outside [1,2]), and
     # the clause extractors below assume pure conjunction — prune
     # nothing; the exact row filter still applies the predicate.
     if _re.search(r"\bOR\b", where, _re.IGNORECASE):
-        return {}, {}
+        return {}, {}, None
 
-    def add(col: str, lo, hi):
-        cur = ranges.setdefault(col, [None, None])
-        if lo is not None and (cur[0] is None or lo > cur[0]):
-            cur[0] = lo
-        if hi is not None and (cur[1] is None or hi < cur[1]):
-            cur[1] = hi
+    def add(col: str, lo, hi, lo_strict: bool = False, hi_strict: bool = False):
+        cur = ranges.setdefault(col, [None, None, False, False])
+        if lo is not None:
+            if cur[0] is None or lo > cur[0]:
+                cur[0], cur[2] = lo, lo_strict
+            elif lo == cur[0]:
+                cur[2] = cur[2] or lo_strict
+        if hi is not None:
+            if cur[1] is None or hi < cur[1]:
+                cur[1], cur[3] = hi, hi_strict
+            elif hi == cur[1]:
+                cur[3] = cur[3] or hi_strict
 
     rest = where
     for m in _BETWEEN_RE.finditer(where):
         col, lo, hi = m.group(1), _parse_literal(m.group(2)), _parse_literal(m.group(3))
         if col in known and _lit_compatible(lo, known[col]) and _lit_compatible(hi, known[col]):
             add(col, lo, hi)
+            checks += [(col, ">=", lo), (col, "<=", hi)]
+        else:
+            complete = False
         rest = rest.replace(m.group(0), " 1=1 ")
     for clause in _re.split(r"\s+AND\s+", rest, flags=_re.IGNORECASE):
+        if clause.strip() in ("1=1", ""):
+            continue  # BETWEEN placeholder
         m_in = _IN_RE.match(clause)
         if m_in:
             col = m_in.group(1)
@@ -618,26 +648,78 @@ def _predicate_to_pruners(meta: TableMetadata, where: str) -> tuple[dict, dict]:
                 except TypeError:
                     pass
                 part_eq[col] = vals
+                if len(vals) == 1:
+                    checks.append((col, "=", vals[0]))
+                else:
+                    complete = False  # membership not provable from bounds
+            else:
+                complete = False
             continue
         m = _CLAUSE_RE.match(clause)
         if not m:
+            complete = False
             continue
         col, op, lit = m.group(1), m.group(2), _parse_literal(m.group(3))
         if col not in known or not _lit_compatible(lit, known[col]):
+            complete = False
             continue
         if op in ("=", "=="):
             add(col, lit, lit)
             part_eq[col] = lit
+            checks.append((col, "=", lit))
         elif op in (">", ">="):
-            add(col, lit, None)
+            add(col, lit, None, lo_strict=(op == ">"))
+            checks.append((col, op, lit))
         elif op in ("<", "<="):
-            add(col, None, lit)
-    return {c: (lo, hi) for c, (lo, hi) in ranges.items()}, part_eq
+            add(col, None, lit, hi_strict=(op == "<"))
+            checks.append((col, op, lit))
+        else:
+            complete = False
+    return (
+        {c: tuple(v) for c, v in ranges.items()},
+        part_eq,
+        checks if (complete and checks) else None,
+    )
+
+
+def _residual_implied(meta: TableMetadata, entries, checks: list) -> bool:
+    """True iff the manifest bounds of EVERY surviving data file prove
+    every (col, op, lit) check — then the residual row filter is a
+    no-op and can be dropped (the same reason Hive partition predicates
+    never become row filters). Requires a recorded zero null count for
+    each checked column (bounds say nothing about nulls: a NULL row
+    fails the SQL predicate but survives a bounds-only proof)."""
+    from ..plans.bounds import range_implied
+
+    schema = meta.schemas[meta.current_schema_id]
+    by_name = {c.name: c for c in schema.columns}
+    cols = [(by_name.get(col), op, lit) for col, op, lit in checks]
+    if any(c is None for c, _, _ in cols):
+        return False
+    # NaN is invisible to min/max bounds but fails every SQL comparison:
+    # a float/double proof could wrongly keep NaN rows. Never prove there.
+    if any(isinstance(c.spark_type, (T.FloatType, T.DoubleType)) for c, _, _ in cols):
+        return False
+    for e in entries:
+        for c, op, lit in cols:
+            fid = c.field_id
+            nulls = e.null_value_counts.get(fid)
+            if nulls is None:
+                nulls = e.null_value_counts.get(str(fid))
+            if nulls != 0:
+                return False
+            lower = e.lower_bounds.get(fid) or e.lower_bounds.get(str(fid))
+            upper = e.upper_bounds.get(fid) or e.upper_bounds.get(str(fid))
+            if not range_implied(lower, upper, op, lit, c.spark_type):
+                return False
+    return True
 
 
 def _prune_by_stats(meta: TableMetadata, entries, flt: dict):
     """Zone-map skipping: drop files whose [lower, upper] bounds cannot
-    intersect the requested {col: (lo, hi)} ranges."""
+    intersect the requested {col: (lo, hi)} ranges (public form) or
+    {col: (lo, hi, lo_strict, hi_strict)} (internal where-derived form
+    — strictness lets ``col < x`` drop a file whose lower bound == x)."""
     from ..plans.bounds import range_overlaps
 
     schema = meta.schemas[meta.current_schema_id]
@@ -647,17 +729,17 @@ def _prune_by_stats(meta: TableMetadata, entries, flt: dict):
         c = by_name.get(col)
         if c is None:
             raise ValueError(f"stats_filter column {col!r} not in schema")
-        lo, hi = rng
-        checks.append((c.field_id, lo, hi, c.spark_type))
+        lo, hi, los, his = rng if len(rng) == 4 else (*rng, False, False)
+        checks.append((c.field_id, lo, hi, c.spark_type, los, his))
     out = []
     for e in entries:
         keep = True
-        for fid, lo, hi, dt in checks:
+        for fid, lo, hi, dt, los, his in checks:
             lower = e.lower_bounds.get(fid) or e.lower_bounds.get(str(fid))
             upper = e.upper_bounds.get(fid) or e.upper_bounds.get(str(fid))
             if lower is None and upper is None:
                 continue  # no stats for this column: keep
-            if not range_overlaps(lower, upper, lo, hi, dt):
+            if not range_overlaps(lower, upper, lo, hi, dt, los, his):
                 keep = False
                 break
         if keep:

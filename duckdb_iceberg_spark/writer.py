@@ -200,6 +200,25 @@ _MANIFEST_ENTRY_SCHEMA = {
                     {"name": "record_count", "type": "long", "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
                     {
+                        "name": "null_value_counts",
+                        "type": [
+                            "null",
+                            {
+                                "type": "array",
+                                "items": {
+                                    "type": "record",
+                                    "name": "k121_v122",
+                                    "fields": [
+                                        {"name": "key", "type": "int", "field-id": 121},
+                                        {"name": "value", "type": "long", "field-id": 122},
+                                    ],
+                                },
+                            },
+                        ],
+                        "default": None,
+                        "field-id": 110,
+                    },
+                    {
                         "name": "lower_bounds",
                         "type": [
                             "null",
@@ -610,14 +629,18 @@ class IcebergTable:
 
     # -- low-level writers ------------------------------------------------
 
-    def _column_bounds(self, pqmeta) -> tuple[dict, dict]:
-        """Per-file lower/upper bounds keyed by field id, from the
-        parquet footer statistics (free — the footer is already read
-        for the row count). These become Iceberg manifest
-        lower_bounds/upper_bounds used for zone-map file skipping."""
+    def _column_bounds(self, pqmeta) -> tuple[dict, dict, dict]:
+        """Per-file lower/upper bounds and null counts keyed by field
+        id, from the parquet footer statistics (free — the footer is
+        already read for the row count). These become Iceberg manifest
+        lower_bounds/upper_bounds (zone-map file skipping) and
+        null_value_counts (residual-filter elimination needs a proven
+        zero null count — see sources/iceberg._residual_implied)."""
         name_to_id = {c.name: c.field_id for c in self.schema.columns}
         lowers: dict[int, Any] = {}
         uppers: dict[int, Any] = {}
+        nulls: dict[int, int] = {}
+        no_nulls: set[int] = set()  # fids with a row group lacking a null count
         for rg in range(pqmeta.num_row_groups):
             g = pqmeta.row_group(rg)
             for ci in range(g.num_columns):
@@ -627,16 +650,27 @@ class IcebergTable:
                     continue  # nested leaf (a.b) or unknown column
                 try:
                     st = col.statistics
-                    if st is None or not st.has_min_max:
+                except Exception:  # unsupported physical type for stats
+                    st = None
+                if st is None:
+                    no_nulls.add(fid)
+                    continue
+                if not getattr(st, "has_null_count", False) or st.null_count is None:
+                    no_nulls.add(fid)
+                else:
+                    nulls[fid] = nulls.get(fid, 0) + int(st.null_count)
+                try:
+                    if not st.has_min_max:
                         continue
                     mn, mx = st.min, st.max
-                except Exception:  # unsupported physical type for stats
+                except Exception:  # unsupported physical type for min/max
                     continue
                 if fid not in lowers or _cmp_lt(mn, lowers[fid]):
                     lowers[fid] = mn
                 if fid not in uppers or _cmp_lt(uppers[fid], mx):
                     uppers[fid] = mx
-        return lowers, uppers
+        # a single stats-less row group makes the file's count unknowable
+        return lowers, uppers, {f: n for f, n in nulls.items() if f not in no_nulls}
 
     def _write_parquet_files(self, df: DataFrame, subdir: str = "data", partitioned: bool = False) -> list[dict]:
         """Write df as parquet via Spark executors; move part files into
@@ -695,7 +729,7 @@ class IcebergTable:
                 os.makedirs(pdir, exist_ok=True)
                 dest = os.path.join(pdir, f"{uuid.uuid4().hex}.parquet")
                 shutil.move(src, dest)
-                lowers, uppers = self._column_bounds(md)
+                lowers, uppers, nullcounts = self._column_bounds(md)
                 out.append(
                     {
                         "file_path": dest,
@@ -705,6 +739,7 @@ class IcebergTable:
                         "partition": partition,
                         "lower_bounds": lowers,
                         "upper_bounds": uppers,
+                        "null_value_counts": nullcounts,
                     }
                 )
         shutil.rmtree(tmp, ignore_errors=True)
@@ -800,6 +835,13 @@ class IcebergTable:
                     out.append({"key": fid, "value": b})
             return out or None
 
+        def kv_longs(counts: dict | None) -> list | None:
+            if not counts:
+                return None
+            return [
+                {"key": int(fid), "value": int(n)} for fid, n in sorted(counts.items())
+            ] or None
+
         spec_id = doc.get("default-spec-id", 0)
 
         def write_manifest(files: list[dict], content: int) -> dict:
@@ -817,6 +859,7 @@ class IcebergTable:
                         "partition": f.get("partition") or {},
                         "record_count": f["record_count"],
                         "file_size_in_bytes": f.get("file_size_in_bytes", 0),
+                        "null_value_counts": kv_longs(f.get("null_value_counts")),
                         "lower_bounds": kv_bounds(f.get("lower_bounds")),
                         "upper_bounds": kv_bounds(f.get("upper_bounds")),
                         "equality_ids": f.get("equality_ids"),
@@ -980,7 +1023,7 @@ class IcebergTable:
                 (f.metadata or {}).get(b"PARQUET:field_id") is not None for f in arrow_schema
             ):
                 any_without_ids = True
-            lowers, uppers = self._column_bounds(md)
+            lowers, uppers, nullcounts = self._column_bounds(md)
             entries.append(
                 {
                     "file_path": p,
@@ -992,6 +1035,7 @@ class IcebergTable:
                     "partition": {},
                     "lower_bounds": lowers,
                     "upper_bounds": uppers,
+                    "null_value_counts": nullcounts,
                 }
             )
         doc_updates = None
@@ -1066,6 +1110,7 @@ class IcebergTable:
                             "partition": e.partition,
                             "lower_bounds": e.lower_bounds,
                             "upper_bounds": e.upper_bounds,
+                            "null_value_counts": e.null_value_counts,
                         }
                     )
         else:

@@ -251,6 +251,61 @@ def test_where_predicate_prunes_and_filters(spark, tmp_path, events):
     assert got3 == exp3
 
 
+def test_where_residual_filter_dropped_when_bounds_prove(spark, tmp_path, events):
+    """After manifest pruning, a predicate that every surviving file's
+    bounds + zero null count PROVE must not appear as a row filter in
+    the physical plan (Hive-partition-predicate semantics); a predicate
+    that splits a file must keep the filter; results stay exact both
+    ways."""
+    from duckdb_iceberg_spark import IcebergTable
+
+    t = _mk(spark, tmp_path, events, ["event_type"])
+
+    import re
+
+    def has_filter_node(df):
+        # the operator renders as "Filter (<cond>)"; scan metadata labels
+        # (DataFilters:/PushedFilters:) must not count
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return bool(re.search(r"\bFilter \(", plan))
+
+    # partition-aligned equality: bounds collapse to the single value,
+    # null count is recorded 0 -> no Filter node at all
+    df = t.scan(where="event_type = 'click'")
+    assert not has_filter_node(df)
+    assert df.count() == events.filter("event_type = 'click'").count()
+
+    # a range that splits surviving files: filter must survive
+    mid = int(events.agg(F.expr("percentile(user_id, 0.5)")).first()[0])
+    df2 = t.scan(where=f"user_id >= {mid}")
+    assert has_filter_node(df2)
+    assert df2.count() == events.filter(F.col("user_id") >= mid).count()
+
+    # conjunction of a proven and an unproven clause: keep the filter
+    df3 = t.scan(where=f"event_type = 'click' AND user_id >= {mid}")
+    assert has_filter_node(df3)
+    assert (
+        df3.count()
+        == events.filter((F.col("event_type") == "click") & (F.col("user_id") >= mid)).count()
+    )
+
+
+def test_where_residual_kept_when_nulls_possible(spark, tmp_path):
+    """A column with NULLs can never prove its predicate from bounds
+    alone (NULL fails the SQL predicate but is invisible to min/max):
+    the row filter must survive and exclude the NULL rows."""
+    from duckdb_iceberg_spark import IcebergTable
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id int, v int"
+    )
+    t = IcebergTable.create(spark, str(tmp_path / "tn"), df)
+    got = t.scan(where="v >= 0")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Filter" in plan
+    assert got.count() == 2
+
+
 def test_where_column_comparison_not_misparsed(spark, tmp_path, events):
     """col-to-col comparisons and casts must never prune wrongly."""
     from duckdb_iceberg_spark import IcebergTable

@@ -35,7 +35,11 @@ def main() -> None:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    names = [q for q in BENCH_QUERIES if q in oracles]
+    # BENCH_ORACLE_SKIP: comma-separated names to leave out of this run
+    # (e.g. re-timing the suite without repaying text_repetition's
+    # ~20-min cold pass; merge per-query mins across runs afterwards).
+    skip = {s for s in os.environ.get("BENCH_ORACLE_SKIP", "").split(",") if s}
+    names = [q for q in BENCH_QUERIES if q in oracles and q not in skip]
     skipped = [q for q in BENCH_QUERIES if q not in oracles]
     timings: dict[str, float] = {}
     # Per-query budget (seconds): a query whose WARMUP already blows
