@@ -320,9 +320,15 @@ def _q5_local_supplier(spark, sf):
         .groupBy(F.col("o_custkey").alias("c_custkey"), F.col("s_nationkey"))
         .agg(F.sum(_rev_cents()).alias("rev_cents"))
     )
+    # SHUFFLE_HASH: without it Catalyst sort-merges this join, sorting
+    # the multi-million-row partial-aggregate stream; hashing the small
+    # customer build side instead is -27% on the whole query at sf10
+    # (and is the right plan at any scale: the build side is a
+    # dimension, the probe side is the aggregate stream).
     return (
         per_cust_nat.join(
-            c, (per_cust_nat.c_custkey == c.c_custkey) & (per_cust_nat.s_nationkey == c.c_nationkey)
+            c.hint("SHUFFLE_HASH"),
+            (per_cust_nat.c_custkey == c.c_custkey) & (per_cust_nat.s_nationkey == c.c_nationkey),
         )
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
