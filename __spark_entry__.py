@@ -3828,6 +3828,36 @@ FROM documents WHERE doc_id < 400
 """
 
 
+def _mm_frame_sample_gif(spark, sf):
+    """REAL moving-picture frame extraction, oracle-checked:
+    deterministic animated GIF89a payloads (operators/gif.py — genuine
+    variable-width LZW streams) of grayscale modular-ramp frames,
+    decoded executor-side and subsampled to every 2nd frame. Frame
+    count, dims, and the per-frame pixel sum are closed forms of
+    (doc_id, frame_idx), so the DuckDB twin recomputes them with
+    generate_series — a wrong LZW table reset, palette map, frame
+    composition, or sampling stride shifts a value and fails the
+    hash."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return MM.sample_frames(MM.synth_gif_media(d), every_n=2)
+
+
+_MM_FRAME_GIF_SQL = """
+WITH px AS (
+  SELECT d.doc_id, f.g AS f, x.g AS x, y.g AS y
+  FROM documents d, generate_series(0, 5) f(g), generate_series(0, 22) x(g), generate_series(0, 18) y(g)
+  WHERE d.doc_id < 200 AND f.g < d.doc_id % 5 + 2 AND f.g % 2 = 0
+    AND x.g < d.doc_id % 16 + 8 AND y.g < d.doc_id % 12 + 8
+)
+SELECT doc_id AS media_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(doc_id % 16 + 8 AS BIGINT) AS w,
+       CAST(doc_id % 12 + 8 AS BIGINT) AS h,
+       CAST(SUM((doc_id + 131 * f + x + y) % 256) AS BIGINT) AS gray_sum
+FROM px GROUP BY doc_id, f
+"""
+
+
 def _streaming_stateful(spark, sf):
     """Custom stateful operator (applyInPandasWithState): per-user
     running count / exact-cents value sum / last-seen, maintained
@@ -4805,6 +4835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features_png": _mm_features_png,
         "mm_features_jpeg": _mm_features_jpeg,
         "mm_features_wav": _mm_features_wav,
+        "mm_frame_sample_gif": _mm_frame_sample_gif,
         # streaming
         "streaming_hourly": _streaming_hourly,
         "streaming_stateful": _streaming_stateful,
@@ -4936,6 +4967,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_features_png": _MM_FEATURES_BMP_SQL,
         "mm_features_jpeg": _MM_FEATURES_JPEG_SQL,
         "mm_features_wav": _MM_FEATURES_WAV_SQL,
+        "mm_frame_sample_gif": _MM_FRAME_GIF_SQL,
         "iceberg_scan_generated": _ICEBERG_SCAN_SQL,
         "iceberg_arrow_scan": _ICEBERG_SCAN_SQL,
         "iceberg_snapshots": _ICEBERG_SNAPSHOTS_SQL,

@@ -548,6 +548,96 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("w", T.LongType()),
+        T.StructField("h", T.LongType()),
+        T.StructField("gray_sum", T.LongType()),
+    ]
+)
+
+
+def _gray_gif_frames(did: int):
+    """The shared synthetic moving picture: grayscale modular-ramp
+    frames (value (did + 131*f + x + y) % 256 at frame f), dims from
+    the image law (w=did%16+8, h=did%12+8), did%5+2 frames — every
+    per-frame statistic has a closed form a SQL oracle recomputes."""
+    import numpy as np
+
+    w, h = did % 16 + 8, did % 12 + 8
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    out = []
+    for f in range(did % 5 + 2):
+        g = ((did + 131 * f + x + y) % 256).astype(np.uint8)
+        out.append(np.repeat(g[:, :, None], 3, axis=2))
+    return out
+
+
+def synth_gif_media(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL-codec video media: genuine animated GIF89a
+    payloads (operators/gif.py) of the closed-form grayscale ramp
+    frames, one per doc_id."""
+    import numpy as np
+
+    from .gif import encode_gif
+
+    grays = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = _gray_gif_frames(did)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "media_type": "video",
+                        "payload": encode_gif(frames, 10, palette=grays),
+                        "meta": {
+                            "format": "gif",
+                            "width": frames[0].shape[1],
+                            "height": frames[0].shape[0],
+                            "duration_ms": len(frames) * 100,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return documents.select("doc_id").mapInPandas(build, MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame extraction: decode animated-GIF payloads on the
+    executors (Arrow-batched mapInPandas, payloads never leave the
+    workers) and keep every ``every_n``-th frame, emitting per-frame
+    dims + grayscale pixel sum — the decode-then-subsample shape a
+    vision-pipeline frame sampler runs at 100 TB. Non-GIF payloads
+    raise (compressed video is the documented av hook)."""
+    from .gif import decode_gif
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "w", "h", "gray_sum")}
+            for mid, pl in zip(pdf["media_id"], pdf["payload"]):
+                for fi, frame in enumerate(decode_gif(pl)):
+                    if fi % every_n:
+                        continue
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(fi)
+                    out["w"].append(frame.shape[1])
+                    out["h"].append(frame.shape[0])
+                    # all three channels equal for grayscale sources;
+                    # sum channel 0 (int64 — no uint8 overflow)
+                    out["gray_sum"].append(int(frame[:, :, 0].astype("int64").sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(extract, FRAME_SCHEMA)
+
+
 def resize_pixels(px, w: int, h: int):
     """Nearest-neighbor resize of an (H, W, 3) array to (h, w, 3) —
     numpy fancy-indexing, no PIL (the same pixel-center sampling PIL's

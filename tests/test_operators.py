@@ -164,6 +164,57 @@ def test_wav_square_wave_feature_closed_form():
         assert f[6] == 0.0
 
 
+def test_gif_codec_roundtrip_and_features():
+    """Animated GIF encode -> decode is index-exact with an explicit
+    palette; interlaced and transparent frames decode per spec."""
+    import struct
+
+    import numpy as np
+
+    from duckdb_iceberg_spark.operators import gif as G
+
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    frames = [pal[rng.randint(0, 256, (11, 23))] for _ in range(3)]
+    out = G.decode_gif(G.encode_gif(frames, 5, palette=pal))
+    assert len(out) == 3 and all((a == b).all() for a, b in zip(frames, out))
+
+    # a frame big enough to walk the LZW width growth to 12 bits + CLEAR
+    big = pal[rng.randint(0, 256, (70, 80))]
+    assert (G.decode_gif(G.encode_gif([big], 5, palette=pal))[0] == big).all()
+
+    # interlace: permute an encoded frame's rows into interlace order,
+    # set the flag, and expect the decoder to undo it
+    small = pal[rng.randint(0, 256, (10, 4))]
+    payload = bytearray(G.encode_gif([small], 5, palette=pal))
+    # image descriptor starts after header(13) + palette(768) + netscape(19) + gce(8)
+    desc = 13 + 768 + 19 + 8
+    assert payload[desc] == 0x2C
+    rows = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)) for r in range(start, 10, step)]
+    inter = small[rows]
+    repacked = G.encode_gif([inter], 5, palette=pal)
+    payload2 = bytearray(repacked)
+    payload2[desc + 9] |= 0x40  # set interlace flag
+    assert (G.decode_gif(bytes(payload2))[0] == small).all()
+
+    # transparency: mark index of frame2's delta as transparent ->
+    # previous frame's pixels show through
+    f1 = pal[np.zeros((6, 6), dtype=np.uint8)]
+    f2 = pal[np.full((6, 6), 1, dtype=np.uint8)]
+    p = bytearray(G.encode_gif([f1, f2], 5, palette=pal))
+    # second GCE: the first search position past frame1's descriptor
+    # (the first GCE sits BEFORE desc; frame1's all-zero LZW data
+    # cannot contain the 0x21 0xF9 pair)
+    i2 = p.index(b"\x21\xf9", desc)
+    p[i2 + 3] |= 0x01  # transparency flag on
+    p[i2 + 6] = 1  # transparent index = frame2's only color
+    got = G.decode_gif(bytes(p))
+    assert (got[1] == f1).all()  # fully transparent frame leaves frame1
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        G.decode_gif(b"NOPE")
+
+
 def test_jpeg_codec_roundtrip_bounded_error():
     """Baseline JPEG encode -> decode: lossy, so the contract is
     shape-exact output with bounded per-channel mean error (<= 2 luma
