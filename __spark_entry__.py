@@ -3257,11 +3257,16 @@ def _text_bpe_tokens(spark, sf):
     corpus-wide via the once-per-distinct-word encode join. One merge
     keeps the whole train+apply round-trip SQL-expressible, so the
     oracle re-derives the argmax pair and replays it with replace()."""
+    from duckdb_iceberg_spark.cache import scoped_persist
     from duckdb_iceberg_spark.operators import bpe as BPE
 
     d = _t(spark, sf, "documents")
-    merges = BPE.bpe_train(d, num_merges=1, min_freq=2)
-    return BPE.bpe_token_counts(d, merges)
+    # one persisted word-frequency pass feeds BOTH train and encode
+    # (vocab-sized after the aggregate — the persist fences the corpus
+    # explode from running twice)
+    wf = scoped_persist(BPE.word_frequencies(d))
+    merges = BPE.bpe_train(d, num_merges=1, min_freq=2, wf=wf)
+    return BPE.bpe_token_counts(d, merges, wf=wf)
 
 
 _TEXT_BPE_TOKENS_SQL = r"""
@@ -3293,11 +3298,13 @@ def _text_bpe_vocab(spark, sf):
     merges via the greedy-by-rank encoder, which is equivalent to
     in-order application for any trained (consistent) merge list —
     asserted in tests/test_bpe.py."""
+    from duckdb_iceberg_spark.cache import scoped_persist
     from duckdb_iceberg_spark.operators import bpe as BPE
 
     d = _t(spark, sf, "documents")
-    merges = BPE.bpe_train(d, num_merges=30, min_freq=2)
-    return BPE.bpe_piece_topk(d, merges, top_k=40)
+    wf = scoped_persist(BPE.word_frequencies(d))
+    merges = BPE.bpe_train(d, num_merges=30, min_freq=2, wf=wf)
+    return BPE.bpe_piece_topk(d, merges, top_k=40, wf=wf)
 
 
 def _bpe_vocab_sql(num_merges: int = 30, min_freq: int = 2, top_k: int = 40) -> str:

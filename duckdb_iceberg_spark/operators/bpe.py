@@ -66,15 +66,22 @@ def bpe_train(
     num_merges: int = 50,
     min_freq: int = 2,
     max_vocab_words: int = 1_000_000,
+    wf: DataFrame | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from the corpus.
 
     Returns the ranked merge list [(left, right), ...]. Deterministic:
     ties in pair frequency break on the pair's lexicographic order, so
     the same corpus always trains the same tokenizer.
+
+    ``wf`` lets a caller that also encodes (train + apply is the
+    normal pipeline) share ONE word-frequency corpus pass — persist
+    `word_frequencies(df)` and hand it to both stages; the corpus is
+    then tokenized twice total (here and the per-doc count), not
+    three times.
     """
     vocab_rows = (
-        word_frequencies(df, text_col)
+        (wf if wf is not None else word_frequencies(df, text_col))
         .where(F.col("freq") >= min_freq)
         .orderBy(F.desc("freq"), F.asc("w"))
         .limit(max_vocab_words)
@@ -111,7 +118,10 @@ def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
 
 
 def bpe_word_pieces(
-    df: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    wf: DataFrame | None = None,
 ) -> DataFrame:
     """(word, freq, pieces array<string>, n_pieces) — every DISTINCT
     corpus word encoded once, via an Arrow-batched pandas UDF (the
@@ -134,7 +144,8 @@ def bpe_word_pieces(
     # relocating/duplicating it.
     _enc = _enc.asNondeterministic()
 
-    wf = word_frequencies(df, text_col)
+    if wf is None:
+        wf = word_frequencies(df, text_col)
     return wf.select(
         "w",
         "freq",
@@ -147,22 +158,28 @@ def bpe_token_counts(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     key_col: str = "doc_id",
+    wf: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document BPE token count under a trained merge list — the
     token-budget statistic a packing/sampling stage consumes.
 
     One explode of (doc, word) joined to the once-encoded distinct
-    vocabulary (broadcast-eligible — vocabulary-sized), then a per-doc
-    sum. Words pruned from training (below min_freq) still encode via
-    the same UDF table because the vocabulary here is the full corpus
-    vocabulary, not the capped training one.
+    vocabulary, then a per-doc sum. The vocabulary side is broadcast
+    EXPLICITLY: it is bounded by construction (distinct words, the
+    same budget the trainer caps), and a corpus-derived table can
+    never win AQE's auto-broadcast in time — the exploded token
+    stream, the largest intermediate here, would already have written
+    its exchange (the trap documented in SCALE.md). Words pruned from
+    training (below min_freq) still encode via the same UDF table
+    because the vocabulary here is the full corpus vocabulary, not
+    the capped training one.
     """
-    pieces = bpe_word_pieces(df, merges, text_col).select("w", "n_pieces")
+    pieces = bpe_word_pieces(df, merges, text_col, wf=wf).select("w", "n_pieces")
     dw = df.select(
         F.col(key_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
     ).where(F.col("w") != "")
     return (
-        dw.join(pieces, "w")
+        dw.join(F.broadcast(pieces), "w")
         .groupBy(key_col)
         .agg(
             F.sum("n_pieces").alias("bpe_tokens"),
@@ -176,12 +193,13 @@ def bpe_piece_topk(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     top_k: int = 50,
+    wf: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus piece-frequency histogram head: the ``top_k`` BPE pieces
     by total corpus occurrences (piece count × word freq), ties broken
     by piece text — the vocabulary-usage view a tokenizer audit reads.
     """
-    wp = bpe_word_pieces(df, merges, text_col)
+    wp = bpe_word_pieces(df, merges, text_col, wf=wf)
     return (
         wp.select(F.explode("pieces").alias("piece"), "freq")
         .groupBy("piece")
