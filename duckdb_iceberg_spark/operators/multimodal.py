@@ -217,6 +217,10 @@ def decode_image(payload: bytes):
 
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:4] == b"GIF8":
+        from .gif import decode_gif
+
+        return decode_gif(payload)[0]  # still image = first frame
     if payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
@@ -358,7 +362,9 @@ def _image_feature(px) -> list[float]:
 
 def _is_image_magic(payload: bytes) -> bool:
     return bool(payload) and (
-        payload[:2] in (b"BM", b"P6", b"\xff\xd8") or payload[:8] == _PNG_SIG
+        payload[:2] in (b"BM", b"P6", b"\xff\xd8")
+        or payload[:8] == _PNG_SIG
+        or payload[:4] == b"GIF8"
     )
 
 
@@ -661,6 +667,16 @@ def _resize_payload(payload: bytes, w: int, h: int, use_real_codecs: bool = Fals
         px = resize_pixels(decode_image(payload), w, h)
         if payload[:8] == _PNG_SIG:
             return encode_png(px)
+        if payload[:4] == b"GIF8":
+            import numpy as np
+
+            from .gif import encode_gif
+
+            # nearest-neighbor resize only samples existing pixels, so
+            # the color set stays within the source palette (<= 256) —
+            # the re-encode is exact
+            pal = np.unique(px.reshape(-1, 3), axis=0)
+            return encode_gif([px], palette=pal if len(pal) <= 256 else None)
         if payload[:2] == b"\xff\xd8":
             from .jpeg import encode_jpeg
 

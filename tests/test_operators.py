@@ -214,6 +214,15 @@ def test_gif_codec_roundtrip_and_features():
     with pytest.raises(ValueError, match="not a GIF"):
         G.decode_gif(b"NOPE")
 
+    # still-image path: decode_image takes frame 0; resize stays GIF
+    # and is color-exact (NN sampling keeps the palette closed)
+    still = frames[0]
+    assert (MM.decode_image(G.encode_gif([still], 5, palette=pal)) == still).all()
+    resized = MM._resize_payload(G.encode_gif([still], 5, palette=pal), 7, 5)
+    assert resized[:4] == b"GIF8"
+    got_r = G.decode_gif(resized)[0]
+    assert (got_r == MM.resize_pixels(still, 7, 5)).all()
+
 
 def test_jpeg_codec_roundtrip_bounded_error():
     """Baseline JPEG encode -> decode: lossy, so the contract is
