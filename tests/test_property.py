@@ -217,3 +217,47 @@ def test_stopword_trie_equals_flat_alternation(s):
     flat = r"\b(?:" + "|".join(STOPWORDS) + r")\b"
     low = s.lower()
     assert len(re.findall(_STOPWORD_TRIE, low)) == len(re.findall(flat, low))
+
+
+@given(
+    st.integers(min_value=1, max_value=120),  # frames as flat sample count
+    st.integers(min_value=1, max_value=2),
+    st.integers(min_value=1, max_value=96000),
+    st.integers(min_value=0, max_value=2**16 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    """encode_wav -> decode_wav is bit-exact for any int16 sample block,
+    channel count, and sample rate (PCM-16 is lossless by definition)."""
+    import numpy as np
+
+    from duckdb_iceberg_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.RandomState(seed)
+    s = rng.randint(-(2**15), 2**15, size=(n, ch)).astype(np.int16)
+    out, got_rate = decode_wav(encode_wav(s, rate))
+    assert got_rate == rate and out.shape == (n, ch) and (out == s).all()
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=2, max_value=256),
+    st.integers(min_value=0, max_value=2**16 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_property(w, h, nframes, ncolors, seed):
+    """encode_gif -> decode_gif is pixel-exact for any frame stack drawn
+    from an explicit palette (any palette size 2..256 — exercises every
+    LZW min-code-size / width-growth combination)."""
+    import numpy as np
+
+    from duckdb_iceberg_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, size=(ncolors, 3)).astype(np.uint8)
+    frames = [pal[rng.randint(0, ncolors, size=(h, w))] for _ in range(nframes)]
+    out = decode_gif(encode_gif(frames, 4, palette=pal))
+    assert len(out) == nframes
+    assert all((a == b).all() for a, b in zip(frames, out))
