@@ -97,6 +97,14 @@ def get_spark(app_name: str = "duckdb_iceberg_spark", **extra) -> SparkSession:
             "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
             str(512 * 1024 * 1024),
         )
+        # Whole-stage-codegen class cache: the default 100 entries
+        # thrash on a many-query workload (the 39-query suite alone
+        # compiles ~150+ codegen units, so a query's generated classes
+        # are evicted before its next run and Janino recompiles them —
+        # 100-500 ms per query of pure recompilation). A long-lived
+        # engine session keeps every plan's classes hot. Static conf:
+        # must be set before the first session starts.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.fieldId.read.enabled", "true")
         .config("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
