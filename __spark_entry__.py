@@ -65,6 +65,23 @@ _BUCKET_SPECS = (
 
 _GROUP_SIZER = {"spine": "lineitem", "events": "events"}
 
+# Tables the fixture generator writes as a SINGLE parquet row group:
+# one row group = one scan split = ONE task no matter how many cores
+# the cluster has, so every pushed-down projection (the regex-heavy
+# text kernels especially) runs single-threaded while 31 cores idle.
+# The layout prep rewrites them as N evenly-sized files (round-robin
+# repartition — no key, these tables have no co-located join spine)
+# so the scan stage parallelizes. At warehouse scale this is just
+# "ingest writes 128 MiB row groups"; locally we target ~2 MiB files.
+_SPLIT_SPECS = ("documents", "embeddings", "part", "supplier")
+
+
+def _split_count(src: str, per_file_bytes: int = 2 << 20, cap: int = 32) -> int:
+    import math
+
+    size = os.path.getsize(src) if os.path.exists(src) else 0
+    return min(cap, max(4, 1 << math.ceil(math.log2(max(1.0, size / per_file_bytes)))))
+
 
 def _bucket_count(sf_dir: str, group: str, per_bucket_bytes: int = 4 << 20, cap: int = 32) -> int:
     """Bucket count scaled to the join group's data volume: ceil-pow2
@@ -149,6 +166,24 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
             # plan can pick SMJ where broadcast is right — AQE fixes
             # it mid-flight, but planning it correctly up front skips
             # the conversion. NOSCAN = file-size sum only, O(ms).
+            spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS NOSCAN")
+        _BUCKETED_OVERLAY[(key_dir, name)] = tbl
+    for name in _SPLIT_SPECS:
+        src = os.path.join(key_dir, f"{name}.parquet")
+        if not os.path.exists(src):
+            continue
+        n_files = _split_count(src)
+        stamp = int(os.path.getmtime(src))
+        tbl = f"spl_{name}_{sfx}"
+        loc = os.path.join(base, f"{sfx}_{name}_{stamp}_s{n_files}v1")
+        if not spark.catalog.tableExists(tbl):
+            df = spark.read.parquet(src)
+            if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+                df.repartition(n_files).write.mode("overwrite").parquet(loc)
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+            )
+            spark.sql(f"CREATE TABLE {tbl} ({cols}) USING PARQUET LOCATION '{loc}'")
             spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS NOSCAN")
         _BUCKETED_OVERLAY[(key_dir, name)] = tbl
     return _time.perf_counter() - t0

@@ -194,11 +194,14 @@ def test_bucketed_overlay_rows_identical_to_raw(spark):
     correctness driver always runs raw; bench runs bucketed)."""
     import __spark_entry__ as E2
 
-    name = "q3_shipping_priority"
-    raw = [tuple(r) for r in E2.queries()[name](spark, SF).collect()]
+    # q3 covers the bucketed spine; the others cover the split-layout
+    # rewrites (documents/embeddings/part round-robin repartition must
+    # not change any result — catches order-dependent entries).
+    names = ["q3_shipping_priority", "curate_pipeline", "sim_topk", "q19_disjunctive", "dedup_minhash_pairs"]
+    raw = {n: sorted(tuple(r) for r in E2.queries()[n](spark, SF).collect()) for n in names}
     E2.prepare_bucketed_fixtures(spark, SF)
     try:
-        bkt = [tuple(r) for r in E2.queries()[name](spark, SF).collect()]
+        bkt = {n: sorted(tuple(r) for r in E2.queries()[n](spark, SF).collect()) for n in names}
     finally:
         for k in [k for k, v in E2._BUCKETED_OVERLAY.items() if k[0] == os.path.abspath(SF)]:
             del E2._BUCKETED_OVERLAY[k]
