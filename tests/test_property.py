@@ -219,6 +219,20 @@ def test_stopword_trie_equals_flat_alternation(s):
     assert len(re.findall(_STOPWORD_TRIE, low)) == len(re.findall(flat, low))
 
 
+@given(st.text(alphabet=list("ab \t\n\r\x0b\x0c.,!"), max_size=60))
+def test_token_count_regexp_count_equals_split_size(s):
+    """text.token_count now counts \\S+ runs (floored at 1) instead of
+    materializing size(split(trim(s), '\\s+')); the two must agree on
+    every input: k tokens -> k for both, and empty/whitespace-only ->
+    split yields [''] = 1 while the regexp count's 0 is floored to 1.
+    ASCII alphabet on purpose — Java and Python \\s agree there."""
+    import re
+
+    old = len(re.split(r"\s+", s.strip()))
+    new = max(len(re.findall(r"\S+", s)), 1)
+    assert old == new
+
+
 @given(
     st.integers(min_value=1, max_value=120),  # frames as flat sample count
     st.integers(min_value=1, max_value=2),
