@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "q6_revenue",
     "q10_returned_items",
     "join_broadcast_brand",
+    "join_colocated_brand",
     "agg_global",
     "window_topn_per_group",
     "sort_topk",

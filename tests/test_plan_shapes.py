@@ -188,6 +188,28 @@ def test_funnel_join_bucketed_no_exchange(spark):
             del E2._BUCKETED_OVERLAY[k]
 
 
+def test_colocated_projection_join_no_fact_exchange(spark):
+    """join_colocated_brand through the partkey projections must
+    compile as a ShuffledHashJoin with no Exchange on partkey — the
+    only allowed Exchange is the final 25-row brand aggregation."""
+    import __spark_entry__ as E2
+
+    E2.prepare_bucketed_fixtures(spark, SF)
+    try:
+        plan = _plan(E2.queries()["join_colocated_brand"](spark, SF))
+        assert "ShuffledHashJoin" in plan, plan[:500]
+        pk = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln and "partkey" in ln
+        ]
+        assert not pk, f"partkey exchange present: {pk[0][:200]}"
+        assert plan.count("Exchange hashpartitioning") <= 1
+    finally:
+        for k in [k for k, v in E2._BUCKETED_OVERLAY.items() if k[0] == os.path.abspath(SF)]:
+            del E2._BUCKETED_OVERLAY[k]
+
+
 def test_bucketed_overlay_rows_identical_to_raw(spark):
     """Layout independence: the same entry over bucketed fixtures
     returns row-identical results to the raw-parquet read (the
@@ -197,7 +219,7 @@ def test_bucketed_overlay_rows_identical_to_raw(spark):
     # q3 covers the bucketed spine; the others cover the split-layout
     # rewrites (documents/embeddings/part round-robin repartition must
     # not change any result — catches order-dependent entries).
-    names = ["q3_shipping_priority", "curate_pipeline", "sim_topk", "q19_disjunctive", "dedup_minhash_pairs"]
+    names = ["q3_shipping_priority", "curate_pipeline", "sim_topk", "q19_disjunctive", "dedup_minhash_pairs", "join_colocated_brand"]
     raw = {n: sorted(tuple(r) for r in E2.queries()[n](spark, SF).collect()) for n in names}
     E2.prepare_bucketed_fixtures(spark, SF)
     try:
