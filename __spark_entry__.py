@@ -4636,9 +4636,19 @@ def _join_salted(spark, sf):
     p = _t(spark, sf, "part").select("p_partkey", "p_brand")
     if sf not in _SALT_TUNE:
         _SALT_TUNE[sf] = tune_n_salts(li, "l_partkey")
-    joined = salted_join(
-        li, p.withColumnRenamed("p_partkey", "l_partkey"), on="l_partkey", n_salts=_SALT_TUNE[sf]
-    )
+    pli, pp = _t_proj(spark, sf, "lineitem", "l_partkey"), _t_proj(spark, sf, "part", "p_partkey")
+    if _SALT_TUNE[sf] <= 1 and pli is not None and pp is not None:
+        # no skew detected -> salting is a no-op, so take the best
+        # available physical path: the partkey projections join
+        # co-located (salting exists for when layout CAN'T save you —
+        # a hot key concentrates within one bucket all the same)
+        joined = pli.join(
+            pp.hint("SHUFFLE_HASH").withColumnRenamed("p_partkey", "l_partkey"), "l_partkey"
+        )
+    else:
+        joined = salted_join(
+            li, p.withColumnRenamed("p_partkey", "l_partkey"), on="l_partkey", n_salts=_SALT_TUNE[sf]
+        )
     # exact-cents policy (module doc): quantity carries 2 decimals, so
     # the long-cents sum is exact and order-independent, and one double
     # division at output is IEEE-exact — ~15% cheaper than a

@@ -219,7 +219,7 @@ def test_bucketed_overlay_rows_identical_to_raw(spark):
     # q3 covers the bucketed spine; the others cover the split-layout
     # rewrites (documents/embeddings/part round-robin repartition must
     # not change any result — catches order-dependent entries).
-    names = ["q3_shipping_priority", "curate_pipeline", "sim_topk", "q19_disjunctive", "dedup_minhash_pairs", "join_colocated_brand"]
+    names = ["q3_shipping_priority", "curate_pipeline", "sim_topk", "q19_disjunctive", "dedup_minhash_pairs", "join_colocated_brand", "join_salted"]
     raw = {n: sorted(tuple(r) for r in E2.queries()[n](spark, SF).collect()) for n in names}
     E2.prepare_bucketed_fixtures(spark, SF)
     try:
