@@ -182,11 +182,15 @@ def resample(
 
     Returns (key, bucket_ts, value, is_gap).
 
-    Scale shape: one shuffle on the key for the bucket aggregation,
-    then ONE window over (key, bucket) — the densified grid is at
-    most span/interval rows per key and never materializes globally.
-    The window is per-key ordered state, exactly what Spark's window
-    exchange already partitions by; nothing touches the driver.
+    Scale shape — exactly TWO exchanges, no join: (1) the per-bucket
+    last value is a ``max_by`` hash aggregation on (key, bucket)
+    (partial map-side combine, unlike a row_number window); (2) one
+    window on the key computes each observed bucket's successor, and
+    the gap buckets up to it are GENERATED from the observed row
+    itself (sequence + posexplode) — which carries its value, so LOCF
+    needs no second window and the grid never exists as a separate
+    relation to join back. Grid rows are at most span/interval per
+    key and never materialize globally; nothing touches the driver.
     """
     from pyspark.sql import Window
 
@@ -196,30 +200,27 @@ def resample(
         # (UTC-pinned) session-TZ timestamp first.
         tcol = tcol.cast("timestamp")
     bucket = (F.floor(tcol.cast("long") / interval_sec) * interval_sec).cast("long")
-    order = [F.desc(ts)] + ([F.desc(tiebreak)] if tiebreak else [])
-    keep = [F.col(key), bucket.alias("b"), F.col(ts), F.col(value).cast("double").alias("v")]
-    if tiebreak:
-        keep.append(F.col(tiebreak))
+    ordc = F.struct(F.col(ts), F.col(tiebreak)) if tiebreak else F.struct(F.col(ts))
     per_bucket = (
-        df.select(*keep)
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy(key, "b").orderBy(*order)),
-        )
-        .filter(F.col("rn") == 1)
-        .select(key, "b", "v")
+        df.select(F.col(key), bucket.alias("b"), ordc.alias("o"), F.col(value).cast("double").alias("v"))
+        .groupBy(key, "b")
+        .agg(F.max_by("v", "o").alias("v"))
     )
-    spans = per_bucket.groupBy(key).agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
-    grid = spans.select(
-        key, F.explode(F.sequence(F.col("b0"), F.col("b1"), F.lit(interval_sec))).alias("b")
-    )
-    w = Window.partitionBy(key).orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    nxt = F.lead("b").over(Window.partitionBy(key).orderBy("b"))
     return (
-        grid.join(per_bucket, [key, "b"], "left")
+        per_bucket.withColumn(
+            "gb",
+            F.sequence(
+                F.col("b"),
+                F.coalesce(nxt - F.lit(interval_sec), F.col("b")),
+                F.lit(interval_sec),
+            ),
+        )
+        .select(key, "v", F.posexplode("gb").alias("pos", "b"))
         .select(
             F.col(key),
             F.col("b").cast("timestamp").alias("bucket_ts"),
-            F.last("v", ignorenulls=True).over(w).alias(value),
-            F.col("v").isNull().alias("is_gap"),
+            F.col("v").alias(value),
+            (F.col("pos") > 0).alias("is_gap"),
         )
     )
