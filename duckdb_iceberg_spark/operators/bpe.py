@@ -159,27 +159,40 @@ def bpe_token_counts(
     text_col: str = "text",
     key_col: str = "doc_id",
     wf: DataFrame | None = None,
+    max_broadcast_vocab: int = 5_000_000,
 ) -> DataFrame:
     """Per-document BPE token count under a trained merge list — the
     token-budget statistic a packing/sampling stage consumes.
 
     One explode of (doc, word) joined to the once-encoded distinct
-    vocabulary, then a per-doc sum. The vocabulary side is broadcast
-    EXPLICITLY: it is bounded by construction (distinct words, the
-    same budget the trainer caps), and a corpus-derived table can
-    never win AQE's auto-broadcast in time — the exploded token
-    stream, the largest intermediate here, would already have written
-    its exchange (the trap documented in SCALE.md). Words pruned from
-    training (below min_freq) still encode via the same UDF table
-    because the vocabulary here is the full corpus vocabulary, not
-    the capped training one.
+    vocabulary, then a per-doc sum. The vocabulary side is the FULL
+    corpus distinct-word table (so words pruned from training still
+    encode), which under Heaps' law grows ~sqrt(corpus) — it is
+    broadcast only while the Heaps-law estimate from the input size
+    stays under ``max_broadcast_vocab`` rows; above that (the 100 TB
+    regime) it falls back to a shuffle-hash join, because a forced
+    broadcast of an unbounded table is a driver OOM with no AQE
+    escape hatch. Below the threshold the broadcast is explicit: a
+    corpus-derived table can never win AQE's auto-broadcast in time —
+    the exploded token stream, the largest intermediate here, would
+    already have written its exchange (the trap documented in
+    SCALE.md).
     """
     pieces = bpe_word_pieces(df, merges, text_col, wf=wf).select("w", "n_pieces")
     dw = df.select(
         F.col(key_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
     ).where(F.col("w") != "")
+    # Heaps' law vocab estimate (V ~= 40 * sqrt(words), words ~= bytes/6)
+    # from Catalyst's plan-size statistic: zero extra jobs, conservative
+    # (raw logical size overestimates text bytes -> overestimates vocab).
+    try:
+        size_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        est_vocab = int(40 * (max(size_bytes, 1) / 6) ** 0.5)
+    except Exception:
+        est_vocab = 0  # stats unavailable -> keep the broadcast path
+    vocab_side = F.broadcast(pieces) if est_vocab <= max_broadcast_vocab else pieces.hint("SHUFFLE_HASH")
     return (
-        dw.join(F.broadcast(pieces), "w")
+        dw.join(vocab_side, "w")
         .groupBy(key_col)
         .agg(
             F.sum("n_pieces").alias("bpe_tokens"),

@@ -384,13 +384,17 @@ def _decode_payload(media_type: str, payload: bytes, use_real_codecs: bool = Fal
     if media_type == "image" and _is_image_magic(payload):
         try:
             return _image_feature(decode_image(payload))
-        except ValueError:
-            pass  # magic-bytes false positive (e.g. text starting "BM") -> stub feature
+        except Exception:
+            # magic-bytes false positive OR corrupt payload: the codecs
+            # surface zlib.error / struct.error / IndexError on truncated
+            # streams, not only ValueError — all mean "not decodable",
+            # never fail the Spark task for one bad row.
+            pass
     if media_type == "audio" and _is_wav_magic(payload):
         try:
             return _audio_feature(*decode_wav(payload))
-        except ValueError:
-            pass  # non-PCM / truncated WAV -> stub feature
+        except Exception:
+            pass  # non-PCM / truncated / corrupt WAV -> stub feature
     if use_real_codecs:
         raise NotImplementedError(
             "BMP/PPM/PNG/baseline-JPEG and WAVE-PCM decode natively; plug "
@@ -663,8 +667,13 @@ def _resize_payload(payload: bytes, w: int, h: int, use_real_codecs: bool = Fals
     formats: deterministic content-addressed fake so the distribution
     plumbing stays testable; ``use_real_codecs=True`` raises instead
     (the librosa/av hook)."""
+    px = None
     if _is_image_magic(payload):
-        px = resize_pixels(decode_image(payload), w, h)
+        try:
+            px = resize_pixels(decode_image(payload), w, h)
+        except Exception:
+            px = None  # corrupt payload / magic false positive -> fake path
+    if px is not None:
         if payload[:8] == _PNG_SIG:
             return encode_png(px)
         if payload[:4] == b"GIF8":

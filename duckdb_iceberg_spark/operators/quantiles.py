@@ -34,8 +34,13 @@ def exact_percentiles_cents(
     """Exact percentile_cont values of a non-negative 2-decimal column
     at each p in ``ps``, computed via the cents-domain count table.
     Returns one row per ``by`` group (or a single row) with columns
-    ``p<i>`` (double, in the original unit)."""
+    ``p<i>`` (double, in the original unit).
+
+    NULLs in ``col`` are ignored (``percentile_cont`` semantics): they are
+    filtered before the count aggregation so the cumulative ranks line up
+    with the non-null count ``__n``."""
     by = list(by or [])
+    df = df.where(F.col(col).isNotNull())
     cents = F.round(F.col(col) * 100).cast("long")
     counts = df.groupBy(*by, cents.alias("__v")).agg(F.count("*").alias("__c"))
     w = Window.partitionBy(*by).orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)

@@ -80,8 +80,11 @@ def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     # boundaries are not epoch-hour multiples).
     spark = src.sparkSession
     if spark is not None and spark.conf.get("spark.sql.session.timeZone", "") in ("UTC", "Etc/UTC", "GMT"):
+        # floor(), not cast: cast truncates toward zero, which would
+        # round pre-1970 timestamps UP to the next hour instead of
+        # flooring like date_trunc (1969-12-31 23:30 -> hour 00:00).
         hour = F.timestamp_micros(
-            (F.unix_micros(F.col("ts")) / F.lit(3_600_000_000)).cast("long")
+            F.floor(F.unix_micros(F.col("ts")) / F.lit(3_600_000_000)).cast("long")
             * F.lit(3_600_000_000)
         )
     else:
