@@ -26,9 +26,20 @@ def write_bucketed(
     key: str,
     num_buckets: int = 8,
     path: str | None = None,
+    sort_cols: list[str] | None = None,
+    write_options: dict[str, str] | None = None,
 ) -> None:
     """Persist `df` as a bucketed+sorted catalog table (external, under
-    `path`), replacing any previous definition."""
+    `path`), replacing any previous definition.
+
+    ``sort_cols`` defaults to the bucket key (co-located SortMergeJoin
+    needs in-bucket key order). Passing a DIFFERENT column (e.g. a date)
+    turns the in-bucket sort into a zone map: parquet row-group min/max
+    statistics on that column become tight, so range filters prune whole
+    row groups — hash co-location on ``key`` is unaffected (only the
+    sortedness metadata changes, which hash aggregation and hash joins
+    never consume). Pair with ``write_options={'parquet.block.size': ...}``
+    to control pruning granularity."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     loc = path or tempfile.mkdtemp(prefix=f"bucketed_{table}_")
@@ -41,9 +52,10 @@ def write_bucketed(
         # pays W× the footer/open overhead for identical bytes.
         df.repartition(num_buckets, key)
         .write.mode("overwrite")
+        .options(**(write_options or {}))
         .option("path", loc)
         .bucketBy(num_buckets, key)
-        .sortBy(key)
+        .sortBy(*(sort_cols or [key]))
         .saveAsTable(table)
     )
 

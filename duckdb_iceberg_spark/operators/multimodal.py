@@ -288,12 +288,41 @@ def encode_wav(samples, sample_rate: int) -> bytes:
     return b"RIFF" + _struct.pack("<I", len(body)) + body
 
 
+def encode_wav_g711(samples, sample_rate: int, law: str = "ulaw") -> bytes:
+    """Encode an (N,) or (N, CH) int16 sample array as a RIFF/WAVE
+    G.711 file (format tag 7 = μ-law / 6 = A-law, 8 bits per sample,
+    2:1 over PCM-16). Includes the fact chunk the WAVE spec requires
+    for compressed formats and an 18-byte fmt chunk (cbSize=0)."""
+    import numpy as np
+
+    from .g711 import alaw_encode, ulaw_encode
+
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    ch = s.shape[1]
+    fmt_code, enc = {"ulaw": (7, ulaw_encode), "alaw": (6, alaw_encode)}[law]
+    data = enc(s).tobytes()  # row-major == interleaved frames
+    fmt = _struct.pack(
+        "<HHIIHHH", fmt_code, ch, sample_rate, sample_rate * ch, ch, 8, 0
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + _struct.pack("<II", 4, s.shape[0])
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
 def decode_wav(payload: bytes):
-    """Decode a RIFF/WAVE PCM-16 payload to ((N_frames, CH) int16
-    array, sample_rate). Walks the chunk list (tolerates extra chunks
-    like LIST/INFO, and odd-length chunk padding per the RIFF spec);
-    raises ValueError on non-PCM or non-16-bit files — callers fall
-    back to the stub feature, same contract as the image codecs."""
+    """Decode a RIFF/WAVE payload to ((N_frames, CH) int16 array,
+    sample_rate). Handles PCM-16 (format 1) and G.711 μ-law/A-law
+    (formats 7/6, 8-bit — expanded to int16 via the operators.g711
+    lookup tables). Walks the chunk list (tolerates extra chunks like
+    LIST/INFO/fact, and odd-length chunk padding per the RIFF spec);
+    raises ValueError on other codecs — callers fall back to the stub
+    feature, same contract as the image codecs."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -311,11 +340,18 @@ def decode_wav(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("WAVE missing fmt/data chunk")
     audio_format, ch, rate, _byte_rate, _block_align, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise ValueError(f"unsupported WAVE: format={audio_format} bits={bits}")
-    n = len(data) // (2 * ch)
-    s = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
-    return s, rate
+    if audio_format == 1 and bits == 16:
+        n = len(data) // (2 * ch)
+        s = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
+        return s, rate
+    if audio_format in (6, 7) and bits == 8:
+        from .g711 import ALAW_DECODE_TABLE, ULAW_DECODE_TABLE
+
+        table = ULAW_DECODE_TABLE if audio_format == 7 else ALAW_DECODE_TABLE
+        n = len(data) // ch
+        codes = np.frombuffer(data, dtype=np.uint8, count=n * ch)
+        return table[codes].reshape(n, ch), rate
+    raise ValueError(f"unsupported WAVE: format={audio_format} bits={bits}")
 
 
 def _audio_feature(samples, rate: int) -> list[float]:
@@ -498,6 +534,55 @@ def synth_wav_media(documents: DataFrame) -> DataFrame:
                         "payload": encode_wav(s, rate),
                         "meta": {
                             "format": "wav",
+                            "width": 0,
+                            "height": 0,
+                            "duration_ms": s.shape[0] * 1000 // rate,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return documents.select("doc_id").mapInPandas(build, MEDIA_SCHEMA)
+
+
+def _g711_wave(did: int):
+    """Square wave for the G.711 entries: same period/frame/channel law
+    as :func:`_square_wave`, but amplitude A = (id%100+1)*8 + 4 — ALWAYS
+    divisible by 4 (so the μ-law >>2 floors identically for ±A) and
+    NEVER divisible by 8 (so the A-law >>3 with its -x-1 negative
+    mirror lands both signs in the same quantization cell). Both laws
+    then decode ±A to exactly ±A' — mean stays exactly 0, RMS == peak
+    == A', and A' has the closed companding form a SQL oracle
+    recomputes (segment + mantissa arithmetic on A alone)."""
+    import numpy as np
+
+    amp = (did % 100 + 1) * 8 + 4
+    half = did % 20 + 2
+    n = 2 * half * (did % 30 + 5)
+    ch = did % 2 + 1
+    i = np.arange(n)
+    s = np.where((i // half) % 2 == 0, amp, -amp).astype(np.int16)
+    return np.repeat(s[:, None], ch, axis=1), 8000
+
+
+def synth_g711_media(documents: DataFrame, law: str = "ulaw") -> DataFrame:
+    """Deterministic REAL-codec compressed audio media: genuine
+    RIFF/WAVE G.711 μ-law or A-law files of the closed-form square
+    wave (see :func:`_g711_wave`), one per doc_id."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                s, rate = _g711_wave(did)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "media_type": "audio",
+                        "payload": encode_wav_g711(s, rate, law=law),
+                        "meta": {
+                            "format": law,
                             "width": 0,
                             "height": 0,
                             "duration_ms": s.shape[0] * 1000 // rate,

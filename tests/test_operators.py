@@ -164,6 +164,45 @@ def test_wav_square_wave_feature_closed_form():
         assert f[6] == 0.0
 
 
+def test_g711_codec_spec_parity_and_wav_roundtrip():
+    """The G.711 μ-law/A-law codec is bit-exact with the public CCITT
+    reference (checked against CPython's audioop where present) and
+    round-trips through the RIFF/WAVE container with format tags 7/6."""
+    import numpy as np
+
+    from duckdb_iceberg_spark.operators import g711 as G7
+
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    for enc, dec in ((G7.ulaw_encode, G7.ulaw_decode), (G7.alaw_encode, G7.alaw_decode)):
+        y = dec(enc(x)).astype(np.int64)
+        # companded quantization: error bounded by the largest half-step
+        assert np.abs(y - x.astype(np.int64)).max() <= 1024
+        # codewords are idempotent under re-encode of the decoded value
+        assert (enc(dec(enc(x))) == enc(x)).all()
+    try:
+        import audioop
+
+        assert (G7.ulaw_encode(x) == np.frombuffer(audioop.lin2ulaw(x.tobytes(), 2), np.uint8)).all()
+        assert (G7.alaw_encode(x) == np.frombuffer(audioop.lin2alaw(x.tobytes(), 2), np.uint8)).all()
+        u = np.arange(256, dtype=np.uint8)
+        assert (G7.ulaw_decode(u) == np.frombuffer(audioop.ulaw2lin(u.tobytes(), 2), np.int16)).all()
+        assert (G7.alaw_decode(u) == np.frombuffer(audioop.alaw2lin(u.tobytes(), 2), np.int16)).all()
+    except ImportError:
+        pass
+    # container round trip: format tag + fact chunk + ±symmetric decode
+    for did in (0, 1, 17, 123, 399):
+        s, rate = MM._g711_wave(did)
+        for law, tag in (("ulaw", 7), ("alaw", 6)):
+            payload = MM.encode_wav_g711(s, rate, law=law)
+            out, r2 = MM.decode_wav(payload)
+            assert r2 == rate and out.shape == s.shape
+            amp_out = np.unique(np.abs(out))
+            assert len(amp_out) == 1  # ±A decodes to exactly ±A'
+            f = MM._audio_feature(out, r2)
+            assert f[6] == 0.0  # exact zero mean
+            assert round(f[0] * 32768) == round(f[1] * 32768) == int(amp_out[0])
+
+
 def test_gif_codec_roundtrip_and_features():
     """Animated GIF encode -> decode is index-exact with an explicit
     palette; interlaced and transparent frames decode per spec."""

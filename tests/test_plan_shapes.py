@@ -216,10 +216,24 @@ def test_bucketed_overlay_rows_identical_to_raw(spark):
     correctness driver always runs raw; bench runs bucketed)."""
     import __spark_entry__ as E2
 
-    # q3 covers the bucketed spine; the others cover the split-layout
-    # rewrites (documents/embeddings/part round-robin repartition must
-    # not change any result — catches order-dependent entries).
-    names = ["q3_shipping_priority", "curate_pipeline", "sim_topk", "q19_disjunctive", "dedup_minhash_pairs", "join_colocated_brand", "join_salted"]
+    # q3/q5/q10/q18 cover the denormalized spine projection and
+    # events_hourly the aggregate projection (both routed only when the
+    # overlay is active); the others cover the split-layout rewrites
+    # (documents/embeddings/part round-robin repartition must not
+    # change any result — catches order-dependent entries).
+    names = [
+        "q3_shipping_priority",
+        "q5_local_supplier",
+        "q10_returned_items",
+        "q18_large_orders",
+        "events_hourly",
+        "curate_pipeline",
+        "sim_topk",
+        "q19_disjunctive",
+        "dedup_minhash_pairs",
+        "join_colocated_brand",
+        "join_salted",
+    ]
     raw = {n: sorted(tuple(r) for r in E2.queries()[n](spark, SF).collect()) for n in names}
     E2.prepare_bucketed_fixtures(spark, SF)
     try:
