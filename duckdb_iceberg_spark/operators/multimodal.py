@@ -733,6 +733,74 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     return media.mapInPandas(extract, FRAME_SCHEMA)
 
 
+def synth_avi_media(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL-codec video media: genuine MJPEG AVI payloads
+    (operators/avi.py container + operators/jpeg.py T.81 frames, q95)
+    of the same closed-form grayscale ramp frames as the GIF entry."""
+    from .avi import encode_avi_mjpeg
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = _gray_gif_frames(did)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "media_type": "video",
+                        "payload": encode_avi_mjpeg(frames, fps=10),
+                        "meta": {
+                            "format": "avi",
+                            "width": frames[0].shape[1],
+                            "height": frames[0].shape[0],
+                            "duration_ms": len(frames) * 100,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return documents.select("doc_id").mapInPandas(build, MEDIA_SCHEMA)
+
+
+FRAME_MEAN_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("w", T.LongType()),
+        T.StructField("h", T.LongType()),
+        T.StructField("gray_mean", T.DoubleType()),
+    ]
+)
+
+
+def sample_frames_avi(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video-file frame extraction: decode MJPEG AVI payloads on
+    the executors (RIFF walk + per-frame T.81 decode, Arrow-batched
+    mapInPandas) and keep every ``every_n``-th frame, emitting per-frame
+    dims + grayscale channel mean. JPEG frames are lossy, so the
+    emitted statistic is a float mean the caller bounds against the
+    closed form (the mm_features_jpeg contract), unlike the exact GIF
+    pixel sums."""
+    from .avi import decode_avi_mjpeg
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "w", "h", "gray_mean")}
+            for mid, pl in zip(pdf["media_id"], pdf["payload"]):
+                for fi, frame in enumerate(decode_avi_mjpeg(pl)):
+                    if fi % every_n:
+                        continue
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(fi)
+                    out["w"].append(frame.shape[1])
+                    out["h"].append(frame.shape[0])
+                    out["gray_mean"].append(float(frame[:, :, 0].astype("float64").mean()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(extract, FRAME_MEAN_SCHEMA)
+
+
 def resize_pixels(px, w: int, h: int):
     """Nearest-neighbor resize of an (H, W, 3) array to (h, w, 3) —
     numpy fancy-indexing, no PIL (the same pixel-center sampling PIL's

@@ -203,6 +203,39 @@ def test_g711_codec_spec_parity_and_wav_roundtrip():
             assert round(f[0] * 32768) == round(f[1] * 32768) == int(amp_out[0])
 
 
+def test_avi_mjpeg_container_roundtrip():
+    """MJPEG AVI encode -> decode preserves frame count/dims/content
+    (within JPEG q95 loss); the RIFF walk tolerates JUNK chunks and
+    rejects non-AVI payloads."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from duckdb_iceberg_spark.operators import avi as AV
+
+    frames = MM._gray_gif_frames(17)
+    payload = AV.encode_avi_mjpeg(frames, fps=10)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    dec = AV.decode_avi_mjpeg(payload)
+    assert len(dec) == len(frames)
+    for a, b in zip(frames, dec):
+        assert a.shape == b.shape
+        assert abs(a[:, :, 0].astype(float).mean() - b[:, :, 0].astype(float).mean()) < 2.0
+    # JUNK chunk between hdrl and movi must be skipped (RIFF grammar)
+    junk = b"JUNK" + struct.pack("<I", 6) + b"abcdef"
+    # find the movi LIST specifically (first LIST is hdrl)
+    pos = 12
+    while payload[pos + 8 : pos + 12] != b"movi":
+        (ln,) = struct.unpack_from("<I", payload, pos + 4)
+        pos += 8 + ln + (ln & 1)
+    patched = payload[:pos] + junk + payload[pos:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert len(AV.decode_avi_mjpeg(patched)) == len(frames)
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        AV.decode_avi_mjpeg(MM.encode_wav(np.zeros(8, dtype=np.int16), 8000))
+
+
 def test_gif_codec_roundtrip_and_features():
     """Animated GIF encode -> decode is index-exact with an explicit
     palette; interlaced and transparent frames decode per spec."""
