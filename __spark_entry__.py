@@ -4821,6 +4821,40 @@ SELECT * FROM (VALUES
 """
 
 
+def _rest_catalog_commit(spark, sf):
+    """Catalog-managed writes end-to-end: create (registerTable) ->
+    commit_append THROUGH the REST catalog (spec commit body:
+    assert-ref-snapshot-id requirement + add-snapshot/set-snapshot-ref
+    updates, applied by the pointer-owning server) -> scan through the
+    catalog's new metadata-location. Extends the reference's read-only
+    REST CI flow (scripts/start-rest-catalog.sh) with the write half a
+    real lakehouse user needs; oracle = the full supplier table (the
+    two halves committed must land exactly once each)."""
+    import tempfile
+
+    from duckdb_iceberg_spark.sources.rest_catalog import RestCatalog
+    from duckdb_iceberg_spark.sources.rest_server import LocalRestCatalogServer
+
+    srv = LocalRestCatalogServer()
+    srv.start()
+    try:
+        cat = RestCatalog(srv.uri, credential="dev:secret")
+        s = _t(spark, sf, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+        base = tempfile.mkdtemp(prefix="ice_rest_")
+        cat.create_table(
+            spark, "default", "sup", s.filter(F.col("s_suppkey") % 2 == 0), base + "/sup"
+        )
+        cat.commit_append(spark, "default", "sup", s.filter(F.col("s_suppkey") % 2 == 1))
+        # scan resolves the catalog pointer + manifests eagerly; the
+        # parquet data path needs no server afterwards
+        return cat.scan(spark, "default", "sup").select("s_suppkey", "s_name", "s_nationkey")
+    finally:
+        srv.stop()
+
+
+_REST_COMMIT_SQL = "SELECT s_suppkey, s_name, s_nationkey FROM supplier"
+
+
 def _iceberg_write_pipeline(spark, sf):
     """Native write surface end-to-end: CTAS -> UPDATE-to-NULL ->
     self-INSERT -> DELETE -> ADD COLUMN DEFAULT -> computed UPDATE ->
@@ -5173,6 +5207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_list_files": _iceberg_list_files,
         "iceberg_pruned_scan": _iceberg_pruned_scan,
         "iceberg_write_pipeline": _iceberg_write_pipeline,
+        "rest_catalog_commit": _rest_catalog_commit,
         "iceberg_merge_upsert": _iceberg_merge_upsert,
         "iceberg_changelog": _iceberg_changelog,
         "iceberg_wap_branch": _iceberg_wap_branch,
@@ -5452,6 +5487,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_list_files": _ICEBERG_LF_SQL,
         "iceberg_metadata_entries": _ICEBERG_MD_SQL,
         "iceberg_write_pipeline": _ICEBERG_WP_SQL,
+        "rest_catalog_commit": _REST_COMMIT_SQL,
         "iceberg_wap_branch": _ICEBERG_WAP_SQL,
         "streaming_from_iceberg": _ICEBERG_SRC_SQL,
         "iceberg_compaction": _ICEBERG_CP_SQL,

@@ -26,6 +26,7 @@ import datetime
 import hashlib
 import hmac
 import json
+import urllib.error
 import urllib.parse
 import urllib.request
 from typing import Optional
@@ -171,26 +172,44 @@ class RestCatalog:
             self.token = doc["access_token"]
         return self.token
 
-    def _get(self, path: str) -> dict:
+    def _request(self, method: str, path: str, body: Optional[dict] = None) -> dict:
         url = f"{self.uri}{path}"
-        req = urllib.request.Request(url)
+        data = json.dumps(body).encode("utf-8") if body is not None else None
+        req = urllib.request.Request(url, data=data, method=method)
+        if data is not None:
+            req.add_header("Content-Type", "application/json")
         if self.aws_access_key_id:
             for k, v in sigv4_headers(
-                "GET",
+                method,
                 url,
                 access_key=self.aws_access_key_id,
                 secret_key=self.aws_secret_access_key or "",
                 region=self.aws_region,
                 service=self.aws_service,
                 session_token=self.aws_session_token,
+                body=data or b"",
             ).items():
                 req.add_header(k, v)
         else:
             token = self._ensure_token()
             if token:
                 req.add_header("Authorization", f"Bearer {token}")
-        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-            return json.loads(resp.read().decode("utf-8"))
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                payload = resp.read()
+        except urllib.error.HTTPError as e:
+            if e.code == 409:
+                from ..writer import CommitConflictError
+
+                raise CommitConflictError(
+                    f"REST catalog rejected the commit for {path} (409): "
+                    f"{e.read().decode('utf-8', 'replace')[:500]}"
+                ) from e
+            raise
+        return json.loads(payload.decode("utf-8")) if payload else {}
+
+    def _get(self, path: str) -> dict:
+        return self._request("GET", path)
 
     # -- spec endpoints ---------------------------------------------------
     def config(self) -> dict:
@@ -217,6 +236,85 @@ class RestCatalog:
             raise ValueError(
                 f"REST catalog returned no metadata-location for {namespace}.{table}"
             )
+        return loc
+
+    # -- write path (Iceberg REST spec commit flow) ------------------------
+    def register_table(self, namespace: str, name: str, metadata_location: str) -> dict:
+        """``POST /v1/namespaces/{ns}/register`` — the Iceberg REST
+        spec's registerTable: hand an existing table's metadata file to
+        the catalog, which becomes the authoritative pointer owner."""
+        ns = urllib.parse.quote(namespace)
+        return self._request(
+            "POST",
+            f"/v1/namespaces/{ns}/register",
+            {"name": name, "metadata-location": metadata_location},
+        )
+
+    def create_table(self, spark: SparkSession, namespace: str, name: str, df: DataFrame, location: str, **kwargs):
+        """Catalog-managed CTAS: write the table (data + initial
+        metadata) with the native writer, then register its metadata
+        location — afterwards every read AND commit goes through the
+        catalog. Returns the :class:`~..writer.IcebergTable`."""
+        from ..writer import IcebergTable
+
+        t = IcebergTable.create(spark, location, df, **kwargs)
+        self.register_table(namespace, name, t.meta.metadata_path)
+        return t
+
+    def commit_append(self, spark: SparkSession, namespace: str, table: str, df: DataFrame) -> str:
+        """Append THROUGH the catalog: write data files + manifests with
+        the native writer, then ``POST /v1/namespaces/{ns}/tables/{t}``
+        with the spec's optimistic-concurrency commit body —
+        ``requirements`` (assert-ref-snapshot-id on main, pinned to the
+        base snapshot read from the catalog) and ``updates``
+        (add-snapshot + set-snapshot-ref). The catalog validates the
+        requirement against ITS current state (a raced commit returns
+        409 -> CommitConflictError; reload and retry), applies the
+        updates to the authoritative metadata, and returns the new
+        metadata-location, which this method returns.
+
+        All catalog traffic is KB-scale JSON on the driver; the data
+        path (parquet + avro manifests) is written by executors exactly
+        as in the hadoop-layout flow — zero new scale risk at 100 TB."""
+        from ..writer import IcebergTable
+
+        mloc = self.metadata_location(namespace, table)
+        import os as _os
+
+        tpath = _os.path.dirname(_os.path.dirname(mloc))
+        t = IcebergTable(spark, tpath)
+        base_snap = t.meta.raw.get("current-snapshot-id", -1)
+        t.append(df)
+        doc = t.meta.raw
+        new_snap_id = doc["current-snapshot-id"]
+        snapshot = next(s for s in doc["snapshots"] if s["snapshot-id"] == new_snap_id)
+        ns = urllib.parse.quote(namespace)
+        resp = self._request(
+            "POST",
+            f"/v1/namespaces/{ns}/tables/{urllib.parse.quote(table)}",
+            {
+                "identifier": {"namespace": namespace.split("."), "name": table},
+                "requirements": [
+                    {
+                        "type": "assert-ref-snapshot-id",
+                        "ref": "main",
+                        "snapshot-id": None if base_snap == -1 else base_snap,
+                    }
+                ],
+                "updates": [
+                    {"action": "add-snapshot", "snapshot": snapshot},
+                    {
+                        "action": "set-snapshot-ref",
+                        "ref-name": "main",
+                        "type": "branch",
+                        "snapshot-id": new_snap_id,
+                    },
+                ],
+            },
+        )
+        loc = resp.get("metadata-location")
+        if not loc:
+            raise ValueError("REST catalog commit returned no metadata-location")
         return loc
 
     # -- the reference flow: REST -> iceberg_scan -------------------------

@@ -1,0 +1,185 @@
+"""Embedded Iceberg REST catalog server (stdlib-only, local files).
+
+The reference exercises its REST flow against a dockerized catalog
+(reference scripts/start-rest-catalog.sh); this module is the
+equivalent local fixture as a library: a minimal but spec-shaped
+catalog that OWNS the table pointer and applies commits —
+
+- ``GET  /v1/config`` / ``/v1/namespaces`` / table list / table load
+- ``POST /v1/oauth/tokens``            (client-credentials grant)
+- ``POST /v1/namespaces/{ns}/register`` (registerTable)
+- ``POST /v1/namespaces/{ns}/tables/{t}`` (commitTable: validates
+  ``requirements`` — assert-ref-snapshot-id — against ITS current
+  metadata, applies ``updates`` — add-snapshot / set-snapshot-ref /
+  set-properties — and writes a NEW metadata json next to the old one,
+  exactly the pointer-owning behavior of a real catalog; a stale
+  requirement gets 409)
+
+Used by tests/test_rest_catalog.py and the rest_catalog_commit oracle
+entry. Single-process HTTP on a loopback port; metadata documents are
+KB-scale JSON, so this is a driver-side fixture with no data-path role.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import re
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+
+def _read_metadata(path: str) -> dict:
+    with open(path, "rb") as f:
+        raw = f.read()
+    if path.endswith(".gz") or raw[:2] == b"\x1f\x8b":
+        raw = gzip.decompress(raw)
+    return json.loads(raw.decode("utf-8"))
+
+
+class LocalRestCatalogServer:
+    """Spin up with ``start()``; ``uri`` gives the base URL."""
+
+    def __init__(self, token: str = "local-dev-token"):
+        self.tables: dict[tuple[str, str], str] = {}  # (ns, table) -> metadata-location
+        self.token = token
+        self._srv: HTTPServer | None = None
+
+    # -- commit semantics --------------------------------------------------
+    def _apply_commit(self, ns: str, table: str, body: dict) -> dict:
+        key = (ns, table)
+        if key not in self.tables:
+            raise KeyError(f"table {ns}.{table} not registered")
+        mloc = self.tables[key]
+        doc = _read_metadata(mloc)
+        cur = doc.get("current-snapshot-id", -1)
+        for req in body.get("requirements", []):
+            if req.get("type") == "assert-ref-snapshot-id" and req.get("ref") == "main":
+                want = req.get("snapshot-id")
+                have = None if cur == -1 else cur
+                if want != have:
+                    raise ValueError(
+                        f"requirement failed: ref main is at {have}, commit asserts {want}"
+                    )
+        for upd in body.get("updates", []):
+            action = upd.get("action")
+            if action == "add-snapshot":
+                snap = upd["snapshot"]
+                doc["snapshots"] = doc.get("snapshots", []) + [snap]
+                doc["last-sequence-number"] = max(
+                    doc.get("last-sequence-number", 0), snap.get("sequence-number", 0)
+                )
+                doc["last-updated-ms"] = snap.get("timestamp-ms", doc.get("last-updated-ms"))
+            elif action == "set-snapshot-ref":
+                refs = dict(doc.get("refs", {}))
+                refs[upd["ref-name"]] = {
+                    "snapshot-id": upd["snapshot-id"],
+                    "type": upd.get("type", "branch"),
+                }
+                doc["refs"] = refs
+                if upd["ref-name"] == "main":
+                    doc["current-snapshot-id"] = upd["snapshot-id"]
+                    doc["snapshot-log"] = doc.get("snapshot-log", []) + [
+                        {
+                            "timestamp-ms": doc.get("last-updated-ms", 0),
+                            "snapshot-id": upd["snapshot-id"],
+                        }
+                    ]
+            elif action == "set-properties":
+                props = dict(doc.get("properties", {}))
+                props.update(upd.get("updates", {}))
+                doc["properties"] = props
+            else:
+                raise ValueError(f"unsupported update action {action!r}")
+        doc["metadata-log"] = doc.get("metadata-log", []) + [
+            {"timestamp-ms": doc.get("last-updated-ms", 0), "metadata-file": mloc}
+        ]
+        new_loc = os.path.join(os.path.dirname(mloc), f"{uuid.uuid4().hex}-rest.metadata.json")
+        with open(new_loc, "w") as f:
+            json.dump(doc, f)
+        self.tables[key] = new_loc
+        return {"metadata-location": new_loc, "metadata": doc}
+
+    # -- http plumbing -----------------------------------------------------
+    def _handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def _send(self, code: int, doc: dict) -> None:
+                body = json.dumps(doc).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                path = self.path.split("?")[0]
+                if path == "/v1/config":
+                    return self._send(200, {"defaults": {}, "overrides": {}})
+                if path == "/v1/namespaces":
+                    ns = sorted({k[0] for k in server.tables})
+                    return self._send(200, {"namespaces": [[n] for n in ns] or [["default"]]})
+                m = re.fullmatch(r"/v1/namespaces/([^/]+)/tables", path)
+                if m:
+                    ns = m.group(1)
+                    ids = [
+                        {"namespace": [ns], "name": t}
+                        for (n, t) in sorted(server.tables)
+                        if n == ns
+                    ]
+                    return self._send(200, {"identifiers": ids})
+                m = re.fullmatch(r"/v1/namespaces/([^/]+)/tables/([^/]+)", path)
+                if m and (m.group(1), m.group(2)) in server.tables:
+                    loc = server.tables[(m.group(1), m.group(2))]
+                    return self._send(200, {"metadata-location": loc, "metadata": {}})
+                self._send(404, {"error": {"message": f"not found: {path}"}})
+
+            def do_POST(self):
+                path = self.path.split("?")[0]
+                n = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(n) if n else b"{}"
+                if path == "/v1/oauth/tokens":
+                    return self._send(200, {"access_token": server.token, "token_type": "bearer"})
+                try:
+                    body = json.loads(raw.decode("utf-8"))
+                except ValueError:
+                    import urllib.parse
+
+                    body = {k: v[0] for k, v in urllib.parse.parse_qs(raw.decode()).items()}
+                m = re.fullmatch(r"/v1/namespaces/([^/]+)/register", path)
+                if m:
+                    server.tables[(m.group(1), body["name"])] = body["metadata-location"]
+                    return self._send(
+                        200, {"metadata-location": body["metadata-location"], "metadata": {}}
+                    )
+                m = re.fullmatch(r"/v1/namespaces/([^/]+)/tables/([^/]+)", path)
+                if m:
+                    try:
+                        return self._send(200, server._apply_commit(m.group(1), m.group(2), body))
+                    except KeyError as e:
+                        return self._send(404, {"error": {"message": str(e)}})
+                    except ValueError as e:
+                        return self._send(409, {"error": {"message": str(e)}})
+                self._send(404, {"error": {"message": f"not found: {path}"}})
+
+            def log_message(self, *a):
+                pass
+
+        return Handler
+
+    def start(self) -> str:
+        self._srv = HTTPServer(("127.0.0.1", 0), self._handler())
+        threading.Thread(target=self._srv.serve_forever, daemon=True).start()
+        return self.uri
+
+    @property
+    def uri(self) -> str:
+        return f"http://127.0.0.1:{self._srv.server_port}"
+
+    def stop(self) -> None:
+        if self._srv:
+            self._srv.shutdown()
+            self._srv = None

@@ -199,6 +199,58 @@ def test_rest_catalog_sigv4_and_bearer_header_shapes(rest_uri):
     assert re.fullmatch(r"\d{8}T\d{6}Z", hdrs.get("x-amz-date", ""))
 
 
+@pytest.fixture()
+def local_catalog():
+    from duckdb_iceberg_spark.sources.rest_server import LocalRestCatalogServer
+
+    srv = LocalRestCatalogServer()
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def test_rest_catalog_create_append_scan_roundtrip(spark, local_catalog, tmp_path):
+    """The full catalog-managed write flow: create (register) ->
+    commit_append (requirements + add-snapshot/set-snapshot-ref) ->
+    scan through the catalog's NEW metadata-location. The catalog is
+    the pointer owner: its table load reflects each commit."""
+    from duckdb_iceberg_spark.sources.rest_catalog import RestCatalog
+
+    cat = RestCatalog(local_catalog.uri, credential="dev:secret")
+    df1 = spark.range(5).selectExpr("id AS k", "CAST(id * 10 AS DOUBLE) AS v")
+    cat.create_table(spark, "default", "t1", df1, str(tmp_path / "t1"))
+    assert cat.list_tables("default") == ["t1"]
+    assert cat.scan(spark, "default", "t1").count() == 5
+
+    df2 = spark.range(5, 12).selectExpr("id AS k", "CAST(id * 10 AS DOUBLE) AS v")
+    new_loc = cat.commit_append(spark, "default", "t1", df2)
+    assert new_loc.endswith("-rest.metadata.json")
+    assert cat.metadata_location("default", "t1") == new_loc
+    got = sorted(r["k"] for r in cat.scan(spark, "default", "t1").collect())
+    assert got == list(range(12))
+    # two snapshots visible through the catalog pointer
+    assert cat.snapshots(spark, "default", "t1").count() == 2
+
+
+def test_rest_catalog_commit_conflict_409(spark, local_catalog, tmp_path):
+    """A commit whose assert-ref-snapshot-id is stale gets 409 from the
+    catalog and surfaces as CommitConflictError (optimistic concurrency
+    parity with the filesystem CAS path)."""
+    from duckdb_iceberg_spark.sources.rest_catalog import RestCatalog
+    from duckdb_iceberg_spark.writer import CommitConflictError
+
+    cat = RestCatalog(local_catalog.uri)
+    df = spark.range(3).selectExpr("id AS k")
+    cat.create_table(spark, "default", "t2", df, str(tmp_path / "t2"))
+    # sabotage the catalog's pointer to an older state: re-register the
+    # ORIGINAL v1 metadata (no snapshots) so the client's requirement
+    # (built from the latest local state) no longer matches
+    v1 = str(tmp_path / "t2" / "metadata" / "v1.metadata.json")
+    cat.register_table("default", "t2", v1)
+    with pytest.raises(CommitConflictError, match="409"):
+        cat.commit_append(spark, "default", "t2", df)
+
+
 def test_sigv4_config_validation():
     import pytest
 

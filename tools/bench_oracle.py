@@ -12,7 +12,9 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -30,10 +32,30 @@ def main() -> None:
     oracles = E.oracle_sql()
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    # BENCH_ORACLE_PREPPED=1: point each view at the engine's prepared
+    # physical layout (the split/bucketed multi-file rewrites under
+    # /tmp/spark_graft_bucketed) instead of the raw single-file parquet
+    # — the fairness A/B quantifying how much of the headline ratio is
+    # storage layout vs engine. Matches layouts by the same
+    # (basename, source-mtime) stamp prepare_bucketed_fixtures writes.
+    prepped = bool(os.environ.get("BENCH_ORACLE_PREPPED"))
+    layout_base = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed")
+    sfx = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(os.path.abspath(SF_DIR).rstrip("/")))
     for t in TABLES:
         p = os.path.join(SF_DIR, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if not os.path.exists(p):
+            continue
+        src = f"read_parquet('{p}')"
+        if prepped:
+            stamp = int(os.path.getmtime(p))
+            pat = re.compile(rf"^{re.escape(sfx)}_{re.escape(t)}_{stamp}_(b|s)\d+v\d+$")
+            cands = sorted(d for d in os.listdir(layout_base) if pat.match(d)) if os.path.isdir(layout_base) else []
+            if cands:
+                loc = os.path.join(layout_base, cands[-1])
+                if os.path.exists(os.path.join(loc, "_SUCCESS")):
+                    src = f"read_parquet('{loc}/*.parquet')"
+                    print(f"# {t}: prepped layout {cands[-1]}", file=sys.stderr)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
     # BENCH_ORACLE_SKIP: comma-separated names to leave out of this run
     # (e.g. re-timing the suite without repaying text_repetition's
