@@ -2123,11 +2123,15 @@ WHERE s_acctbal > (SELECT AVG(s_acctbal) FROM supplier)
 
 def _agg_stats(spark, sf):
     li = _t(spark, sf, "lineitem")
+    # + 0.0 normalizes IEEE negative zero: at sf100 the near-zero
+    # correlation rounds to -0.0 in one engine and +0.0 in the other —
+    # same value, different canonical string. (-0.0 + 0.0 == +0.0
+    # under round-to-nearest; NULL propagates unchanged.)
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_pop("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias("corr_qty_price"),
+        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2) + F.lit(0.0)).alias("covar_qty_price"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
     )
 
@@ -2136,8 +2140,8 @@ _AGG_STATS_SQL = """
 SELECT l_returnflag,
   ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
   ROUND(VAR_POP(l_quantity), 4) AS var_qty,
-  ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-  ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+  ROUND(CORR(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
+  ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) + 0.0 AS covar_qty_price,
   ROUND(AVG(l_discount), 6) AS avg_disc
 FROM lineitem GROUP BY l_returnflag
 """
@@ -3899,14 +3903,24 @@ FROM lineitem GROUP BY 1
 def _agg_percentiles(spark, sf):
     """Exact percentiles (continuous + discrete) and median per
     return-flag — oracle-checked, unlike the sketch twins in
-    agg_approx. percentile() sorts within each group: one shuffle, no
-    driver collection."""
+    agg_approx. Computed via the domain-bounded count-table shape
+    (operators/quantiles.py), NOT the built-in ``percentile()``: the
+    built-in is an imperative aggregate that merges every per-task
+    value->count map on ONE final task, which is a non-spillable OOM
+    at scale — measured as exactly the sf100 failure mode (600M rows,
+    ~10M distinct doubles per group x 4 aggs killed the 24g JVM; the
+    count-table shape is |domain|-bounded and finished in ~80 s)."""
+    from duckdb_iceberg_spark.operators.quantiles import exact_percentiles_cents
+
     li = _t(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_cont"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_cont"),
-        F.round(F.median("l_quantity"), 4).alias("med_qty"),
-        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25_qty"),
+    ep = exact_percentiles_cents(li, "l_extendedprice", [0.5, 0.9], by=["l_returnflag"])
+    qt = exact_percentiles_cents(li, "l_quantity", [0.5, 0.25], by=["l_returnflag"])
+    return ep.join(qt, "l_returnflag").select(
+        "l_returnflag",
+        F.round(ep.p0, 4).alias("p50_cont"),
+        F.round(ep.p1, 4).alias("p90_cont"),
+        F.round(qt.p0, 4).alias("med_qty"),
+        F.round(qt.p1, 4).alias("p25_qty"),
     )
 
 

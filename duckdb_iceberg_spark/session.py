@@ -129,6 +129,13 @@ def get_spark(app_name: str = "duckdb_iceberg_spark", **extra) -> SparkSession:
         # oracle-checkability (the 100 TB path is agg_approx's
         # sketches, which are partial-mergeable and O(1) per group).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # collect() ceiling: the default 1g fails oracle comparisons of
+        # data-proportional results at sf100 (a 20M-row collect is
+        # ~2 GiB serialized). Pure driver-side safety valve for the
+        # verification harness — production paths never collect
+        # unbounded results (the 4 collect() sites are all bounded
+        # model state; see SCALE.md anti-pattern audit).
+        .config("spark.driver.maxResultSize", os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in extra.items():
