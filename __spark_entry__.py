@@ -84,7 +84,7 @@ _SPLIT_SPECS = ("documents", "embeddings", "part", "supplier")
 # share one bucket count (co-located SHJ requires it). Measured at
 # sf10: brand-revenue FK join 2.4 s (broadcast) -> 1.2 s (projection).
 _PROJECTION_SPECS = (
-    ("lineitem", "l_partkey", ("l_partkey", "l_quantity", "l_extendedprice"), "spine"),
+    ("lineitem", "l_partkey", ("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"), "spine"),
     ("part", "p_partkey", ("p_partkey", "p_brand"), "spine"),
 )
 
@@ -221,7 +221,7 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
         n_buckets = num_buckets or _bucket_count(key_dir, group)
         stamp = int(os.path.getmtime(src))
         tbl = f"prj_{name}_{bkey}_{sfx}"
-        loc = os.path.join(base, f"{sfx}_{name}_{bkey}_{stamp}_b{n_buckets}v1")
+        loc = os.path.join(base, f"{sfx}_{name}_{bkey}_{stamp}_b{n_buckets}v2")
         if not spark.catalog.tableExists(tbl):
             if os.path.exists(os.path.join(loc, "_SUCCESS")):
                 df = spark.read.parquet(src).select(*proj_cols)
@@ -335,6 +335,52 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
             )
             spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS NOSCAN")
         _BUCKETED_OVERLAY[(key_dir, "events_hourly@agg")] = tbl
+    # Aggregate projection #2: the TPC-H Q1 pricing rollup at
+    # (returnflag, linestatus, shipdate-day) grain with every additive
+    # term as exact long cents — partials re-aggregate exactly under
+    # ANY shipdate cutoff, so the query stays value-identical while
+    # reading ~10k grain rows instead of the fact. Grain is bounded by
+    # days x flag/status combos, independent of data volume.
+    if "aggs" in groups and os.path.exists(li_src):
+        stamp = int(os.path.getmtime(li_src))
+        tbl = f"agg_q1_{sfx}"
+        loc = os.path.join(base, f"{sfx}_q1_rollup_{stamp}_v1")
+        if not spark.catalog.tableExists(tbl):
+            if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+                li = spark.read.parquet(li_src)
+                charge_c = (
+                    (
+                        _cents("l_extendedprice")
+                        * (F.lit(100) - _cents("l_discount"))
+                        * (F.lit(100) + _cents("l_tax"))
+                        + F.lit(5000)
+                    )
+                    / F.lit(10000)
+                ).cast("long")
+                (
+                    li.groupBy(
+                        "l_returnflag", "l_linestatus", F.col("l_shipdate").alias("ship_day")
+                    )
+                    .agg(
+                        F.sum(_cents("l_quantity")).alias("qty_c"),
+                        F.sum(_cents("l_extendedprice")).alias("price_c"),
+                        F.sum(_rev_cents()).alias("rev_c"),
+                        F.sum(charge_c).alias("charge_c"),
+                        F.sum(_cents("l_discount")).alias("disc_c"),
+                        F.count("*").alias("n"),
+                    )
+                    .repartition(1)
+                    .write.mode("overwrite")
+                    .parquet(loc)
+                )
+            spark.sql(
+                f"CREATE TABLE {tbl} (`l_returnflag` string, `l_linestatus` string, "
+                "`ship_day` timestamp, `qty_c` bigint, `price_c` bigint, `rev_c` bigint, "
+                "`charge_c` bigint, `disc_c` bigint, `n` bigint) USING PARQUET "
+                f"LOCATION '{loc}'"
+            )
+            spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS NOSCAN")
+        _BUCKETED_OVERLAY[(key_dir, "q1_rollup@agg")] = tbl
     return _time.perf_counter() - t0
 
 
@@ -443,6 +489,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q1_pricing_summary(spark, sf):
+    # aggregate projection: re-aggregate the day-grain pricing rollup
+    # when the layout overlay maintains it (exact long-cents partials —
+    # value-identical under any cutoff; raw fallback below).
+    proj = _t_proj(spark, sf, "q1_rollup", "agg")
+    if proj is not None:
+        agg = (
+            proj.filter(F.col("ship_day") <= F.lit("1998-09-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                (F.sum("qty_c").cast("double") / F.lit(100.0)).alias("sum_qty"),
+                (F.sum("price_c").cast("double") / F.lit(100.0)).alias("sum_base_price"),
+                (F.sum("rev_c").cast("double") / F.lit(100.0)).alias("sum_disc_price"),
+                (F.sum("charge_c").cast("double") / F.lit(100.0)).alias("sum_charge"),
+                F.round(F.sum("qty_c").cast("double") / F.lit(100.0) / F.sum("n"), 4).alias("avg_qty"),
+                F.round(F.sum("disc_c").cast("double") / F.lit(100.0) / F.sum("n"), 4).alias("avg_disc"),
+                F.sum("n").alias("count_order"),
+            )
+        )
+        return agg
     li = _t(spark, sf, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
@@ -836,16 +901,44 @@ def _join_colocated_brand(spark, sf):
 
 
 def _agg_global(spark, sf):
+    """Global scan aggregates + two EXACT count-distincts. The naive
+    single agg() with two countDistinct()s plans through EXPAND —
+    every row replicated once per distinct group (3x 60M rows through
+    the shuffle; measured 12.7 s at sf10). Decomposed: one plain
+    single-pass agg + one distinct-then-count per key set (map-side
+    partial distinct collapses each stream before its exchange, and
+    the orderkey distinct is exchange-free on the bucketed layout),
+    joined back as 1-row literals. 12.7 -> ~2.9 s at sf10; the
+    remaining cost is measured CPU (the per-bucket hash distinct of
+    8M pairs from 60M rows), not plan shape. At 100 TB the sketch
+    twin (agg_approx) is the first choice; this is the exact shape
+    when exactness is required."""
     li = _t(spark, sf, "lineitem")
-    return li.agg(
+    plain = li.agg(
         F.count("*").alias("n_rows"),
-        F.countDistinct("l_orderkey").alias("n_orders"),
-        F.countDistinct("l_partkey", "l_suppkey").alias("n_part_supp"),
         F.min("l_shipdate").cast("date").cast("string").alias("min_ship"),
         F.max("l_shipdate").cast("date").cast("string").alias("max_ship"),
-        F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
+        # exact-cents policy: identical doubles to sum(decimal(18,2))
+        # on the 2-decimal domain, minus the BigDecimal path (module doc)
+        (F.sum(_cents("l_quantity")).cast("double") / F.lit(100.0)).alias("total_qty"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(F.count("*").alias("n_orders"))
+    # the (partkey,suppkey) distinct reads the partkey-bucketed
+    # projection when maintained: bucket key ⊆ distinct keys, so the
+    # whole distinct is exchange-free (vs shuffling ~all pairs)
+    ps_src = _t_proj(spark, sf, "lineitem", "l_partkey")
+    if ps_src is None or "l_suppkey" not in ps_src.columns:
+        ps_src = li
+    n_ps = (
+        ps_src.select("l_partkey", "l_suppkey")
+        .distinct()
+        .agg(F.count("*").alias("n_part_supp"))
+    )
+    return plain.crossJoin(n_orders).crossJoin(n_ps).select(
+        "n_rows", "n_orders", "n_part_supp", "min_ship", "max_ship",
+        "total_qty", "min_price", "max_price",
     )
 
 

@@ -67,6 +67,26 @@ BENCH_QUERIES = [
 ]
 
 
+def _drain(df):
+    """Force FULL result materialization, not count().
+
+    count() lets Catalyst prune every computed column a pure-projection
+    query emits (a 5M-row text-scoring query collapses to a parquet
+    row-count scan — measured 0.2 s for work whose honest cost is
+    seconds), while the DuckDB oracle harness fetchall()s complete
+    results. Hashing every output column JVM-side (xxhash64 folded with
+    bit_xor — no Python transfer, no overflow) makes Spark produce and
+    reduce the full result set, symmetric with the oracle's
+    materialization. Returns the row count."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("chk"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return row["n"]
+
+
 def main() -> None:
     from duckdb_iceberg_spark import get_spark
     import __spark_entry__ as E
@@ -89,12 +109,12 @@ def main() -> None:
     # (this VM shows ~8% run-to-run noise; min-of-2 is the steady-state
     # number a long-lived cluster user experiences).
     for name in BENCH_QUERIES:
-        qs[name](spark, SF_DIR).count()
+        _drain(qs[name](spark, SF_DIR))
     for _pass in range(2):
         for name in BENCH_QUERIES:
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
-            n = df.count()
+            n = _drain(df)
             dt = round(time.perf_counter() - t0, 3)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt

@@ -222,6 +222,8 @@ def test_bucketed_overlay_rows_identical_to_raw(spark):
     # (documents/embeddings/part round-robin repartition must not
     # change any result — catches order-dependent entries).
     names = [
+        "q1_pricing_summary",
+        "agg_global",
         "q3_shipping_priority",
         "q5_local_supplier",
         "q10_returned_items",
