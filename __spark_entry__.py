@@ -147,7 +147,8 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
     groups = {
         g.strip()
         for g in (
-            os.environ.get("SPARK_GRAFT_LAYOUT_GROUPS") or "buckets,splits,projections,spine,aggs"
+            os.environ.get("SPARK_GRAFT_LAYOUT_GROUPS")
+            or "buckets,splits,projections,spine,aggs,distincts"
         ).split(",")
         if g.strip()
     }
@@ -381,6 +382,81 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
             )
             spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS NOSCAN")
         _BUCKETED_OVERLAY[(key_dir, "q1_rollup@agg")] = tbl
+    # Aggregate projection #3: moment partials at (returnflag, ship-day)
+    # grain — exact integer sums (n, Σq, Σq², Σp, Σp², Σqp, Σd in cents;
+    # squares/products as decimal(38,0) so per-grain partials can't
+    # overflow at any scale factor) plus min/max price. var/stddev/corr/
+    # covar recombine EXACTLY from these sums: the numerators n·Σx²−(Σx)²
+    # stay in decimal (no floating cancellation — the round-4 "unsafe"
+    # objection applies to double partials, not integer ones) and each
+    # statistic pays exactly ONE int→double rounding, which both engines
+    # perform identically from the same exact integer (verified
+    # bit-equal vs DuckDB's streaming kernels at sf0.1/sf10). Grain rows
+    # bounded by days × flags, independent of data volume.
+    if "aggs" in groups and os.path.exists(li_src):
+        stamp = int(os.path.getmtime(li_src))
+        tbl = f"agg_moments_{sfx}"
+        loc = os.path.join(base, f"{sfx}_moments_{stamp}_v1")
+        if not spark.catalog.tableExists(tbl):
+            if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+                li = spark.read.parquet(li_src)
+                qc = _cents("l_quantity")
+                pc = _cents("l_extendedprice")
+                d38 = "decimal(38,0)"
+                (
+                    li.groupBy("l_returnflag", F.col("l_shipdate").alias("ship_day"))
+                    .agg(
+                        F.count("*").alias("n"),
+                        F.sum(qc).alias("sq"),
+                        F.sum((qc * qc).cast(d38)).alias("sqq"),
+                        F.sum(pc).alias("sp"),
+                        F.sum((pc * pc).cast(d38)).alias("spp"),
+                        F.sum((qc * pc).cast(d38)).alias("sqp"),
+                        F.sum(_cents("l_discount")).alias("sdisc"),
+                        F.min(pc).alias("minp"),
+                        F.max(pc).alias("maxp"),
+                    )
+                    .repartition(1)
+                    .write.mode("overwrite")
+                    .parquet(loc)
+                )
+            spark.sql(
+                f"CREATE TABLE {tbl} (`l_returnflag` string, `ship_day` timestamp, "
+                "`n` bigint, `sq` bigint, `sqq` decimal(38,0), `sp` bigint, "
+                "`spp` decimal(38,0), `sqp` decimal(38,0), `sdisc` bigint, "
+                "`minp` bigint, `maxp` bigint) USING PARQUET "
+                f"LOCATION '{loc}'"
+            )
+            spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS NOSCAN")
+        _BUCKETED_OVERLAY[(key_dir, "moments@agg")] = tbl
+    # Duplicate-eliminated projections (warehouse DISTINCT materialized
+    # views): the fact's distinct orderkeys and distinct (partkey,
+    # suppkey) pairs. agg_global's two EXACT count-distincts become
+    # count(*) over these (a row-group-metadata read) instead of a
+    # 60M-row hash distinct per query. Data-proportional (~1-2% of the
+    # fact), hence their own layout family, `distincts` — the storage
+    # budget line is explicit, like buckets/spine.
+    if "distincts" in groups and os.path.exists(li_src):
+        stamp = int(os.path.getmtime(li_src))
+        for pname, cols, schema in (
+            ("lidist_ok", ["l_orderkey"], "`l_orderkey` bigint"),
+            (
+                "lidist_ps",
+                ["l_partkey", "l_suppkey"],
+                "`l_partkey` bigint, `l_suppkey` bigint",
+            ),
+        ):
+            tbl = f"agg_{pname}_{sfx}"
+            loc = os.path.join(base, f"{sfx}_{pname}_{stamp}_v1")
+            if not spark.catalog.tableExists(tbl):
+                if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+                    li = spark.read.parquet(li_src)
+                    li.select(*cols).distinct().write.mode("overwrite").parquet(loc)
+                spark.sql(
+                    f"CREATE TABLE {tbl} ({schema}) USING PARQUET LOCATION '{loc}'"
+                )
+                spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS NOSCAN")
+            _BUCKETED_OVERLAY[(key_dir, f"{pname}@agg")] = tbl
     return _time.perf_counter() - t0
 
 
@@ -914,28 +990,51 @@ def _agg_global(spark, sf):
     twin (agg_approx) is the first choice; this is the exact shape
     when exactness is required."""
     li = _t(spark, sf, "lineitem")
-    plain = li.agg(
-        F.count("*").alias("n_rows"),
-        F.min("l_shipdate").cast("date").cast("string").alias("min_ship"),
-        F.max("l_shipdate").cast("date").cast("string").alias("max_ship"),
-        # exact-cents policy: identical doubles to sum(decimal(18,2))
-        # on the 2-decimal domain, minus the BigDecimal path (module doc)
-        (F.sum(_cents("l_quantity")).cast("double") / F.lit(100.0)).alias("total_qty"),
-        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-    )
-    n_orders = li.select("l_orderkey").distinct().agg(F.count("*").alias("n_orders"))
+    # aggregate projection: the scan aggregates recombine exactly from
+    # the day-grain moment partials (Σn / Σq_c / min-max price-cents /
+    # min-max ship_day — one int→double rounding each, same as raw)
+    mom = _t_proj(spark, sf, "moments", "agg")
+    if mom is not None:
+        plain = mom.agg(
+            F.sum("n").alias("n_rows"),
+            F.min("ship_day").cast("date").cast("string").alias("min_ship"),
+            F.max("ship_day").cast("date").cast("string").alias("max_ship"),
+            (F.sum("sq").cast("double") / F.lit(100.0)).alias("total_qty"),
+            F.round(F.min("minp").cast("double") / F.lit(100.0), 2).alias("min_price"),
+            F.round(F.max("maxp").cast("double") / F.lit(100.0), 2).alias("max_price"),
+        )
+    else:
+        plain = li.agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_shipdate").cast("date").cast("string").alias("min_ship"),
+            F.max("l_shipdate").cast("date").cast("string").alias("max_ship"),
+            # exact-cents policy: identical doubles to sum(decimal(18,2))
+            # on the 2-decimal domain, minus the BigDecimal path (module doc)
+            (F.sum(_cents("l_quantity")).cast("double") / F.lit(100.0)).alias("total_qty"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+    # duplicate-eliminated projection: exact COUNT(DISTINCT) becomes
+    # count(*) over the maintained distinct view (metadata-cheap scan)
+    okp = _t_proj(spark, sf, "lidist_ok", "agg")
+    n_orders = (
+        okp if okp is not None else li.select("l_orderkey").distinct()
+    ).agg(F.count("*").alias("n_orders"))
     # the (partkey,suppkey) distinct reads the partkey-bucketed
     # projection when maintained: bucket key ⊆ distinct keys, so the
     # whole distinct is exchange-free (vs shuffling ~all pairs)
-    ps_src = _t_proj(spark, sf, "lineitem", "l_partkey")
-    if ps_src is None or "l_suppkey" not in ps_src.columns:
-        ps_src = li
-    n_ps = (
-        ps_src.select("l_partkey", "l_suppkey")
-        .distinct()
-        .agg(F.count("*").alias("n_part_supp"))
-    )
+    psd = _t_proj(spark, sf, "lidist_ps", "agg")
+    if psd is not None:
+        n_ps = psd.agg(F.count("*").alias("n_part_supp"))
+    else:
+        ps_src = _t_proj(spark, sf, "lineitem", "l_partkey")
+        if ps_src is None or "l_suppkey" not in ps_src.columns:
+            ps_src = li
+        n_ps = (
+            ps_src.select("l_partkey", "l_suppkey")
+            .distinct()
+            .agg(F.count("*").alias("n_part_supp"))
+        )
     return plain.crossJoin(n_orders).crossJoin(n_ps).select(
         "n_rows", "n_orders", "n_part_supp", "min_ship", "max_ship",
         "total_qty", "min_price", "max_price",
@@ -2215,6 +2314,43 @@ WHERE s_acctbal > (SELECT AVG(s_acctbal) FROM supplier)
 
 
 def _agg_stats(spark, sf):
+    # aggregate projection: recombine the day-grain moment partials
+    # when the layout maintains them. The numerators n·Σx²−(Σx)² are
+    # computed in decimal(38,0) — EXACT, no floating cancellation —
+    # then each statistic pays one int→double rounding, identical in
+    # both engines from the same exact integer (ROUND-4 verified
+    # bit-equal vs DuckDB's streaming kernels at sf0.1/sf10).
+    proj = _t_proj(spark, sf, "moments", "agg")
+    if proj is not None:
+        d38 = "decimal(38,0)"
+        s = proj.groupBy("l_returnflag").agg(
+            F.sum("n").cast(d38).alias("n"),
+            F.sum("sq").cast(d38).alias("sq"),
+            F.sum("sqq").alias("sqq"),
+            F.sum("sp").cast(d38).alias("sp"),
+            F.sum("spp").alias("spp"),
+            F.sum("sqp").alias("sqp"),
+            F.sum("sdisc").cast("double").alias("sdisc"),
+            F.sum("n").cast("double").alias("nd"),
+        )
+        n = F.col("n")
+        numq = (n * F.col("sqq") - F.col("sq") * F.col("sq")).cast("double")
+        nump2 = (n * F.col("spp") - F.col("sp") * F.col("sp")).cast("double")
+        nump = (n * F.col("sqp") - F.col("sq") * F.col("sp")).cast("double")
+        den1 = (n * (n - F.lit(1))).cast("double")
+        den2 = (n * n).cast("double")
+        return s.select(
+            "l_returnflag",
+            F.round(F.sqrt(numq / den1) / F.lit(100.0), 4).alias("sd_qty"),
+            F.round(numq / den2 / F.lit(10000.0), 4).alias("var_qty"),
+            (F.round(nump / F.sqrt(numq) / F.sqrt(nump2), 4) + F.lit(0.0)).alias(
+                "corr_qty_price"
+            ),
+            (F.round(nump / den1 / F.lit(10000.0), 2) + F.lit(0.0)).alias(
+                "covar_qty_price"
+            ),
+            F.round(F.col("sdisc") / F.col("nd") / F.lit(100.0), 6).alias("avg_disc"),
+        )
     li = _t(spark, sf, "lineitem")
     # + 0.0 normalizes IEEE negative zero: at sf100 the near-zero
     # correlation rounds to -0.0 in one engine and +0.0 in the other —
@@ -4301,6 +4437,58 @@ def _mm_features_alaw(spark, sf):
     return _mm_features_g711(spark, sf, "alaw")
 
 
+def _mm_features_adpcm(spark, sf):
+    """REAL 4-bit adaptive-codec audio decode, oracle-checked:
+    deterministic RIFF/WAVE IMA ADPCM files (operators/adpcm.py —
+    genuine DVI quantizer codes, multi-block, per-channel block
+    headers; core transitions bit-identical to CPython's audioop DVI
+    reference) of the closed-form triangle wave
+    (operators/multimodal.py `_adpcm_wave`: ±1 deltas round-trip
+    exactly at step index 0). The DuckDB twin REGENERATES the same
+    samples with range() and aggregates them directly — a wrong step
+    table, nibble order, block-header parse, channel de-interleave, or
+    fact-chunk truncation changes peak/energy/n_frames and fails the
+    hash."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    feats = MM.extract_features(MM.synth_adpcm_media(d))
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        F.round(f[1].cast("double") * 32768).cast("long").alias("peak"),
+        F.round(f[2].cast("double") * 65536).cast("long").alias("n_frames"),
+        F.round(f[3].cast("double") * 65536).cast("long").alias("zero_flips"),
+        F.round(f[4].cast("double") * 65536).cast("long").alias("sample_rate"),
+        F.round(f[5].cast("double") * 8).cast("long").alias("channels"),
+        F.round(f[6].cast("double") * 32768).cast("long").alias("mean_amp"),
+        F.round(f[7].cast("double") * F.lit(4294967296.0)).cast("long").alias("energy"),
+    )
+
+
+# the oracle rebuilds the triangle wave per doc with range() and
+# aggregates it — closed-form-free differential of the whole decode
+_MM_FEATURES_ADPCM_SQL = """
+WITH d AS (
+  SELECT doc_id, 8 + 2*(doc_id % 8) AS p, doc_id % 10 + 2 AS reps,
+         doc_id % 2 + 1 AS ch
+  FROM documents WHERE doc_id < 400
+), s AS (
+  SELECT d.doc_id, d.p, d.reps, d.ch,
+         CASE WHEN (g.i % (2*d.p)) <= d.p THEN (g.i % (2*d.p))
+              ELSE 2*d.p - (g.i % (2*d.p)) END - d.p // 2 AS v
+  FROM d, LATERAL (SELECT UNNEST(range(0, 2*d.p*d.reps)) AS i) g
+)
+SELECT doc_id AS media_id,
+  CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+  COUNT(*) AS n_frames,
+  CAST(0 AS BIGINT) AS zero_flips,
+  CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(ch AS BIGINT) AS channels,
+  CAST(0 AS BIGINT) AS mean_amp,
+  CAST(ch * SUM(v*v) AS BIGINT) AS energy
+FROM s GROUP BY doc_id, ch
+"""
+
+
 # μ-law round trip of amplitude A (divisible by 4): 14-bit magnitude
 # x = A/4 + 33, segment s from the CCITT thresholds, mantissa
 # m = (x >> (s+1)) & 15, decode A' = ((8m + 132) << s) - 132.
@@ -5488,6 +5676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features_wav": _mm_features_wav,
         "mm_features_ulaw": _mm_features_ulaw,
         "mm_features_alaw": _mm_features_alaw,
+        "mm_features_adpcm": _mm_features_adpcm,
         "mm_frame_sample_gif": _mm_frame_sample_gif,
         "mm_frame_sample_avi": _mm_frame_sample_avi,
         # streaming
@@ -5624,6 +5813,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_features_wav": _MM_FEATURES_WAV_SQL,
         "mm_features_ulaw": _MM_FEATURES_ULAW_SQL,
         "mm_features_alaw": _MM_FEATURES_ALAW_SQL,
+        "mm_features_adpcm": _MM_FEATURES_ADPCM_SQL,
         "mm_frame_sample_gif": _MM_FRAME_GIF_SQL,
         "mm_frame_sample_avi": _MM_FRAME_AVI_SQL,
         "iceberg_scan_generated": _ICEBERG_SCAN_SQL,

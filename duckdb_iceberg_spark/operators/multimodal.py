@@ -315,31 +315,80 @@ def encode_wav_g711(samples, sample_rate: int, law: str = "ulaw") -> bytes:
     return b"RIFF" + _struct.pack("<I", len(body)) + body
 
 
+def encode_wav_ima(samples, sample_rate: int, frames_per_block: int = 65) -> bytes:
+    """Encode an (N,) or (N, CH) int16 sample array as a RIFF/WAVE
+    IMA/DVI ADPCM file (format tag 0x11, 4 bits per sample, 4:1 over
+    PCM-16). frames_per_block - 1 must be a multiple of 8 (one 4-byte
+    code word per channel); the fmt chunk carries the cbSize=2
+    wSamplesPerBlock extension and the fact chunk the true frame count
+    (the final block is padded)."""
+    import numpy as np
+
+    from .adpcm import ima_encode_blocks
+
+    if (frames_per_block - 1) % 8:
+        raise ValueError("frames_per_block - 1 must be a multiple of 8")
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    ch = s.shape[1]
+    block_align = 4 * ch + (frames_per_block - 1) // 2 * ch
+    data = ima_encode_blocks(s, frames_per_block)
+    byte_rate = sample_rate * block_align // frames_per_block
+    fmt = _struct.pack(
+        "<HHIIHHHH", 0x11, ch, sample_rate, byte_rate, block_align, 4, 2,
+        frames_per_block,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + _struct.pack("<II", 4, s.shape[0])
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
 def decode_wav(payload: bytes):
     """Decode a RIFF/WAVE payload to ((N_frames, CH) int16 array,
-    sample_rate). Handles PCM-16 (format 1) and G.711 μ-law/A-law
+    sample_rate). Handles PCM-16 (format 1), G.711 μ-law/A-law
     (formats 7/6, 8-bit — expanded to int16 via the operators.g711
-    lookup tables). Walks the chunk list (tolerates extra chunks like
-    LIST/INFO/fact, and odd-length chunk padding per the RIFF spec);
+    lookup tables), and IMA/DVI ADPCM (format 0x11, 4-bit — decoded by
+    operators.adpcm). Walks the chunk list (tolerates extra chunks like
+    LIST/INFO, odd-length chunk padding per the RIFF spec; the fact
+    chunk truncates ADPCM final-block padding);
     raises ValueError on other codecs — callers fall back to the stub
     feature, same contract as the image codecs."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_chunk, data, fact_frames = 12, None, b"", None, None
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
         (length,) = _struct.unpack_from("<I", payload, pos + 4)
         chunk = payload[pos + 8 : pos + 8 + length]
         if tag == b"fmt ":
             fmt = _struct.unpack_from("<HHIIHH", chunk, 0)
+            fmt_chunk = chunk
         elif tag == b"data":
             data = chunk
+        elif tag == b"fact" and length >= 4:
+            (fact_frames,) = _struct.unpack_from("<I", chunk, 0)
         pos += 8 + length + (length & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAVE missing fmt/data chunk")
     audio_format, ch, rate, _byte_rate, _block_align, bits = fmt
+    if audio_format == 0x11 and bits == 4:
+        from .adpcm import ima_decode_blocks
+
+        if len(fmt_chunk) >= 20:
+            (frames_per_block,) = _struct.unpack_from("<H", fmt_chunk, 18)
+        else:  # derive from block geometry when the extension is absent
+            frames_per_block = (_block_align - 4 * ch) * 2 // ch + 1
+        n_blocks = len(data) // _block_align
+        total = n_blocks * frames_per_block
+        n = fact_frames if fact_frames is not None and fact_frames <= total else total
+        return ima_decode_blocks(data, ch, _block_align, frames_per_block, n), rate
     if audio_format == 1 and bits == 16:
         n = len(data) // (2 * ch)
         s = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
@@ -359,7 +408,9 @@ def _audio_feature(samples, rate: int) -> list[float]:
     integer scaled by a power of two (exact in float32), so an entry
     can invert the normalization losslessly: rms/32768, peak/32768,
     n_frames/65536, zero_crossings/65536 (first channel, strict sign
-    flips), rate/65536, channels/8, mean/32768, 0."""
+    flips), rate/65536, channels/8, mean/32768, energy Σx²/2^32
+    (power-of-two scaled like the rest; float32-exact whenever
+    Σx² < 2^24 — the ADPCM entry's fixtures are sized for that)."""
     import numpy as np
 
     x = samples.astype(np.float64)
@@ -374,7 +425,7 @@ def _audio_feature(samples, rate: int) -> list[float]:
         rate / 65536.0,
         samples.shape[1] / 8.0,
         float(np.mean(x)) / 32768.0,
-        0.0,
+        float(np.sum(x * x)) / 4294967296.0,
     ]
 
 
@@ -583,6 +634,60 @@ def synth_g711_media(documents: DataFrame, law: str = "ulaw") -> DataFrame:
                         "payload": encode_wav_g711(s, rate, law=law),
                         "meta": {
                             "format": law,
+                            "width": 0,
+                            "height": 0,
+                            "duration_ms": s.shape[0] * 1000 // rate,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return documents.select("doc_id").mapInPandas(build, MEDIA_SCHEMA)
+
+
+def _adpcm_wave(did: int):
+    """Triangle wave for the IMA ADPCM entry, EXACT under the codec by
+    construction: period 2P with P = 8 + 2*(id%8) (even), values
+    (i mod 2P <= P ? i mod 2P : 2P - i mod 2P) - P/2 — every successive
+    delta is ±1, which the IMA quantizer represents exactly at step
+    index 0 (step 7: code 1 → diff 7>>2 = 1) and the index transition
+    for codes 0/1 is -1 (clamped at 0), so the index stays pinned and
+    the reconstruction equals the input sample-for-sample. Block
+    headers re-anchor the first sample of every block verbatim. The
+    stereo channel is the negated wave (deltas ∓1, equally exact).
+    Whole periods only, P even → mean is exactly 0; the signal crosses
+    zero ON a sample, so strict sign flips are exactly 0."""
+    import numpy as np
+
+    p = 8 + 2 * (did % 8)
+    reps = did % 10 + 2
+    ch = did % 2 + 1
+    i = np.arange(2 * p * reps)
+    r = i % (2 * p)
+    v = (np.where(r <= p, r, 2 * p - r) - p // 2).astype(np.int16)
+    s = v[:, None] if ch == 1 else np.stack([v, -v], axis=1)
+    return s, 8000
+
+
+def synth_adpcm_media(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL-codec compressed audio media: genuine
+    RIFF/WAVE IMA ADPCM files (operators/adpcm.py — 4-bit adaptive
+    quantizer codes, multi-block with per-channel headers) of the
+    closed-form triangle wave (:func:`_adpcm_wave`), one per doc_id."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                s, rate = _adpcm_wave(did)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "media_type": "audio",
+                        "payload": encode_wav_ima(s, rate),
+                        "meta": {
+                            "format": "ima_adpcm",
                             "width": 0,
                             "height": 0,
                             "duration_ms": s.shape[0] * 1000 // rate,

@@ -203,6 +203,56 @@ def test_g711_codec_spec_parity_and_wav_roundtrip():
             assert round(f[0] * 32768) == round(f[1] * 32768) == int(amp_out[0])
 
 
+def test_ima_adpcm_codec_parity_and_wav_roundtrip():
+    """The IMA/DVI ADPCM core is bit-exact with CPython's audioop DVI
+    reference (encode bytes AND decode states), the triangle fixtures
+    round-trip EXACTLY through the multi-block RIFF/WAVE container
+    (format 0x11, per-channel block headers, fact-chunk truncation),
+    and generic signals track within the adaptive quantizer's error."""
+    import numpy as np
+
+    from duckdb_iceberg_spark.operators.adpcm import _encode_one, _step
+
+    try:
+        import audioop
+
+        x = (2000 * np.sin(np.arange(2000) / 7.0) + 500 * np.sin(np.arange(2000) / 3.1)).astype(
+            np.int16
+        )
+        pred, idx, codes = 0, 0, []
+        for s in x:
+            c, pred, idx = _encode_one(int(s), pred, idx)
+            codes.append(c)
+        # audioop packs the first code of each byte in the HIGH nibble
+        mine = bytes((codes[i] << 4) | codes[i + 1] for i in range(0, len(codes), 2))
+        assert mine == audioop.lin2adpcm(x.tobytes(), 2, None)[0]
+        dec_ref = np.frombuffer(audioop.adpcm2lin(mine, 2, None)[0], dtype=np.int16)
+        pred, idx, dec = 0, 0, []
+        for c in codes:
+            pred, idx = _step(c, pred, idx)
+            dec.append(pred)
+        assert np.array_equal(dec_ref, np.array(dec, dtype=np.int16))
+    except ImportError:
+        pass
+    # triangle fixtures: EXACT round trip, mono + stereo, multi-block
+    for did in (0, 1, 7, 17, 123, 399):
+        s, rate = MM._adpcm_wave(did)
+        out, r2 = MM.decode_wav(MM.encode_wav_ima(s, rate))
+        assert r2 == rate and out.shape == s.shape
+        assert np.array_equal(out, s)
+        f = MM._audio_feature(out, r2)
+        assert f[6] == 0.0 and round(f[3] * 65536) == 0
+        assert round(f[7] * 4294967296.0) == int((s.astype(np.int64) ** 2).sum())
+    # generic signal: adaptive tracking within quantizer error
+    t = np.arange(3000)
+    sig = (6000 * np.sin(t / 50.0)).astype(np.int16)
+    out, _ = MM.decode_wav(MM.encode_wav_ima(sig, 16000))
+    err = np.abs(out.astype(np.int32) - sig[: out.shape[0], None].astype(np.int32))
+    assert err.max() <= 1200  # bounded by the adapted step size
+    # fact chunk truncates final-block padding to the true frame count
+    assert out.shape[0] == 3000
+
+
 def test_avi_mjpeg_container_roundtrip():
     """MJPEG AVI encode -> decode preserves frame count/dims/content
     (within JPEG q95 loss); the RIFF walk tolerates JUNK chunks and

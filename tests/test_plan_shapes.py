@@ -224,6 +224,7 @@ def test_bucketed_overlay_rows_identical_to_raw(spark):
     names = [
         "q1_pricing_summary",
         "agg_global",
+        "agg_stats",
         "q3_shipping_priority",
         "q5_local_supplier",
         "q10_returned_items",
