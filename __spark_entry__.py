@@ -272,18 +272,34 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
                     f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
                 )
             else:
-                li = spark.read.parquet(li_src)
-                o = spark.read.parquet(o_src)
+                # read the ALREADY-BUCKETED facts when the buckets
+                # family was prepped first (both orderkey-bucketed with
+                # the same N -> the li⋈o SortMergeJoin compiles with NO
+                # exchange and no sort, so the spine build's only data
+                # movement is the parquet write itself)
+                li_tbl = _BUCKETED_OVERLAY.get((key_dir, "lineitem"))
+                o_tbl = _BUCKETED_OVERLAY.get((key_dir, "orders"))
+                pre = li_tbl is not None and o_tbl is not None
+                li = spark.table(li_tbl) if pre else spark.read.parquet(li_src)
+                o = spark.table(o_tbl) if pre else spark.read.parquet(o_src)
                 s = spark.read.parquet(os.path.join(key_dir, "supplier.parquet")).select(
                     "s_suppkey", "s_nationkey"
                 )
                 cu = spark.read.parquet(os.path.join(key_dir, "customer.parquet")).select(
                     "c_custkey", "c_nationkey", "c_mktsegment"
                 )
+                # the 3-column customer projection is broadcastable far
+                # beyond the table's own footprint (sf100: 15M rows ≈
+                # ~0.6 GB in memory); past ~1 GB parquet fall back to a
+                # shuffle-hash join rather than risk executor OOM
+                cu_small = os.path.getsize(
+                    os.path.join(key_dir, "customer.parquet")
+                ) < (1 << 30)
+                cu = F.broadcast(cu) if cu_small else cu.hint("SHUFFLE_HASH")
                 spine = (
                     li.join(o, li.l_orderkey == o.o_orderkey)
                     .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-                    .join(cu.hint("SHUFFLE_HASH"), o.o_custkey == cu.c_custkey)
+                    .join(cu, o.o_custkey == cu.c_custkey)
                     .select(
                         "l_orderkey",
                         "l_suppkey",
@@ -306,6 +322,7 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
                     path=loc,
                     sort_cols=["o_orderdate"],
                     write_options={"parquet.block.size": str(8 << 20)},
+                    pre_partitioned=pre,
                 )
             spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS NOSCAN")
         _BUCKETED_OVERLAY[(key_dir, "spine@l_orderkey")] = tbl
@@ -447,11 +464,21 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
             ),
         ):
             tbl = f"agg_{pname}_{sfx}"
-            loc = os.path.join(base, f"{sfx}_{pname}_{stamp}_v1")
+            loc = os.path.join(base, f"{sfx}_{pname}_{stamp}_v2")
             if not spark.catalog.tableExists(tbl):
                 if not os.path.exists(os.path.join(loc, "_SUCCESS")):
                     li = spark.read.parquet(li_src)
-                    li.select(*cols).distinct().write.mode("overwrite").parquet(loc)
+                    # range-partition + sort on the leading key: parquet
+                    # delta-encodes sorted int64 runs ~10x denser than
+                    # the shuffled hash-distinct output
+                    (
+                        li.select(*cols)
+                        .distinct()
+                        .repartitionByRange(4, cols[0])
+                        .sortWithinPartitions(*cols)
+                        .write.mode("overwrite")
+                        .parquet(loc)
+                    )
                 spark.sql(
                     f"CREATE TABLE {tbl} ({schema}) USING PARQUET LOCATION '{loc}'"
                 )

@@ -28,6 +28,7 @@ def write_bucketed(
     path: str | None = None,
     sort_cols: list[str] | None = None,
     write_options: dict[str, str] | None = None,
+    pre_partitioned: bool = False,
 ) -> None:
     """Persist `df` as a bucketed+sorted catalog table (external, under
     `path`), replacing any previous definition.
@@ -43,15 +44,21 @@ def write_bucketed(
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     loc = path or tempfile.mkdtemp(prefix=f"bucketed_{table}_")
+    # repartition(N, key) is the SAME HashPartitioning
+    # (pmod(murmur3(key), N)) bucketBy assigns, so each write task
+    # holds exactly one bucket and every bucket lands as ONE file.
+    # Without it each of the W input tasks writes a sliver of all N
+    # buckets — N*W files (1024 at sf10), and every downstream scan
+    # pays W× the footer/open overhead for identical bytes.
+    # ``pre_partitioned=True`` asserts the caller's plan ALREADY
+    # carries that partitioning (e.g. an exchange-free SortMergeJoin of
+    # two tables bucketed on ``key`` with the same N) and skips the
+    # redundant full-table shuffle — at sf100 that is ~15 GB of
+    # shuffle/spill disk the write never needs.
+    if not pre_partitioned:
+        df = df.repartition(num_buckets, key)
     (
-        # repartition(N, key) is the SAME HashPartitioning
-        # (pmod(murmur3(key), N)) bucketBy assigns, so each write task
-        # holds exactly one bucket and every bucket lands as ONE file.
-        # Without it each of the W input tasks writes a sliver of all N
-        # buckets — N*W files (1024 at sf10), and every downstream scan
-        # pays W× the footer/open overhead for identical bytes.
-        df.repartition(num_buckets, key)
-        .write.mode("overwrite")
+        df.write.mode("overwrite")
         .options(**(write_options or {}))
         .option("path", loc)
         .bucketBy(num_buckets, key)

@@ -138,6 +138,16 @@ def get_spark(app_name: str = "duckdb_iceberg_spark", **extra) -> SparkSession:
         .config("spark.driver.maxResultSize", os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # generic conf passthrough for harness tooling, e.g.
+    # SPARK_GRAFT_EXTRA_CONF="spark.io.compression.codec=zstd" — the
+    # layout-prep script uses zstd shuffle/spill compression to roughly
+    # halve the on-disk shuffle footprint of the sf100 bucketed-fact
+    # build (row-oriented lz4 shuffle blocks run ~2x parquet size; the
+    # CPU trade is irrelevant for a one-time storage-layout write)
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     for k, v in extra.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
