@@ -4491,6 +4491,53 @@ def _mm_features_adpcm(spark, sf):
     )
 
 
+def _mm_features_msadpcm(spark, sf):
+    """REAL Microsoft ADPCM decode (WAVE format 0x0002), oracle-checked:
+    signed 4-bit codes against the published 7-pair predictor table,
+    multi-block with two verbatim seed samples + idelta per channel per
+    block header, HIGH-nibble-first packing, stereo nibble
+    interleaving. The 16x triangle fixture reconstructs exactly (codes
+    ±1 at the pinned idelta floor of 16 — see operators/multimodal.py
+    `_msadpcm_wave`); the DuckDB twin regenerates the same samples with
+    range() and aggregates them directly."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    feats = MM.extract_features(MM.synth_msadpcm_media(d))
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        F.round(f[1].cast("double") * 32768).cast("long").alias("peak"),
+        F.round(f[2].cast("double") * 65536).cast("long").alias("n_frames"),
+        F.round(f[3].cast("double") * 65536).cast("long").alias("zero_flips"),
+        F.round(f[4].cast("double") * 65536).cast("long").alias("sample_rate"),
+        F.round(f[5].cast("double") * 8).cast("long").alias("channels"),
+        F.round(f[6].cast("double") * 32768).cast("long").alias("mean_amp"),
+        F.round(f[7].cast("double") * F.lit(4294967296.0)).cast("long").alias("energy"),
+    )
+
+
+_MM_FEATURES_MSADPCM_SQL = """
+WITH d AS (
+  SELECT doc_id, 8 + 2*(doc_id % 8) AS p, doc_id % 10 + 2 AS reps,
+         doc_id % 2 + 1 AS ch
+  FROM documents WHERE doc_id < 400
+), s AS (
+  SELECT d.doc_id, d.p, d.reps, d.ch,
+         16 * (CASE WHEN (g.i % (2*d.p)) <= d.p THEN (g.i % (2*d.p))
+                    ELSE 2*d.p - (g.i % (2*d.p)) END - d.p // 2) AS v
+  FROM d, LATERAL (SELECT UNNEST(range(0, 2*d.p*d.reps)) AS i) g
+)
+SELECT doc_id AS media_id,
+  CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+  COUNT(*) AS n_frames,
+  CAST(0 AS BIGINT) AS zero_flips,
+  CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(ch AS BIGINT) AS channels,
+  CAST(0 AS BIGINT) AS mean_amp,
+  CAST(ch * SUM(v*v) AS BIGINT) AS energy
+FROM s GROUP BY doc_id, ch
+"""
+
+
 # the oracle rebuilds the triangle wave per doc with range() and
 # aggregates it — closed-form-free differential of the whole decode
 _MM_FEATURES_ADPCM_SQL = """
@@ -5704,6 +5751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features_ulaw": _mm_features_ulaw,
         "mm_features_alaw": _mm_features_alaw,
         "mm_features_adpcm": _mm_features_adpcm,
+        "mm_features_msadpcm": _mm_features_msadpcm,
         "mm_frame_sample_gif": _mm_frame_sample_gif,
         "mm_frame_sample_avi": _mm_frame_sample_avi,
         # streaming
@@ -5841,6 +5889,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_features_ulaw": _MM_FEATURES_ULAW_SQL,
         "mm_features_alaw": _MM_FEATURES_ALAW_SQL,
         "mm_features_adpcm": _MM_FEATURES_ADPCM_SQL,
+        "mm_features_msadpcm": _MM_FEATURES_MSADPCM_SQL,
         "mm_frame_sample_gif": _MM_FRAME_GIF_SQL,
         "mm_frame_sample_avi": _MM_FRAME_AVI_SQL,
         "iceberg_scan_generated": _ICEBERG_SCAN_SQL,

@@ -164,3 +164,116 @@ def ima_decode_blocks(
     if rows:
         out = np.vstack(rows)
     return out[:n_frames]
+
+
+# ---------------------------------------------------------------------------
+# Microsoft ADPCM (WAVE format tag 0x0002)
+# ---------------------------------------------------------------------------
+# Public WAVEFORMAT_ADPCM spec: per-block header carries a predictor-
+# coefficient index, the initial quantizer step (idelta) and the two
+# seed samples VERBATIM per channel; the body is signed 4-bit codes,
+# HIGH nibble first, channels alternating nibbles when stereo.
+
+MS_ADAPTATION = [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230, 230, 230]
+MS_COEF1 = [256, 512, 0, 192, 240, 460, 392]
+MS_COEF2 = [0, -256, 0, 64, 0, -208, -232]
+
+
+def _ms_predict(s1: int, s2: int, c1: int, c2: int) -> int:
+    # floor-toward-negative-infinity semantics: C's / on negatives
+    # truncates, but every shipping decoder uses >> 8 on the signed
+    # product — arithmetic shift, i.e. floor division
+    return (s1 * c1 + s2 * c2) >> 8
+
+
+def ms_encode_blocks(
+    samples: np.ndarray,
+    frames_per_block: int,
+    predictor: int = 0,
+    idelta0: int = 16,
+) -> bytes:
+    """Encode an (N, CH) int16 array as MS ADPCM blocks (one coefficient
+    pair for all blocks — real encoders score all 7; any choice is
+    spec-valid and self-describing via the header). The final partial
+    block is padded by repeating the last frame."""
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    c1, c2 = MS_COEF1[predictor], MS_COEF2[predictor]
+    out = bytearray()
+    for start in range(0, n, frames_per_block):
+        blk = s[start : start + frames_per_block]
+        if blk.shape[0] < frames_per_block:
+            pad = np.repeat(blk[-1:], frames_per_block - blk.shape[0], axis=0)
+            blk = np.vstack([blk, pad])
+        # header: bPredictor per channel, iDelta per channel,
+        # iSamp1 (t-1) per channel, iSamp2 (t-2) per channel.
+        # Decoded output order is iSamp2 FIRST, then iSamp1 — so seed
+        # iSamp2 = frame 0, iSamp1 = frame 1.
+        idelta = [idelta0] * ch
+        samp2 = [int(blk[0, c]) for c in range(ch)]
+        samp1 = [int(blk[1, c]) for c in range(ch)]
+        for c in range(ch):
+            out.append(predictor)
+        for c in range(ch):
+            out += struct.pack("<h", idelta[c])
+        for c in range(ch):
+            out += struct.pack("<h", samp1[c])
+        for c in range(ch):
+            out += struct.pack("<h", samp2[c])
+        codes = []
+        for f in range(2, frames_per_block):
+            for c in range(ch):
+                pred = _ms_predict(samp1[c], samp2[c], c1, c2)
+                delta = int(blk[f, c]) - pred
+                code = max(-8, min(7, int(round(delta / idelta[c]))))
+                new = _clamp16(pred + idelta[c] * code)
+                samp2[c], samp1[c] = samp1[c], new
+                idelta[c] = max(16, (idelta[c] * MS_ADAPTATION[code & 0xF]) >> 8)
+                codes.append(code & 0xF)
+        if len(codes) % 2:
+            codes.append(0)
+        for i in range(0, len(codes), 2):
+            out.append((codes[i] << 4) | codes[i + 1])  # HIGH nibble first
+    return bytes(out)
+
+
+def ms_decode_blocks(
+    data: bytes, channels: int, block_align: int, frames_per_block: int, n_frames: int
+) -> np.ndarray:
+    """Decode MS ADPCM blocks to an (n_frames, CH) int16 array."""
+    ch = channels
+    rows = []
+    for boff in range(0, len(data) - block_align + 1, block_align):
+        blk = data[boff : boff + block_align]
+        preds = [blk[c] for c in range(ch)]
+        pos = ch
+        idelta = list(struct.unpack_from(f"<{ch}h", blk, pos))
+        pos += 2 * ch
+        samp1 = list(struct.unpack_from(f"<{ch}h", blk, pos))
+        pos += 2 * ch
+        samp2 = list(struct.unpack_from(f"<{ch}h", blk, pos))
+        pos += 2 * ch
+        frames = np.empty((frames_per_block, ch), dtype=np.int16)
+        frames[0] = samp2
+        frames[1] = samp1
+        nib = []
+        for b in blk[pos:]:
+            nib.append(b >> 4)
+            nib.append(b & 0xF)
+        k = 0
+        for f in range(2, frames_per_block):
+            for c in range(ch):
+                code4 = nib[k] if k < len(nib) else 0
+                k += 1
+                code = code4 - 16 if code4 > 7 else code4  # sign-extend
+                c1, c2 = MS_COEF1[preds[c] % 7], MS_COEF2[preds[c] % 7]
+                pred = _ms_predict(samp1[c], samp2[c], c1, c2)
+                new = _clamp16(pred + idelta[c] * code)
+                samp2[c], samp1[c] = samp1[c], new
+                idelta[c] = max(16, (idelta[c] * MS_ADAPTATION[code4]) >> 8)
+                frames[f, c] = new
+        rows.append(frames)
+    out = np.vstack(rows) if rows else np.empty((0, ch), dtype=np.int16)
+    return out[:n_frames]

@@ -348,6 +348,41 @@ def encode_wav_ima(samples, sample_rate: int, frames_per_block: int = 65) -> byt
     return b"RIFF" + _struct.pack("<I", len(body)) + body
 
 
+def encode_wav_msadpcm(samples, sample_rate: int, frames_per_block: int = 66) -> bytes:
+    """Encode an (N,) or (N, CH) int16 sample array as a RIFF/WAVE
+    Microsoft ADPCM file (format tag 0x0002, 4 bits per sample).
+    frames_per_block must be even (whole code bytes per channel). The
+    fmt chunk carries the full WAVEFORMAT_ADPCM extension
+    (wSamplesPerBlock, wNumCoef=7, the 7 published coefficient pairs)
+    and the fact chunk the true frame count."""
+    import numpy as np
+
+    from .adpcm import MS_COEF1, MS_COEF2, ms_encode_blocks
+
+    if frames_per_block % 2:
+        raise ValueError("frames_per_block must be even")
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    ch = s.shape[1]
+    block_align = 7 * ch + (frames_per_block - 2) // 2 * ch
+    data = ms_encode_blocks(s, frames_per_block)
+    byte_rate = sample_rate * block_align // frames_per_block
+    ext = _struct.pack("<HH", frames_per_block, 7)
+    for c1, c2 in zip(MS_COEF1, MS_COEF2):
+        ext += _struct.pack("<hh", c1, c2)
+    fmt = _struct.pack(
+        "<HHIIHHH", 0x0002, ch, sample_rate, byte_rate, block_align, 4, len(ext)
+    ) + ext
+    body = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + _struct.pack("<II", 4, s.shape[0])
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
 def decode_wav(payload: bytes):
     """Decode a RIFF/WAVE payload to ((N_frames, CH) int16 array,
     sample_rate). Handles PCM-16 (format 1), G.711 μ-law/A-law
@@ -378,6 +413,17 @@ def decode_wav(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("WAVE missing fmt/data chunk")
     audio_format, ch, rate, _byte_rate, _block_align, bits = fmt
+    if audio_format == 0x0002 and bits == 4:
+        from .adpcm import ms_decode_blocks
+
+        if len(fmt_chunk) >= 20:
+            (frames_per_block,) = _struct.unpack_from("<H", fmt_chunk, 18)
+        else:
+            frames_per_block = (_block_align - 7 * ch) * 2 // ch + 2
+        n_blocks = len(data) // _block_align
+        total = n_blocks * frames_per_block
+        n = fact_frames if fact_frames is not None and fact_frames <= total else total
+        return ms_decode_blocks(data, ch, _block_align, frames_per_block, n), rate
     if audio_format == 0x11 and bits == 4:
         from .adpcm import ima_decode_blocks
 
@@ -667,6 +713,53 @@ def _adpcm_wave(did: int):
     v = (np.where(r <= p, r, 2 * p - r) - p // 2).astype(np.int16)
     s = v[:, None] if ch == 1 else np.stack([v, -v], axis=1)
     return s, 8000
+
+
+def _msadpcm_wave(did: int):
+    """16x-scaled triangle wave for the MS ADPCM entry, EXACT under
+    the codec by construction: with coefficient pair 0 (pred = prev
+    sample) every successive delta is ±16 = ±1 * idelta at the spec's
+    idelta floor of 16, so code ±1 reconstructs exactly AND the step
+    adaptation for |code| <= 3 (ratio 230/256, integer >> 8, then the
+    max(16, ·) floor) keeps idelta PINNED at 16 — both block seed
+    samples are stored verbatim anyway. Same period/channel law as the
+    IMA fixture (:func:`_adpcm_wave`), amplitude x16; energy stays
+    under 2^24 so the float32 energy slot is exact."""
+    import numpy as np
+
+    s, rate = _adpcm_wave(did)
+    return (s.astype(np.int32) * 16).astype(np.int16), rate
+
+
+def synth_msadpcm_media(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL-codec compressed audio media: genuine
+    RIFF/WAVE Microsoft ADPCM files (operators/adpcm.py — signed 4-bit
+    codes against the published 7-pair predictor table, multi-block,
+    two seed samples per channel per block header) of the closed-form
+    scaled triangle wave (:func:`_msadpcm_wave`), one per doc_id."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                s, rate = _msadpcm_wave(did)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "media_type": "audio",
+                        "payload": encode_wav_msadpcm(s, rate),
+                        "meta": {
+                            "format": "ms_adpcm",
+                            "width": 0,
+                            "height": 0,
+                            "duration_ms": s.shape[0] * 1000 // rate,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return documents.select("doc_id").mapInPandas(build, MEDIA_SCHEMA)
 
 
 def synth_adpcm_media(documents: DataFrame) -> DataFrame:

@@ -253,6 +253,29 @@ def test_ima_adpcm_codec_parity_and_wav_roundtrip():
     assert out.shape[0] == 3000
 
 
+def test_ms_adpcm_codec_roundtrip():
+    """MS ADPCM (format 0x0002): the 16x triangle fixtures round-trip
+    EXACTLY (codes ±1 at the pinned idelta floor; two seed samples per
+    block header), generic signals track within the adaptive quantizer
+    error, and the fact chunk truncates final-block padding."""
+    import numpy as np
+
+    for did in (0, 1, 7, 17, 123, 399):
+        s, rate = MM._msadpcm_wave(did)
+        out, r2 = MM.decode_wav(MM.encode_wav_msadpcm(s, rate))
+        assert r2 == rate and out.shape == s.shape
+        assert np.array_equal(out, s)
+        f = MM._audio_feature(out, r2)
+        assert f[6] == 0.0 and round(f[3] * 65536) == 0
+        assert round(f[7] * 4294967296.0) == int((s.astype(np.int64) ** 2).sum())
+    t = np.arange(3000)
+    sig = (6000 * np.sin(t / 50.0)).astype(np.int16)
+    out, _ = MM.decode_wav(MM.encode_wav_msadpcm(sig, 16000))
+    assert out.shape[0] == 3000
+    err = np.abs(out.astype(np.int32) - sig[:, None].astype(np.int32))
+    assert err.max() <= 200  # bounded by the adapted quantizer step
+
+
 def test_avi_mjpeg_container_roundtrip():
     """MJPEG AVI encode -> decode preserves frame count/dims/content
     (within JPEG q95 loss); the RIFF walk tolerates JUNK chunks and
