@@ -2364,15 +2364,27 @@ def _agg_stats(spark, sf):
         numq = (n * F.col("sqq") - F.col("sq") * F.col("sq")).cast("double")
         nump2 = (n * F.col("spp") - F.col("sp") * F.col("sp")).cast("double")
         nump = (n * F.col("sqp") - F.col("sq") * F.col("sp")).cast("double")
-        den1 = (n * (n - F.lit(1))).cast("double")
+        # sample statistics of a single row are NULL (stddev_samp
+        # semantics) — double division by the zero denominator would
+        # yield NaN, which the oracle's NULL canon rejects
+        den1 = F.when(n > 1, (n * (n - F.lit(1))).cast("double"))
         den2 = (n * n).cast("double")
         return s.select(
             "l_returnflag",
             F.round(F.sqrt(numq / den1) / F.lit(100.0), 4).alias("sd_qty"),
             F.round(numq / den2 / F.lit(10000.0), 4).alias("var_qty"),
-            (F.round(nump / F.sqrt(numq) / F.sqrt(nump2), 4) + F.lit(0.0)).alias(
-                "corr_qty_price"
-            ),
+            # corr is NULL for single rows and zero-variance columns
+            # (0/0 would be NaN; SQL aggregates yield NULL there)
+            (
+                F.round(
+                    F.when(
+                        (n > 1) & (numq > 0) & (nump2 > 0),
+                        nump / F.sqrt(numq) / F.sqrt(nump2),
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("corr_qty_price"),
             (F.round(nump / den1 / F.lit(10000.0), 2) + F.lit(0.0)).alias(
                 "covar_qty_price"
             ),
