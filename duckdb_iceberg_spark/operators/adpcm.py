@@ -146,7 +146,6 @@ def ima_decode_blocks(
         body = blk[ch * 4 :]
         # per-channel code streams: mono is contiguous nibbles; multi-
         # channel interleaves 4-byte words per channel
-        f = 1
         nwords = len(body) // (4 * ch)
         codes = [[] for _ in range(ch)]
         for w in range(nwords):
