@@ -236,6 +236,7 @@ def test_bucketed_overlay_rows_identical_to_raw(spark):
         "dedup_minhash_pairs",
         "join_colocated_brand",
         "join_salted",
+        "sort_topk",
     ]
     raw = {n: sorted(tuple(r) for r in E2.queries()[n](spark, SF).collect()) for n in names}
     E2.prepare_bucketed_fixtures(spark, SF)
