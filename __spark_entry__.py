@@ -4482,6 +4482,43 @@ FROM documents WHERE doc_id < 400
 """
 
 
+def _mm_features_pcm_depths(spark, sf):
+    """REAL alternate-bit-depth PCM decode, oracle-checked: the WAV
+    reader's u8 (offset-128) / s24 (3-byte LE, sign-extended) / s32 /
+    IEEE-float32 branches (operators/multimodal.py `encode_wav_pcm` /
+    `decode_wav`), cycled by doc_id % 4 over square waves whose
+    amplitude (id%100+1)*256 round-trips exactly at EVERY depth — so
+    all four branches share one closed-form oracle; a wrong byte
+    order, sign extension, offset, or float scale shifts rms/peak and
+    fails the hash."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    feats = MM.extract_features(MM.synth_pcm_depth_media(d))
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        F.round(f[0].cast("double") * 32768).cast("long").alias("rms_amp"),
+        F.round(f[1].cast("double") * 32768).cast("long").alias("peak"),
+        F.round(f[2].cast("double") * 65536).cast("long").alias("n_frames"),
+        F.round(f[3].cast("double") * 65536).cast("long").alias("zero_flips"),
+        F.round(f[4].cast("double") * 65536).cast("long").alias("sample_rate"),
+        F.round(f[5].cast("double") * 8).cast("long").alias("channels"),
+        F.round(f[6].cast("double") * 32768).cast("long").alias("mean_amp"),
+    )
+
+
+_MM_FEATURES_PCM_DEPTHS_SQL = """
+SELECT doc_id AS media_id,
+       CAST((doc_id % 100 + 1) * 256 AS BIGINT) AS rms_amp,
+       CAST((doc_id % 100 + 1) * 256 AS BIGINT) AS peak,
+       CAST(2 * (doc_id % 20 + 2) * (doc_id % 30 + 5) AS BIGINT) AS n_frames,
+       CAST(2 * (doc_id % 30 + 5) - 1 AS BIGINT) AS zero_flips,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+       CAST(0 AS BIGINT) AS mean_amp
+FROM documents WHERE doc_id < 400
+"""
+
+
 def _mm_features_g711(spark, sf, law):
     """REAL compressed-audio decode, oracle-checked: deterministic
     RIFF/WAVE G.711 files (operators/g711.py — genuine ITU-T companded
@@ -5803,6 +5840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features_alaw": _mm_features_alaw,
         "mm_features_adpcm": _mm_features_adpcm,
         "mm_features_msadpcm": _mm_features_msadpcm,
+        "mm_features_pcm_depths": _mm_features_pcm_depths,
         "mm_frame_sample_gif": _mm_frame_sample_gif,
         "mm_frame_sample_avi": _mm_frame_sample_avi,
         # streaming
@@ -5941,6 +5979,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_features_alaw": _MM_FEATURES_ALAW_SQL,
         "mm_features_adpcm": _MM_FEATURES_ADPCM_SQL,
         "mm_features_msadpcm": _MM_FEATURES_MSADPCM_SQL,
+        "mm_features_pcm_depths": _MM_FEATURES_PCM_DEPTHS_SQL,
         "mm_frame_sample_gif": _MM_FRAME_GIF_SQL,
         "mm_frame_sample_avi": _MM_FRAME_AVI_SQL,
         "iceberg_scan_generated": _ICEBERG_SCAN_SQL,

@@ -288,6 +288,46 @@ def encode_wav(samples, sample_rate: int) -> bytes:
     return b"RIFF" + _struct.pack("<I", len(body)) + body
 
 
+def encode_wav_pcm(samples, sample_rate: int, depth: str = "s16") -> bytes:
+    """Encode an (N,) or (N, CH) int16 sample array as RIFF/WAVE PCM at
+    an alternate bit depth: ``u8`` (unsigned, offset-128 — top 8 bits),
+    ``s24`` / ``s32`` (little-endian, int16 value in the TOP bytes, the
+    WAV convention for widened PCM), or ``f32`` (IEEE-float format tag
+    3, value/32768 — exact for every int16). All four depths decode
+    back to the original int16 exactly (u8 exactly when the sample is a
+    multiple of 256)."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    ch = s.shape[1]
+    if depth == "u8":
+        data = ((s.astype(np.int32) >> 8) + 128).astype(np.uint8).tobytes()
+        tag, bits = 1, 8
+    elif depth == "s24":
+        wide = (s.astype(np.int32) << 8).astype("<i4").tobytes()
+        # drop the high byte of each 4-byte word -> 3-byte LE samples
+        data = b"".join(wide[i : i + 3] for i in range(0, len(wide), 4))
+        tag, bits = 1, 24
+    elif depth == "s32":
+        data = (s.astype(np.int32) << 16).astype("<i4").tobytes()
+        tag, bits = 1, 32
+    elif depth == "f32":
+        data = (s.astype(np.float32) / np.float32(32768.0)).astype("<f4").tobytes()
+        tag, bits = 3, 32
+    else:
+        raise ValueError(f"unsupported PCM depth: {depth}")
+    frame = ch * bits // 8
+    fmt = _struct.pack("<HHIIHH", tag, ch, sample_rate, sample_rate * frame, frame, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
 def encode_wav_g711(samples, sample_rate: int, law: str = "ulaw") -> bytes:
     """Encode an (N,) or (N, CH) int16 sample array as a RIFF/WAVE
     G.711 file (format tag 7 = μ-law / 6 = A-law, 8 bits per sample,
@@ -439,6 +479,31 @@ def decode_wav(payload: bytes):
         n = len(data) // (2 * ch)
         s = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
         return s, rate
+    if audio_format == 1 and bits == 8:
+        # unsigned offset-128 PCM: top 8 bits of the int16 range
+        n = len(data) // ch
+        u = np.frombuffer(data, dtype=np.uint8, count=n * ch).astype(np.int16)
+        return ((u - 128) << 8).reshape(n, ch), rate
+    if audio_format == 1 and bits == 24:
+        n = len(data) // (3 * ch)
+        raw = np.frombuffer(data, dtype=np.uint8, count=n * ch * 3).reshape(-1, 3)
+        v = (
+            raw[:, 0].astype(np.int32)
+            | (raw[:, 1].astype(np.int32) << 8)
+            | (raw[:, 2].astype(np.int32) << 16)
+        )
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)  # sign-extend 24-bit
+        return (v >> 8).astype(np.int16).reshape(n, ch), rate
+    if audio_format == 1 and bits == 32:
+        n = len(data) // (4 * ch)
+        v = np.frombuffer(data, dtype="<i4", count=n * ch)
+        return (v >> 16).astype(np.int16).reshape(n, ch), rate
+    if audio_format == 3 and bits == 32:
+        # IEEE float in [-1, 1): scale to int16 with round-half-even
+        n = len(data) // (4 * ch)
+        f = np.frombuffer(data, dtype="<f4", count=n * ch).astype(np.float64)
+        v = np.clip(np.rint(f * 32768.0), -32768, 32767)
+        return v.astype(np.int16).reshape(n, ch), rate
     if audio_format in (6, 7) and bits == 8:
         from .g711 import ALAW_DECODE_TABLE, ULAW_DECODE_TABLE
 
@@ -713,6 +778,47 @@ def _adpcm_wave(did: int):
     v = (np.where(r <= p, r, 2 * p - r) - p // 2).astype(np.int16)
     s = v[:, None] if ch == 1 else np.stack([v, -v], axis=1)
     return s, 8000
+
+
+def synth_pcm_depth_media(documents: DataFrame) -> DataFrame:
+    """Deterministic PCM media across the four alternate WAV sample
+    depths (u8 / s24 / s32 / f32 by doc_id % 4): the square wave with
+    amplitude (id%100+1)*256 — a multiple of 256, so even the 8-bit
+    offset-128 path round-trips exactly and every depth decodes to the
+    identical int16 signal; all features share one closed form."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        depths = ["u8", "s24", "s32", "f32"]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                amp = (did % 100 + 1) * 256
+                half = did % 20 + 2
+                n = 2 * half * (did % 30 + 5)
+                ch = did % 2 + 1
+                i = np.arange(n)
+                s = np.where((i // half) % 2 == 0, amp, -amp).astype(np.int16)
+                s = np.repeat(s[:, None], ch, axis=1)
+                depth = depths[did % 4]
+                rows.append(
+                    {
+                        "media_id": did,
+                        "media_type": "audio",
+                        "payload": encode_wav_pcm(s, 16000, depth),
+                        "meta": {
+                            "format": f"pcm_{depth}",
+                            "width": 0,
+                            "height": 0,
+                            "duration_ms": n * 1000 // 16000,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return documents.select("doc_id").mapInPandas(build, MEDIA_SCHEMA)
 
 
 def _msadpcm_wave(did: int):

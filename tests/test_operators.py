@@ -203,6 +203,27 @@ def test_g711_codec_spec_parity_and_wav_roundtrip():
             assert round(f[0] * 32768) == round(f[1] * 32768) == int(amp_out[0])
 
 
+def test_pcm_depth_variants_roundtrip():
+    """u8 / s24 / s32 / f32 WAV sample depths decode back to the exact
+    int16 signal (u8 exactly on multiples of 256); float scale is
+    value/32768 with round-half-even on decode."""
+    import numpy as np
+
+    for did in (0, 1, 17, 123, 399):
+        s, rate = MM._square_wave(did)
+        for depth in ("s24", "s32", "f32"):
+            out, r2 = MM.decode_wav(MM.encode_wav_pcm(s, rate, depth))
+            assert r2 == rate and out.shape == s.shape
+            assert np.array_equal(out, s), (did, depth)
+        s256 = ((s.astype(np.int32) >> 8) << 8).astype(np.int16)
+        out, _ = MM.decode_wav(MM.encode_wav_pcm(s256, rate, "u8"))
+        assert np.array_equal(out, s256), did
+    # 24-bit sign extension: a negative sample's top byte must carry
+    x = np.array([-32768, -1, 0, 1, 32767], dtype=np.int16)
+    out, _ = MM.decode_wav(MM.encode_wav_pcm(x, 8000, "s24"))
+    assert np.array_equal(out[:, 0], x)
+
+
 def test_ima_adpcm_codec_parity_and_wav_roundtrip():
     """The IMA/DVI ADPCM core is bit-exact with CPython's audioop DVI
     reference (encode bytes AND decode states), the triangle fixtures
