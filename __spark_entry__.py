@@ -2766,6 +2766,26 @@ WHERE (rn - 1) % 10 = 0
 """
 
 
+def _sample_weighted(spark, sf):
+    """Deterministic WEIGHTED sampling (sequential Poisson / priority
+    sampling — operators/sampling.py weighted_priority_sample): per
+    language, the 50 documents with the smallest md5-derived priority
+    u/w, weight = n_chars, so longer documents are proportionally more
+    likely to be kept. The priority is one IEEE division of a 48-bit
+    exact integer — bit-identical across engines, no libm — so the
+    DuckDB twin reproduces the exact kept set, not just its size."""
+    d = _t(spark, sf, "documents")
+    return SA.weighted_priority_sample(
+        d, "n_chars", "doc_id", 50, strata=["lang"]
+    ).select("doc_id", "lang", "n_chars")
+
+
+_SAMPLE_WEIGHTED_SQL = (
+    "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 0 "
+    + SA.weighted_priority_sample_sql("n_chars", "doc_id", 50, strata=["lang"])
+)
+
+
 def _sample_cluster_balanced(spark, sf):
     """Diversity sampling over semantic clusters: embeddings bucketed
     by 4 random-hyperplane sign bits (fixed seed), then at most 25
@@ -5802,6 +5822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": _events_anomaly,
         "dedup_incremental": _dedup_incremental,
         "sample_stratified": _sample_stratified,
+        "sample_weighted": _sample_weighted,
         "sample_cluster_balanced": _sample_cluster_balanced,
         "split_train_val_test": _split_train_val_test,
         "mixture_sample": _mixture_sample,
@@ -5929,6 +5950,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _CONTAM_SQL,
         "pack_sequences": _PACK_SQL,
         "sample_stratified": _SAMPLE_SQL,
+        "sample_weighted": _SAMPLE_WEIGHTED_SQL,
         "sample_cluster_balanced": _sample_cluster_balanced_sql(),
         "split_train_val_test": _SPLIT_SQL,
         "mixture_sample": _MIXTURE_SQL,

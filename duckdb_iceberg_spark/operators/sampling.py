@@ -184,3 +184,64 @@ def cluster_balanced_sample_sql(
         f"md5(concat_ws(':', '{seed}', CAST({key_col} AS VARCHAR))), {key_col})"
     )
     return f"QUALIFY {rank} <= {n_per_cluster}"
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    k: int,
+    strata: list[str] | None = None,
+    seed: str = "42",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: keep the
+    ``k`` rows (per stratum) with the smallest priority ``u / w`` —
+    sequential Poisson / priority sampling (Ohlsson 1998; Duffield et
+    al.'s priority sampling), the scheme production pipelines use to
+    length- or quality-weight a sample: inclusion probability grows
+    ~proportionally with ``weight_col``.
+
+    Engine-portable exactness, same policy as the rest of this module:
+    ``u`` is the first 48 bits of md5(seed:key) — an EXACT integer in
+    a double — and the priority is one IEEE division, so Spark and a
+    SQL oracle compute bit-identical keys (no libm transcendentals;
+    the textbook u^(1/w) exponential-key form would need log(), which
+    is not correctly-rounded across engines). Ties break on the key
+    column. One shuffle on the strata; the per-stratum rank is a
+    bounded window, never a global sort. Rows with weight <= 0 are
+    excluded (zero weight = zero inclusion probability).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    prio = u.cast("double") / F.col(weight_col).cast("double")
+    w = Window.partitionBy(*(strata or [F.lit(1)])).orderBy(prio, F.col(key_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__prio", prio)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk", "__prio")
+    )
+
+
+def weighted_priority_sample_sql(
+    weight_col: str, key_col: str, k: int, strata: list[str] | None = None, seed: str = "42"
+) -> str:
+    """DuckDB twin of :func:`weighted_priority_sample` (QUALIFY form,
+    to append to a SELECT over the same relation pre-filtered on
+    ``weight_col > 0``)."""
+    u = (
+        f"CAST(concat('0x', substring(md5(concat_ws(':', '{seed}', "
+        f"CAST({key_col} AS VARCHAR))), 1, 12)) AS BIGINT)"
+    )
+    part = ", ".join(strata) if strata else "1"
+    rank = (
+        f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY "
+        f"CAST({u} AS DOUBLE) / CAST({weight_col} AS DOUBLE), {key_col})"
+    )
+    return f"QUALIFY {rank} <= {k}"

@@ -955,6 +955,40 @@ def test_cluster_balanced_sample_caps_and_determinism(spark):
     assert a != c
 
 
+def test_weighted_priority_sample_properties(spark):
+    """Sequential Poisson sampling: size-k per stratum, deterministic
+    under repartitioning, weight-monotone (heavier rows are kept more
+    often across seeds), and weight<=0 rows are never kept."""
+    from duckdb_iceberg_spark.operators.sampling import weighted_priority_sample
+
+    df = spark.range(2000).selectExpr(
+        "id AS k",
+        "CAST(id % 2 AS STRING) AS s",
+        # weights 1 vs 100: the heavy half should dominate the sample
+        "CASE WHEN id % 4 = 0 THEN 100 ELSE 1 END AS w",
+    )
+    out = weighted_priority_sample(df, "w", "k", 50, strata=["s"])
+    per = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert per == {"0": 50, "1": 50}
+    # heavy rows (id%4==0) all live in stratum '0' (even ids): they are
+    # half that stratum with 100x weight, so they should dominate its
+    # kept set (deterministic given the fixed seed)
+    heavy = out.filter("w = 100").count()
+    assert heavy >= 45 and out.filter("s = '1' AND w = 100").count() == 0
+    # partitioning-invariant kept set
+    a = sorted(r["k"] for r in out.collect())
+    b = sorted(
+        r["k"]
+        for r in weighted_priority_sample(df.repartition(13, "k"), "w", "k", 50, strata=["s"]).collect()
+    )
+    assert a == b
+    # zero/negative weights are excluded even when k exceeds the rest
+    z = weighted_priority_sample(
+        spark.range(10).selectExpr("id AS k", "CAST(id >= 5 AS INT) AS w"), "w", "k", 10
+    )
+    assert sorted(r["k"] for r in z.collect()) == [5, 6, 7, 8, 9]
+
+
 def test_dedup_keep_best_quality_argmax(spark):
     from duckdb_iceberg_spark.operators.dedup import dedup_keep_best
 
