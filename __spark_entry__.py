@@ -89,10 +89,27 @@ _PROJECTION_SPECS = (
 )
 
 
+def _dataset_bytes(path: str) -> int:
+    """Total bytes of a parquet dataset whether it is a single file or a
+    directory of part-files. os.path.getsize on a directory returns the
+    inode size (~4 KB), which once made an arbitrarily large
+    directory-style customer table look broadcastable (r7 ADVICE)."""
+    if not os.path.exists(path):
+        return 0
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
 def _split_count(src: str, per_file_bytes: int = 2 << 20, cap: int = 32) -> int:
     import math
 
-    size = os.path.getsize(src) if os.path.exists(src) else 0
+    size = _dataset_bytes(src)
     return min(cap, max(4, 1 << math.ceil(math.log2(max(1.0, size / per_file_bytes)))))
 
 
@@ -110,7 +127,7 @@ def _bucket_count(sf_dir: str, group: str, per_bucket_bytes: int = 4 << 20, cap:
     import math
 
     sizer = os.path.join(sf_dir, f"{_GROUP_SIZER[group]}.parquet")
-    size = os.path.getsize(sizer) if os.path.exists(sizer) else 0
+    size = _dataset_bytes(sizer)
     return min(cap, max(4, 1 << math.ceil(math.log2(max(1.0, size / per_bucket_bytes)))))
 
 
@@ -292,7 +309,7 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
                 # beyond the table's own footprint (sf100: 15M rows ≈
                 # ~0.6 GB in memory); past ~1 GB parquet fall back to a
                 # shuffle-hash join rather than risk executor OOM
-                cu_small = os.path.getsize(
+                cu_small = _dataset_bytes(
                     os.path.join(key_dir, "customer.parquet")
                 ) < (1 << 30)
                 cu = F.broadcast(cu) if cu_small else cu.hint("SHUFFLE_HASH")
@@ -314,6 +331,14 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
                         "c_mktsegment",
                     )
                 )
+                # pre_partitioned only holds when BOTH dims joined as
+                # broadcasts: a SHUFFLE_HASH customer join (cu_small
+                # False) re-partitions the stream on o_custkey and
+                # destroys the l_orderkey HashPartitioning the flag
+                # asserts — bucketBy would still be correct but each of
+                # the W write tasks would emit a sliver of all N
+                # buckets (N*W files; the footer/open regression the
+                # repartition exists to prevent). r7 ADVICE (medium).
                 write_bucketed(
                     spine,
                     tbl,
@@ -322,7 +347,7 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
                     path=loc,
                     sort_cols=["o_orderdate"],
                     write_options={"parquet.block.size": str(8 << 20)},
-                    pre_partitioned=pre,
+                    pre_partitioned=pre and cu_small,
                 )
             spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS NOSCAN")
         _BUCKETED_OVERLAY[(key_dir, "spine@l_orderkey")] = tbl

@@ -247,6 +247,16 @@ def ms_decode_blocks(
     for boff in range(0, len(data) - block_align + 1, block_align):
         blk = data[boff : boff + block_align]
         preds = [blk[c] for c in range(ch)]
+        # bPredictor indexes the standard 7-entry coefficient table; a
+        # file declaring custom coefficient pairs (predictor >= 7 with
+        # wNumCoef > 7) must hit the unsupported-codec fallback, not
+        # silently decode with a wrapped-around coefficient pair.
+        for p in preds:
+            if p >= len(MS_COEF1):
+                raise ValueError(
+                    f"MS ADPCM predictor index {p} >= {len(MS_COEF1)}: "
+                    "custom coefficient tables are not supported"
+                )
         pos = ch
         idelta = list(struct.unpack_from(f"<{ch}h", blk, pos))
         pos += 2 * ch
@@ -267,7 +277,7 @@ def ms_decode_blocks(
                 code4 = nib[k] if k < len(nib) else 0
                 k += 1
                 code = code4 - 16 if code4 > 7 else code4  # sign-extend
-                c1, c2 = MS_COEF1[preds[c] % 7], MS_COEF2[preds[c] % 7]
+                c1, c2 = MS_COEF1[preds[c]], MS_COEF2[preds[c]]
                 pred = _ms_predict(samp1[c], samp2[c], c1, c2)
                 new = _clamp16(pred + idelta[c] * code)
                 samp2[c], samp1[c] = samp1[c], new

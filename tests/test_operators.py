@@ -297,6 +297,38 @@ def test_ms_adpcm_codec_roundtrip():
     assert err.max() <= 200  # bounded by the adapted quantizer step
 
 
+def test_msadpcm_custom_predictor_rejected():
+    """A block declaring bPredictor >= 7 (custom coefficient table)
+    must raise ValueError — the documented unsupported-codec fallback —
+    instead of silently decoding with a wrapped coefficient pair
+    (r7 ADVICE)."""
+    import numpy as np
+    import pytest
+
+    s, rate = MM._msadpcm_wave(3)
+    payload = bytearray(MM.encode_wav_msadpcm(s, rate))
+    # find the data chunk and corrupt the first block's predictor byte
+    pos = payload.index(b"data") + 8
+    payload[pos] = 7
+    with pytest.raises(ValueError, match="predictor"):
+        MM.decode_wav(bytes(payload))
+
+
+def test_msadpcm_fixture_energy_below_float32_cliff():
+    """The energy feature slot (Σx²/2^32) is float32-exact only while
+    Σx² < 2^24. The fixture wave law cycles with did % 40
+    (period did%8, reps did%10, channels did%2), so sweeping 40 dids
+    covers every shape any doc_id can produce — a future amplitude/
+    reps/period tweak to _msadpcm_wave must fail HERE loudly, not as a
+    flaky oracle hash mismatch (r7 ADVICE)."""
+    import numpy as np
+
+    for did in range(40):
+        s, _rate = MM._msadpcm_wave(did)
+        energy = int((s.astype(np.int64) ** 2).sum())
+        assert energy < 2**24, f"did={did}: energy {energy} >= 2^24"
+
+
 def test_avi_mjpeg_container_roundtrip():
     """MJPEG AVI encode -> decode preserves frame count/dims/content
     (within JPEG q95 loss); the RIFF walk tolerates JUNK chunks and
