@@ -10,9 +10,11 @@ column bounds, null counts) is available for pruning.
 
 Supports the full subset of Avro 1.x used by Iceberg metadata:
 records, unions, arrays, maps, all primitives, fixed, enums;
-``null``, ``deflate`` and ``snappy`` codecs (the reference inherits
-codec support from avro-cpp, ``src/common/iceberg.cpp:38-91``;
-manifests written by Java/Flink engines commonly use snappy).
+``null``, ``deflate``, ``snappy`` and ``zstandard`` codecs (the
+reference inherits codec support from avro-cpp,
+``src/common/iceberg.cpp:38-91``; manifests written by Java/Flink
+engines commonly use snappy, and engines configured for zstd write
+``avro.codec=zstandard`` — raw zstd frames, no CRC suffix).
 """
 
 from __future__ import annotations
@@ -308,6 +310,25 @@ def _encode(writer: _Writer, schema: Any, value: Any) -> None:
         _encode(writer, t, value)
 
 
+def _zstd_compress(data: bytes) -> bytes:
+    """Zstandard one-shot frame via pyarrow's bundled C++ codec (always
+    present in this engine's environment; Avro's ``zstandard`` codec is
+    bare zstd frames with no checksum suffix, spec 1.9+)."""
+    import pyarrow as pa
+
+    return bytes(pa.Codec("zstd").compress(data))
+
+
+def _zstd_decompress(data: bytes) -> bytes:
+    """Streaming decompress — zstd frames legally omit
+    Frame_Content_Size (RFC 8878 §3.1.1), so a one-shot decompress
+    that needs the size up front cannot cover every writer; the
+    CompressedInputStream path handles both."""
+    import pyarrow as pa
+
+    return bytes(pa.CompressedInputStream(pa.BufferReader(data), "zstd").read())
+
+
 def write_avro_file(
     path: str,
     schema: dict,
@@ -316,11 +337,11 @@ def write_avro_file(
     codec: str = "null",
 ) -> int:
     """Write an Avro object container file (one block; ``null``,
-    ``deflate`` or ``snappy`` codec).
+    ``deflate``, ``snappy`` or ``zstandard`` codec).
 
     Returns the file length in bytes (Iceberg manifest lists record it).
     """
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in ("null", "deflate", "snappy", "zstandard"):
         raise ValueError(f"unsupported Avro codec {codec!r}")
     header = _Writer()
     header.write(_MAGIC)
@@ -344,6 +365,8 @@ def write_avro_file(
         block = _snappy_compress(block) + (
             zlib.crc32(block) & 0xFFFFFFFF
         ).to_bytes(4, "big")
+    elif codec == "zstandard":
+        block = _zstd_compress(block)
     header.write_long(len(records))
     header.write_long(len(block))
     header.write(block)
@@ -386,6 +409,8 @@ def read_avro_bytes(data: bytes) -> tuple[dict, list[dict]]:
             block = _snappy_decompress(block[:-4])
             if zlib.crc32(block) & 0xFFFFFFFF != crc:
                 raise ValueError("Avro snappy block CRC32 mismatch")
+        elif codec == "zstandard":
+            block = _zstd_decompress(block)
         elif codec != "null":
             raise ValueError(f"unsupported Avro codec {codec!r}")
         block_reader = _Reader(block)
