@@ -5521,6 +5521,34 @@ WHERE p_partkey % 4 <> 1
 """
 
 
+def _iceberg_foreign_eq_deletes(spark, sf):
+    """FOREIGN-writer interop: scan a v2 table laid down by an
+    independent construction path mimicking Java/pyiceberg conventions
+    (plans/foreign_fixture.py — zstandard manifests, version-guessed
+    pyiceberg metadata naming, mixed partition specs, percent-encoded
+    partition dirs, inherited sequence numbers, mid-history equality
+    deletes that must NOT touch later appends). The reference's own
+    interop fixtures are Spark-written (scripts/test_data_generator/
+    generate_iceberg.py:33-39); this goes one engine-style further."""
+    import tempfile
+
+    from duckdb_iceberg_spark.plans.foreign_fixture import write_foreign_table
+
+    path = tempfile.mkdtemp(prefix="ice_foreign_") + "/t"
+    write_foreign_table(os.path.join(sf, "part.parquet"), path)
+    return iceberg_scan(spark, path, unsafe_enable_version_guessing=True)
+
+
+# predicate mirrors foreign_fixture.DELETE_SIZES / DELETE_BRAND and the
+# mod-3 commit split: group C (p_partkey%3=2) commits AFTER the delete
+# (higher sequence number), so the deletes never apply to it.
+_ICEBERG_FOREIGN_EQ_SQL = """
+SELECT p_partkey, p_brand, p_size, p_retailprice FROM part
+WHERE (p_partkey % 3 = 2)
+   OR NOT (p_size IN (1,2,3,48,49,50) OR p_brand = 'Brand#33')
+"""
+
+
 _SALT_TUNE: dict[str, int] = {}
 
 
@@ -5749,6 +5777,7 @@ _CORE_ALIASES: dict[str, str] = {
     "a1_iceberg_scan_generated": "iceberg_scan_generated",
     "a1_iceberg_time_travel": "iceberg_time_travel",
     "a1_iceberg_eq_deletes": "iceberg_equality_deletes",
+    "a1_iceberg_foreign_eq": "iceberg_foreign_eq_deletes",
     "a1_iceberg_pruned_scan": "iceberg_pruned_scan",
     "a1_iceberg_snapshots": "iceberg_snapshots",
     "a1_iceberg_metadata": "iceberg_metadata_entries",
@@ -5949,6 +5978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_refs": _iceberg_refs,
         "iceberg_partition_evolution": _iceberg_partition_evolution,
         "iceberg_equality_deletes": _iceberg_equality_deletes,
+        "iceberg_foreign_eq_deletes": _iceberg_foreign_eq_deletes,
         # skew-resilient join
         "join_salted": _join_salted,
         # co-located (bucketed) join
@@ -6099,6 +6129,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_enrich": _STREAM_ENRICH_SQL,
         "funnel_join": _FUNNEL_SQL,
         "iceberg_equality_deletes": _ICEBERG_EQ_SQL,
+        "iceberg_foreign_eq_deletes": _ICEBERG_FOREIGN_EQ_SQL,
         "iceberg_merge_upsert": _ICEBERG_MERGE_SQL,
         "join_salted": _JOIN_SALTED_SQL,
         "join_bucketed": _JOIN_BUCKETED_SQL,

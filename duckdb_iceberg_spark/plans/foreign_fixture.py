@@ -1,0 +1,430 @@
+"""Foreign-writer Iceberg interop fixture.
+
+Builds a v2 table the way a *different* engine (Java Iceberg /
+pyiceberg) lays one down, sharing NOTHING with this package's own
+``writer.py`` code path: metadata JSON, manifests, and parquet data
+files are constructed directly here, following the public spec and the
+conventions observable in Java-written tables (the reference's own
+interop story is Spark-written tables —
+``/root/reference/scripts/test_data_generator/generate_iceberg.py:33-39``;
+this goes one engine-style further). Every convention below is chosen
+to DIFFER from writer.py so a complementary writer/reader bug cannot
+cancel out:
+
+- metadata files named ``0000N-<uuid>.metadata.json`` with NO
+  version-hint.text (pyiceberg style) -> readers must version-guess;
+- Avro manifests + manifest list use the ``zstandard`` codec;
+- manifest entries carry Java's full optional field set
+  (snapshot_id, file_sequence_number, value_counts, split_offsets,
+  sort_order_id) and ADDED entries leave sequence_number null
+  (sequence-number INHERITANCE from the manifest list);
+- parquet data files carry PARQUET:field_id metadata with the physical
+  column order REVERSED vs the table schema (field-id resolution,
+  not positional);
+- two partition specs: spec 0 unpartitioned (first append), spec 1
+  identity(p_brand) (later appends) — a mixed-spec table;
+- equality deletes (content=2) land mid-history, so sequence-number
+  scoping decides which data files they apply to: appends committed
+  AFTER the delete must survive rows matching the delete key.
+
+The row population derives from the driver testdata ``part`` table so
+a DuckDB oracle can recompute the expected final state from the same
+parquet the fixture was built from (see _iceberg_foreign_eq_deletes
+in __spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import urllib.parse
+import uuid
+
+from .avro import write_avro_file
+
+# table schema: a 4-column slice of `part`
+_FIELDS = [
+    {"id": 1, "name": "p_partkey", "required": False, "type": "long"},
+    {"id": 2, "name": "p_brand", "required": False, "type": "string"},
+    {"id": 3, "name": "p_size", "required": False, "type": "int"},
+    {"id": 4, "name": "p_retailprice", "required": False, "type": "double"},
+]
+# equality-delete predicates (mirrored verbatim in the oracle SQL)
+DELETE_SIZES = [1, 2, 3, 48, 49, 50]
+DELETE_BRAND = "Brand#33"
+
+
+def _pa_schema(reverse: bool = True):
+    import pyarrow as pa
+
+    types = {"long": pa.int64(), "string": pa.string(), "int": pa.int32(), "double": pa.float64()}
+    fields = [
+        pa.field(f["name"], types[f["type"]], metadata={b"PARQUET:field_id": str(f["id"]).encode()})
+        for f in _FIELDS
+    ]
+    return pa.schema(list(reversed(fields)) if reverse else fields)
+
+
+def _write_parquet(path: str, cols: dict[str, list], reverse: bool = True) -> tuple[int, int]:
+    """Write one data/delete parquet file; returns (rows, bytes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if set(cols) == {f["name"] for f in _FIELDS}:
+        schema = _pa_schema(reverse)
+    else:  # delete file: just the key column(s), ids preserved
+        by_name = {f["name"]: f for f in _FIELDS}
+        types = {"long": pa.int64(), "string": pa.string(), "int": pa.int32(), "double": pa.float64()}
+        schema = pa.schema(
+            [
+                pa.field(n, types[by_name[n]["type"]], metadata={b"PARQUET:field_id": str(by_name[n]["id"]).encode()})
+                for n in cols
+            ]
+        )
+    table = pa.table({n: cols[n] for n in schema.names}, schema=schema)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(table, path)
+    return table.num_rows, os.path.getsize(path)
+
+
+def _bounds(cols: dict[str, list]) -> tuple[list, list]:
+    """Iceberg Appendix-D little-endian bounds for long/int columns."""
+    lo, hi = [], []
+    for f in _FIELDS:
+        vals = cols.get(f["name"])
+        if not vals:
+            continue
+        if f["type"] == "long":
+            lo.append({"key": f["id"], "value": struct.pack("<q", min(vals))})
+            hi.append({"key": f["id"], "value": struct.pack("<q", max(vals))})
+        elif f["type"] == "int":
+            lo.append({"key": f["id"], "value": struct.pack("<i", min(vals))})
+            hi.append({"key": f["id"], "value": struct.pack("<i", max(vals))})
+    return lo, hi
+
+
+# Java-style manifest entry schema: the full optional field set, which
+# is a SUPERSET of what writer.py emits — the reader must decode
+# against this embedded writer schema, not assume its own field list.
+def _entry_schema(partition_fields: list[dict]) -> dict:
+    kv = lambda name, kf, vf, vtype: {  # noqa: E731
+        "name": name,
+        "type": [
+            "null",
+            {
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": f"k{kf}_v{vf}",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": kf},
+                        {"name": "value", "type": vtype, "field-id": vf},
+                    ],
+                },
+            },
+        ],
+        "default": None,
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"], "default": None, "field-id": 4},
+            {
+                "name": "data_file",
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int", "field-id": 134},
+                        {"name": "file_path", "type": "string", "field-id": 100},
+                        {"name": "file_format", "type": "string", "field-id": 101},
+                        {
+                            "name": "partition",
+                            "field-id": 102,
+                            "type": {"type": "record", "name": "r102", "fields": partition_fields},
+                        },
+                        {"name": "record_count", "type": "long", "field-id": 103},
+                        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                        kv("column_sizes", 117, 118, "long"),
+                        kv("value_counts", 119, 120, "long"),
+                        kv("null_value_counts", 121, 122, "long"),
+                        kv("nan_value_counts", 138, 139, "long"),
+                        kv("lower_bounds", 126, 127, "bytes"),
+                        kv("upper_bounds", 129, 130, "bytes"),
+                        {"name": "key_metadata", "type": ["null", "bytes"], "default": None, "field-id": 131},
+                        {
+                            "name": "split_offsets",
+                            "type": ["null", {"type": "array", "items": "long", "element-id": 133}],
+                            "default": None,
+                            "field-id": 132,
+                        },
+                        {
+                            "name": "equality_ids",
+                            "type": ["null", {"type": "array", "items": "int", "element-id": 136}],
+                            "default": None,
+                            "field-id": 135,
+                        },
+                        {"name": "sort_order_id", "type": ["null", "int"], "default": None, "field-id": 140},
+                    ],
+                },
+            },
+        ],
+    }
+
+
+_SPEC1_PARTITION_FIELDS = [
+    {"name": "p_brand", "type": ["null", "string"], "default": None, "field-id": 1000}
+]
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {"name": "key_metadata", "type": ["null", "bytes"], "default": None, "field-id": 519},
+    ],
+}
+
+
+def _data_entry(cols, fpath, size_bytes, *, seq, snap_id, partition=None, eq_ids=None, content=0):
+    lo, hi = _bounds(cols)
+    n = len(next(iter(cols.values())))
+    return {
+        "status": 1,  # ADDED
+        "snapshot_id": snap_id,
+        "sequence_number": seq,  # None => inherited from manifest list
+        "file_sequence_number": None,
+        "data_file": {
+            "content": content,
+            "file_path": fpath,
+            "file_format": "PARQUET",
+            "partition": partition or {},
+            "record_count": n,
+            "file_size_in_bytes": size_bytes,
+            "column_sizes": None,
+            "value_counts": [{"key": f["id"], "value": n} for f in _FIELDS if f["name"] in cols],
+            "null_value_counts": [{"key": f["id"], "value": 0} for f in _FIELDS if f["name"] in cols],
+            "nan_value_counts": None,
+            "lower_bounds": lo or None,
+            "upper_bounds": hi or None,
+            "key_metadata": None,
+            "split_offsets": [4],
+            "equality_ids": eq_ids,
+            "sort_order_id": 0 if content == 0 else None,
+        },
+    }
+
+
+def write_foreign_table(part_parquet: str, table_path: str) -> dict:
+    """Build the fixture table at ``table_path`` from the testdata
+    ``part`` parquet. Returns a summary dict (counts per commit) so
+    tests can sanity-check the construction itself."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT p_partkey, p_brand, p_size, p_retailprice "
+        f"FROM read_parquet('{part_parquet}') ORDER BY p_partkey"
+    ).fetchall()
+    con.close()
+
+    def group(mod):
+        sel = [r for r in rows if r[0] % 3 == mod]
+        return {
+            "p_partkey": [r[0] for r in sel],
+            "p_brand": [r[1] for r in sel],
+            "p_size": [r[2] for r in sel],
+            "p_retailprice": [r[3] for r in sel],
+        }
+
+    def by_brand(cols):
+        out: dict[str, dict[str, list]] = {}
+        for i, b in enumerate(cols["p_brand"]):
+            g = out.setdefault(b, {k: [] for k in cols})
+            for k in cols:
+                g[k].append(cols[k][i])
+        return out
+
+    meta_dir = os.path.join(table_path, "metadata")
+    data_dir = os.path.join(table_path, "data")
+    os.makedirs(meta_dir, exist_ok=True)
+    manifests: list[dict] = []  # accumulated manifest-file records (newest first)
+    snapshots: list[dict] = []
+    summary = {}
+
+    def add_manifest(entries, *, spec_id, content, seq, snap_id, partition_fields):
+        mpath = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m{len(manifests)}.avro")
+        length = write_avro_file(
+            mpath,
+            _entry_schema(partition_fields),
+            entries,
+            metadata={
+                "schema": json.dumps(_schema_json()),
+                "schema-id": "0",
+                "partition-spec": json.dumps(partition_fields and _spec_json(1)["fields"] or []),
+                "partition-spec-id": str(spec_id),
+                "format-version": "2",
+                "content": "data" if content == 0 else "deletes",
+            },
+            codec="zstandard",
+        )
+        manifests.insert(
+            0,
+            {
+                "manifest_path": mpath,
+                "manifest_length": length,
+                "partition_spec_id": spec_id,
+                "content": content,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(e["data_file"]["record_count"] for e in entries),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "key_metadata": None,
+            },
+        )
+
+    def commit(seq, snap_id, op):
+        ml = os.path.join(meta_dir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro")
+        write_avro_file(
+            ml,
+            _MANIFEST_FILE_SCHEMA,
+            list(manifests),
+            metadata={"format-version": "2"},
+            codec="zstandard",
+        )
+        snapshots.append(
+            {
+                "snapshot-id": snap_id,
+                "sequence-number": seq,
+                "timestamp-ms": 1700000000000 + seq * 60000,
+                "manifest-list": ml,
+                "schema-id": 0,
+                "summary": {"operation": op},
+            }
+        )
+
+    # -- commit 1 (seq 1): unpartitioned append, one file, columns reversed
+    a = group(0)
+    f1 = os.path.join(data_dir, f"00000-0-{uuid.uuid4().hex}-0-00001.parquet")
+    n1, sz1 = _write_parquet(f1, a, reverse=True)
+    add_manifest(
+        [_data_entry(a, f1, sz1, seq=None, snap_id=1001)],  # inherited seq
+        spec_id=0, content=0, seq=1, snap_id=1001, partition_fields=[],
+    )
+    commit(1, 1001, "append")
+    summary["commit1_rows"] = n1
+
+    # -- commit 2 (seq 2): spec evolution, brand-partitioned append
+    b = group(1)
+    entries = []
+    for i, (brand, cols) in enumerate(sorted(by_brand(b).items())):
+        enc = urllib.parse.quote(brand, safe="")
+        fp = os.path.join(data_dir, f"p_brand={enc}", f"00001-{i}-{uuid.uuid4().hex}-0-00001.parquet")
+        _, sz = _write_parquet(fp, cols, reverse=False)
+        # half explicit, half inherited sequence numbers — Java emits
+        # null on fresh adds but compacted manifests carry explicit ones
+        entries.append(
+            _data_entry(cols, fp, sz, seq=2 if i % 2 else None, snap_id=1002, partition={"p_brand": brand})
+        )
+    add_manifest(entries, spec_id=1, content=0, seq=2, snap_id=1002, partition_fields=_SPEC1_PARTITION_FIELDS)
+    commit(2, 1002, "append")
+    summary["commit2_rows"] = len(b["p_partkey"])
+
+    # -- commit 3 (seq 3): equality deletes (two key shapes)
+    d1 = os.path.join(data_dir, f"00002-0-{uuid.uuid4().hex}-deletes-00001.parquet")
+    _, dsz1 = _write_parquet(d1, {"p_size": DELETE_SIZES})
+    d2 = os.path.join(data_dir, f"00002-1-{uuid.uuid4().hex}-deletes-00002.parquet")
+    _, dsz2 = _write_parquet(d2, {"p_brand": [DELETE_BRAND]})
+    add_manifest(
+        [
+            _data_entry({"p_size": DELETE_SIZES}, d1, dsz1, seq=None, snap_id=1003, eq_ids=[3], content=2),
+            _data_entry({"p_brand": [DELETE_BRAND]}, d2, dsz2, seq=None, snap_id=1003, eq_ids=[2], content=2),
+        ],
+        spec_id=0, content=1, seq=3, snap_id=1003, partition_fields=[],
+    )
+    commit(3, 1003, "overwrite")
+
+    # -- commit 4 (seq 4): post-delete append — must SURVIVE the deletes
+    c = group(2)
+    entries = []
+    for i, (brand, cols) in enumerate(sorted(by_brand(c).items())):
+        enc = urllib.parse.quote(brand, safe="")
+        fp = os.path.join(data_dir, f"p_brand={enc}", f"00003-{i}-{uuid.uuid4().hex}-0-00001.parquet")
+        _, sz = _write_parquet(fp, cols, reverse=False)
+        entries.append(_data_entry(cols, fp, sz, seq=None, snap_id=1004, partition={"p_brand": brand}))
+    add_manifest(entries, spec_id=1, content=0, seq=4, snap_id=1004, partition_fields=_SPEC1_PARTITION_FIELDS)
+    commit(4, 1004, "append")
+    summary["commit4_rows"] = len(c["p_partkey"])
+
+    # -- metadata JSON: pyiceberg-style name, no version-hint
+    doc = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": table_path,
+        "last-sequence-number": 4,
+        "last-updated-ms": 1700000000000 + 4 * 60000,
+        "last-column-id": 4,
+        "current-schema-id": 0,
+        "schemas": [_schema_json()],
+        "default-spec-id": 1,
+        "partition-specs": [{"spec-id": 0, "fields": []}, _spec_json(1)],
+        "last-partition-id": 1000,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.metadata.compression-codec": "none"},
+        "current-snapshot-id": 1004,
+        "refs": {"main": {"snapshot-id": 1004, "type": "branch"}},
+        "snapshots": snapshots,
+        "snapshot-log": [
+            {"snapshot-id": s["snapshot-id"], "timestamp-ms": s["timestamp-ms"]} for s in snapshots
+        ],
+        "metadata-log": [],
+        "statistics": [],
+        "partition-statistics": [],
+    }
+    mpath = os.path.join(meta_dir, f"00004-{uuid.uuid4().hex[:12]}.metadata.json")
+    with open(mpath, "w") as fh:
+        json.dump(doc, fh)
+    summary["metadata_path"] = mpath
+    return summary
+
+
+def _schema_json() -> dict:
+    return {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": f["id"], "name": f["name"], "required": f["required"], "type": f["type"]}
+            for f in _FIELDS
+        ],
+    }
+
+
+def _spec_json(spec_id: int) -> dict:
+    return {
+        "spec-id": spec_id,
+        "fields": [{"name": "p_brand", "transform": "identity", "source-id": 2, "field-id": 1000}],
+    }

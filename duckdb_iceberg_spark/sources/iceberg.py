@@ -107,6 +107,19 @@ def _norm_path(col):
     return F.regexp_replace(col, r"^file:/+", "/")
 
 
+def _decode_file_uri(col):
+    """Spark's ``_metadata.file_path`` is a URI — path segments are
+    percent-encoded (a dir literally named ``p_brand=Brand%2333``, as
+    Java writers emit for partition value ``Brand#33``, is reported as
+    ``...Brand%252333...``), while manifest/delete-file paths are raw
+    filesystem paths. Decode ONCE at the ``__file`` source so every
+    downstream comparison (positional-delete join, equality-delete
+    sequence join, moved-path tail match) compares raw against raw.
+    A literal ``+`` is valid raw in a URI path segment and must NOT
+    become a space, so escape it before url_decode."""
+    return F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
+
+
 def _tail(col):
     """Last '/'-segment — the reference's moved-path filename match
     (iceberg_scan.cpp:39-62, string_split + list_extract(-1))."""
@@ -334,7 +347,7 @@ def iceberg_scan(
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     want_pos = bool(pos_delete_files or eq_deletes or _keep_position_columns)
     pos_cols = [
-        F.col("_metadata.file_path").alias("__file"),
+        _decode_file_uri(F.col("_metadata.file_path")).alias("__file"),
         F.col("_metadata.row_index").alias("__pos"),
     ]
     name_mapping = meta.properties.get("schema.name-mapping.default")

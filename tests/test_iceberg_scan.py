@@ -271,3 +271,36 @@ def test_zstandard_manifest_table_scans(spark, tmp_path):
     assert re_encoded >= 3  # manifest lists + manifests
     df = iceberg_scan(spark, dst, allow_moved_paths=True)
     assert df.count() == 51793
+
+
+def test_foreign_writer_eq_delete_table(spark, tmp_path):
+    """Foreign-writer fixture (plans/foreign_fixture.py): pyiceberg-
+    style metadata naming (version-guessed), zstandard manifests,
+    mixed partition specs, percent-encoded partition dirs, inherited
+    sequence numbers, and mid-history equality deletes. The
+    percent-encoded dirs are a regression guard: Spark reports
+    _metadata.file_path as a percent-encoded URI, and the seq/delete
+    joins must compare RAW paths (caught by this fixture in r8)."""
+    import duckdb
+
+    from duckdb_iceberg_spark.plans.foreign_fixture import write_foreign_table
+
+    src = "/root/testdata/sf0.001/part.parquet"
+    path = str(tmp_path / "t")
+    info = write_foreign_table(src, path)
+    assert info["commit1_rows"] > 0
+    df = iceberg_scan(spark, path, unsafe_enable_version_guessing=True)
+    got = sorted((r.p_partkey, r.p_brand, r.p_size, float(r.p_retailprice)) for r in df.collect())
+    want = sorted(
+        (int(a), b, int(c), float(d))
+        for a, b, c, d in duckdb.sql(
+            f"""SELECT p_partkey, p_brand, p_size, p_retailprice
+            FROM read_parquet('{src}')
+            WHERE (p_partkey % 3 = 2)
+               OR NOT (p_size IN (1,2,3,48,49,50) OR p_brand = 'Brand#33')"""
+        ).fetchall()
+    )
+    assert got == want
+    # snapshot listing exposes all four foreign commits
+    snaps = iceberg_snapshots(spark, path, unsafe_enable_version_guessing=True).collect()
+    assert [s.sequence_number for s in snaps] == [1, 2, 3, 4]
