@@ -326,6 +326,14 @@ def chunk_text_builtin(col, chunk_tokens: int = 10):
     Python in the plan. Tokens bound once (bind_once): slicing an
     INLINED split() per chunk would re-tokenize the document
     len/chunk_tokens times."""
+    return chunk_tokens_builtin(tokens(col), chunk_tokens)
+
+
+def chunk_tokens_builtin(tok_col, chunk_tokens: int = 10):
+    """:func:`chunk_text_builtin` over an ALREADY-tokenized
+    array<string> column (a pre-tokenized layout projection skips the
+    regex split — the dominant scan kernel of segment-level ops at
+    scale). Identical output for ``tok_col = split(trim(col), '\\s+')``."""
 
     def _chunks(tb):
         n_chunks = F.ceil(F.size(tb) / F.lit(chunk_tokens)).cast("int")
@@ -337,4 +345,4 @@ def chunk_text_builtin(col, chunk_tokens: int = 10):
             ),
         )
 
-    return bind_once(tokens(col), _chunks)
+    return bind_once(tok_col, _chunks)

@@ -97,6 +97,7 @@ def bigram_lm_score(
     alpha: float = 0.5,
     counts: tuple[DataFrame, DataFrame] | None = None,
     broadcast_unigrams: bool = True,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Score every document by mean smoothed bigram log-probability.
 
@@ -104,6 +105,13 @@ def bigram_lm_score(
     against a model trained on a different (reference) corpus;
     default trains on ``df`` itself. Documents with no bigrams (< 2
     tokens) are dropped — they carry no signal.
+
+    ``tokens_col``: name of a column already holding the LOWERCASED
+    whitespace token array (a pre-tokenized layout projection). The
+    tokenize kernel is this operator's dominant scan cost at scale —
+    a warehouse materializes it once at ingest, not per query. Must
+    equal ``split(trim(lower(text)), '\\s+')`` exactly for result
+    parity with the raw path (self-trained path only).
     """
     from pyspark.sql import Window
 
@@ -140,7 +148,7 @@ def bigram_lm_score(
         # shuffle before AQE could see the model table was
         # broadcast-sized — an AQE replanning boundary, so the fix is
         # structural, not a hint. sf10: 61 s -> ~20 s.)
-        t = tokens(F.lower(F.col(text_col)))
+        t = F.col(tokens_col) if tokens_col else tokens(F.lower(F.col(text_col)))
 
         def _pairs(tb):
             # arrays_zip (no lambda) over the two shifted slices: ~9%
@@ -160,7 +168,7 @@ def bigram_lm_score(
             .withColumn("c12", F.count("*").over(Window.partitionBy("p")))
             .withColumn("__w1", F.col("p")["0"])
         )
-        uni = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        uni = df.select(F.explode(t).alias("w"))
         c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
     vocab = c1.agg(F.count("*").alias("__v"))
     c1w = c1.select(F.col("w").alias("__w1"), F.col("c1"))
