@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features_bmp": _mm_features_bmp,
         "mm_features_png": _mm_features_png,
         "mm_features_jpeg": _mm_features_jpeg,
+        "mm_features_jpeg_prog": _mm_features_jpeg_prog,
         "mm_features_wav": _mm_features_wav,
         "mm_features_ulaw": _mm_features_ulaw,
         "mm_features_alaw": _mm_features_alaw,
@@ -407,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_features_bmp": _MM_FEATURES_BMP_SQL,
         "mm_features_png": _MM_FEATURES_BMP_SQL,
         "mm_features_jpeg": _MM_FEATURES_JPEG_SQL,
+        "mm_features_jpeg_prog": _MM_FEATURES_JPEG_SQL,
         "mm_features_wav": _MM_FEATURES_WAV_SQL,
         "mm_features_ulaw": _MM_FEATURES_ULAW_SQL,
         "mm_features_alaw": _MM_FEATURES_ALAW_SQL,

@@ -1792,7 +1792,23 @@ def _mm_features_jpeg(spark, sf):
     closed-form dims and emits TRUE bounds — a wrong IDCT, channel
     swap, or subsampling bug shifts a mean by >>2 and flips a boolean."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
-    feats = MM.extract_features(MM.synth_jpeg_media(d))
+    return _jpeg_feature_check(MM.extract_features(MM.synth_jpeg_media(d)))
+
+
+def _mm_features_jpeg_prog(spark, sf):
+    """PROGRESSIVE (SOF2) JPEG decode, oracle-checked: the same ramp
+    images emitted through the Annex-G scan script (DC first/refine,
+    AC spectral bands + refines with EOB runs — encode_jpeg_progressive)
+    and decoded by the progressive path of operators/jpeg.py. The
+    progressive stream carries the SAME quantized coefficients as the
+    baseline one, so the identical error-bound contract applies; the
+    cross-check that both decodes are bit-identical lives in
+    tests/test_operators.py."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    return _jpeg_feature_check(MM.extract_features(MM.synth_jpeg_progressive_media(d)))
+
+
+def _jpeg_feature_check(feats):
     f = F.col("feature")
     w = F.round(f[3] * 256).cast("long")
     h = F.round(f[4] * 256).cast("long")

@@ -6,15 +6,23 @@ uses, with no external imaging library:
 - ``decode_jpeg`` handles any *baseline sequential* JPEG (SOF0): 8-bit
   samples, 1 (grayscale) or 3 (JFIF YCbCr) components, arbitrary
   1-2 h/v sampling factors (4:4:4, 4:2:2, 4:2:0, ...), restart
-  markers, multiple DQT/DHT segments. Huffman tables are read from
-  the file's DHT segments, so it decodes third-party baseline files,
-  not just our own.
+  markers, multiple DQT/DHT segments — AND *progressive* JPEG (SOF2,
+  T.81 Annex G): spectral selection + successive approximation, all
+  four scan kinds (DC first/refine, AC first/refine with EOB runs),
+  interleaved DC scans, non-interleaved AC scans on the component's
+  own block grid. Huffman tables are read from the file's DHT
+  segments, so it decodes third-party files, not just our own.
 - ``encode_jpeg`` writes a spec-valid baseline 4:4:4 stream: Annex K
   quantization tables scaled by libjpeg's quality curve, and
   per-image canonical Huffman tables (fixed-length codes over the
   symbols actually emitted — DHT carries them, so any decoder reads
   the stream; optimality is not the goal, validity and determinism
   are).
+- ``encode_jpeg_progressive`` writes the same coefficients as a
+  progressive stream with a libjpeg-style scan script (DC Al=1 →
+  DC refine → per-component AC 1..5 / 6..63 at Al=1 → AC refines),
+  so progressive decode is cross-validated COEFFICIENT-EXACT against
+  the baseline decode of the same image (tests/test_operators.py).
 
 Reference parity note: the reference engine has no media codecs at
 all — this backs the multimodal feature-extraction operators
@@ -381,15 +389,192 @@ def encode_jpeg(pixels, quality: int = 90) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# progressive encoder (T.81 Annex G, Huffman)
+# ---------------------------------------------------------------------------
+
+
+def _emit_eobrun(toks: list, eobrun: int, pending_bits: list[int]) -> int:
+    """Flush an EOB run as EOBn + n extension bits (+ any buffered
+    correction bits, AC-refine only). Returns 0 (the new run)."""
+    if eobrun > 0:
+        n = eobrun.bit_length() - 1
+        toks.append(("sym", n << 4))
+        if n:
+            toks.append(("bits", eobrun - (1 << n), n))
+        toks.extend(("bits", b, 1) for b in pending_bits)
+        pending_bits.clear()
+    return 0
+
+
+def _ac_first_tokens(blocks, Ss, Se, Al):
+    """AC first scan (Ah=0): magnitudes truncated toward zero by Al
+    (T.81 G.1.2.2), zero runs + EOB runs across blocks."""
+    toks: list = []
+    eobrun = 0
+    for zz in blocks:
+        run = 0
+        body: list = []
+        for k in range(Ss, Se + 1):
+            v = int(zz[k])
+            av = (abs(v) >> Al) * (1 if v >= 0 else -1)
+            if av == 0:
+                run += 1
+                continue
+            while run > 15:
+                body.append(("sym", 0xF0))
+                run -= 16
+            s = _category(av)
+            extra = av if av >= 0 else av + (1 << s) - 1
+            body.append(("sym", (run << 4) | s))
+            body.append(("bits", extra, s))
+            run = 0
+        if body:
+            eobrun = _emit_eobrun(toks, eobrun, [])
+            toks.extend(body)
+        if run > 0 or not body:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _emit_eobrun(toks, eobrun, [])
+    _emit_eobrun(toks, eobrun, [])
+    return toks
+
+
+def _ac_refine_tokens(blocks, Ss, Se, Al):
+    """AC refinement scan (Ah=Al+1): newly-significant coefficients as
+    run/1 + sign, correction bits for already-nonzero coefficients
+    (libjpeg jcphuff encode_mcu_AC_refine structure)."""
+    toks: list = []
+    eobrun = 0
+    pend: list[int] = []  # correction bits buffered behind the EOB run
+    for zz in blocks:
+        absv = [abs(int(zz[k])) >> Al for k in range(Ss, Se + 1)]
+        eob = 0  # index AFTER the last newly-significant coefficient
+        for i, a in enumerate(absv):
+            if a == 1:
+                eob = i + 1
+        run = 0
+        br: list[int] = []  # correction bits buffered behind run/ZRL
+        emitted = False
+        for i, a in enumerate(absv):
+            if a == 0:
+                run += 1
+                continue
+            while run > 15 and i < eob:
+                eobrun = _emit_eobrun(toks, eobrun, pend)
+                toks.append(("sym", 0xF0))
+                toks.extend(("bits", b, 1) for b in br)
+                br = []
+                run -= 16
+                emitted = True
+            if a > 1:
+                br.append(a & 1)
+                continue
+            # newly significant (magnitude exactly 1 at this precision)
+            eobrun = _emit_eobrun(toks, eobrun, pend)
+            toks.append(("sym", (run << 4) | 1))
+            toks.append(("bits", 1 if int(zz[Ss + i]) > 0 else 0, 1))
+            toks.extend(("bits", b, 1) for b in br)
+            br = []
+            run = 0
+            emitted = True
+        if run > 0 or br or not emitted:
+            eobrun += 1
+            pend.extend(br)
+            if eobrun == 0x7FFF:
+                eobrun = _emit_eobrun(toks, eobrun, pend)
+    _emit_eobrun(toks, eobrun, pend)
+    return toks
+
+
+def encode_jpeg_progressive(pixels, quality: int = 90) -> bytes:
+    """Encode as a PROGRESSIVE 4:4:4 JFIF JPEG (SOF2) carrying the
+    SAME quantized coefficients as :func:`encode_jpeg`, via a
+    libjpeg-style scan script: interleaved DC (Al=1) → DC refine →
+    per-component AC bands 1-5 / 6-63 (Al=1) → AC refines (Al=0).
+    Decoding this stream and the baseline stream of the same input
+    yields bit-identical pixels — the cross-validation used by the
+    tests."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.repeat(px[:, :, None], 3, axis=2)
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qy, qc = _quality_tables(quality)
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(px, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    ycc = _rgb_to_ycbcr(padded) - 128.0
+    zz = [_fdct_quant(p, q) for p, q in zip((ycc[..., 0], ycc[..., 1], ycc[..., 2]), (qy, qc, qc))]
+    nby, nbx = zz[0].shape[:2]
+    flat = [z.reshape(-1, 64) for z in zz]  # MCU order == block order (4:4:4)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def entropy_scan(toks, comps_spec, ss, se, ah, al, tbl_class) -> bytes:
+        """DHT (fixed-length canonical over used symbols) + SOS + data."""
+        syms = {t[1] for t in toks if t[0] == "sym"}
+        bits, vals, enc = _fixed_table(syms or {0x00})
+        bw = _BitWriter()
+        for t in toks:
+            if t[0] == "sym":
+                code, length = enc[t[1]]
+                bw.put(code, length)
+            else:
+                bw.put(t[1], t[2])
+        out = seg(0xC4, bytes([tbl_class << 4]) + bytes(bits) + bytes(vals))
+        sos = bytes([len(comps_spec)])
+        for cid in comps_spec:
+            sos += bytes([cid, 0x00])  # table 0 for both classes
+        sos += bytes([ss, se, (ah << 4) | al])
+        return out + seg(0xDA, sos) + bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, q in ((0, qy), (1, qc)):
+        out += seg(0xDB, bytes([tid]) + bytes(int(q[r, c]) for r, c in _ZZ))
+    comp = b"".join(bytes([cid, 0x11, tq]) for cid, tq in ((1, 0), (2, 1), (3, 1)))
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, 3) + comp)  # SOF2
+
+    # scan 1: DC first, interleaved, Al=1 (diffs in the >>1 domain)
+    toks: list = []
+    preds = [0, 0, 0]
+    for b in range(nby * nbx):
+        for ci in range(3):
+            dc = int(flat[ci][b, 0]) >> 1  # arithmetic shift, like the decoder's << 1
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            s = _category(diff)
+            toks.append(("sym", s))
+            toks.append(("bits", diff if diff >= 0 else diff + (1 << s) - 1, s))
+    out += entropy_scan(toks, [1, 2, 3], 0, 0, 0, 1, 0)
+    # scan 2: DC refine (raw bit0 per block, no Huffman symbols)
+    toks = []
+    for b in range(nby * nbx):
+        for ci in range(3):
+            toks.append(("bits", int(flat[ci][b, 0]) & 1, 1))
+    out += entropy_scan(toks, [1, 2, 3], 0, 0, 1, 0, 0)
+    # per-component AC scans: two spectral bands at Al=1, then refines
+    for ci, cid in ((0, 1), (1, 2), (2, 3)):
+        for ss, se in ((1, 5), (6, 63)):
+            out += entropy_scan(_ac_first_tokens(flat[ci], ss, se, 1), [cid], ss, se, 0, 1, 1)
+    for ci, cid in ((0, 1), (1, 2), (2, 3)):
+        for ss, se in ((1, 5), (6, 63)):
+            out += entropy_scan(_ac_refine_tokens(flat[ci], ss, se, 0), [cid], ss, se, 1, 0, 1)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG (SOF0, 8-bit, 1 or 3
-    components, h/v sampling 1-2, optional restart intervals) to an
-    (H, W, 3) uint8 RGB array. Raises ValueError on progressive /
-    arithmetic / 12-bit streams."""
+    """Decode a baseline sequential (SOF0) or progressive (SOF2)
+    JPEG — 8-bit, 1 or 3 components, h/v sampling 1-2, optional
+    restart intervals — to an (H, W, 3) uint8 RGB array. Raises
+    ValueError on arithmetic-coded / hierarchical / 12-bit streams."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -397,15 +582,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     frame = None
     restart = 0
+    coefs: list[np.ndarray] | None = None
     n = len(payload)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             pos += 1
             continue
         marker = payload[pos + 1]
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
             pos += 2
             continue
+        if pos + 4 > n:
+            break
         (ln,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + ln]
         pos += 2 + ln
@@ -430,7 +620,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + cnt])
                 huff[(tc, th)] = _HuffDecoder(bits, vals)
                 i += 17 + cnt
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit baseline JPEG supported")
@@ -438,21 +628,217 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arithmetic) not supported")
+            frame = {"h": fh, "w": fw, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (extended/arithmetic/lossless) not supported")
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS -> entropy data follows
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = body[0]
-            tsel = {}
+            scomps = []
             for ci in range(ns):
                 cs, tt = body[1 + 2 * ci], body[2 + 2 * ci]
-                tsel[cs] = (tt >> 4, tt & 15)
-            return _decode_scan(payload, pos, frame, qtabs, huff, tsel, restart)
+                scomps.append((cs, tt >> 4, tt & 15))
+            if not frame["progressive"]:
+                tsel = {cs: (td, ta) for cs, td, ta in scomps}
+                return _decode_scan(payload, pos, frame, qtabs, huff, tsel, restart)
+            ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            if coefs is None:
+                coefs = _init_coefs(frame)
+            pos = _decode_prog_scan(
+                payload, pos, frame, huff, scomps, ss, se, a >> 4, a & 15, restart, coefs
+            )
+    if frame is not None and frame.get("progressive") and coefs is not None:
+        return _reconstruct_progressive(frame, qtabs, coefs)
     raise ValueError("no SOS segment found")
+
+
+def _init_coefs(frame) -> list[np.ndarray]:
+    """Per-component DCT coefficient stores on the padded interleaved
+    MCU grid (a superset of the non-interleaved block grid)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    frame["mcux"], frame["mcuy"], frame["hmax"], frame["vmax"] = mcux, mcuy, hmax, vmax
+    return [np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32) for c in comps]
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Scan forward to the next real marker (skipping stuffed FF00 and
+    fill bytes); returns the offset of its 0xFF."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00,) and not (0xD0 <= data[pos + 1] <= 0xD7):
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_prog_scan(data, pos, frame, huff, scomps, ss, se, ah, al, restart, coefs) -> int:
+    """One progressive scan (T.81 G.2): DC first/refine (interleaved
+    allowed), AC first/refine (single component, own block grid, EOB
+    runs). Updates ``coefs`` in place; returns the stream position of
+    the next marker."""
+    comps = frame["comps"]
+    idx = {c["id"]: i for i, c in enumerate(comps)}
+    br = _BitReader(data, pos)
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+
+    def refine_nonzero(block, k):
+        c = int(block[k])
+        if br.bit() and (c & p1) == 0:
+            block[k] = c + (p1 if c >= 0 else m1)
+
+    if ss == 0:  # DC scan (se must be 0)
+        sel = [(idx[cs], td) for cs, td, _ta in scomps]
+        preds = [0] * len(comps)
+        interleaved = len(sel) > 1
+        if interleaved:
+            mcuy, mcux = frame["mcuy"], frame["mcux"]
+            count = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart and count and count % restart == 0:
+                        br.align_restart()
+                        preds = [0] * len(comps)
+                    count += 1
+                    for ci, td in sel:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blk = coefs[ci][my * c["v"] + by, mx * c["h"] + bx]
+                                if ah == 0:
+                                    s = huff[(0, td)].decode(br)
+                                    preds[ci] += _extend(br.receive(s), s)
+                                    blk[0] = preds[ci] << al
+                                elif br.bit():
+                                    blk[0] = int(blk[0]) | p1
+        else:
+            ci, td = sel[0]
+            bh, bw = _comp_block_dims(frame, comps[ci])
+            count = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart and count and count % restart == 0:
+                        br.align_restart()
+                        preds[ci] = 0
+                    count += 1
+                    blk = coefs[ci][by, bx]
+                    if ah == 0:
+                        s = huff[(0, td)].decode(br)
+                        preds[ci] += _extend(br.receive(s), s)
+                        blk[0] = preds[ci] << al
+                    elif br.bit():
+                        blk[0] = int(blk[0]) | p1
+    else:  # AC scan: exactly one component, non-interleaved
+        if len(scomps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        cs, _td, ta = scomps[0]
+        ci = idx[cs]
+        ac = huff[(1, ta)]
+        bh, bw = _comp_block_dims(frame, comps[ci])
+        count = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart and count and count % restart == 0:
+                    br.align_restart()
+                    eobrun = 0
+                count += 1
+                blk = coefs[ci][by, bx]
+                if ah == 0:  # AC first (G.1.2.2)
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = ac.decode(br)
+                        r, s = rs >> 4, rs & 15
+                        if s:
+                            k += r
+                            if k > se:
+                                raise ValueError("AC coefficient index out of range")
+                            blk[k] = _extend(br.receive(s), s) << al
+                            k += 1
+                        else:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.receive(r)
+                                break
+                            k += 16
+                else:  # AC refine (G.1.2.3, jdphuff structure)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = ac.decode(br)
+                            r, s = rs >> 4, rs & 15
+                            val = 0
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += br.receive(r)
+                                    break
+                                # r == 15: skip 16 zero-history coefficients
+                            else:
+                                val = p1 if br.bit() else m1
+                            while k <= se:
+                                if blk[k] != 0:
+                                    refine_nonzero(blk, k)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if s:
+                                if k > se:
+                                    raise ValueError("AC refine index out of range")
+                                blk[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            if blk[k] != 0:
+                                refine_nonzero(blk, k)
+                            k += 1
+                        eobrun -= 1
+    return _next_marker(data, br.pos)
+
+
+def _comp_block_dims(frame, c) -> tuple[int, int]:
+    """Non-interleaved scans cover the COMPONENT's own block grid
+    (T.81 A.2.2), not the padded MCU grid."""
+    w = -(-(frame["w"] * c["h"]) // frame["hmax"])
+    h = -(-(frame["h"] * c["v"]) // frame["vmax"])
+    return -(-h // 8), -(-w // 8)
+
+
+def _reconstruct_progressive(frame, qtabs, coefs) -> np.ndarray:
+    """Dequantize + IDCT every block (vectorized einsum over the whole
+    grid), upsample, crop, color-convert — byte-identical math to the
+    baseline per-block path."""
+    comps = frame["comps"]
+    fh, fw = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    full = []
+    for ci, c in enumerate(comps):
+        q = qtabs[c["tq"]]
+        zz = coefs[ci].astype(np.int64)
+        blk = np.zeros(zz.shape[:2] + (8, 8), dtype=np.float64)
+        blk[:, :, _ZZ_ROWS, _ZZ_COLS] = zz * q[_ZZ_ROWS, _ZZ_COLS]
+        sp = np.einsum("ux,ijuv,vy->ijxy", _C, blk, _C) + 128.0
+        nby, nbx = zz.shape[:2]
+        plane = sp.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(plane[:fh, :fw])
+    if len(full) == 1:
+        g = np.clip(full[0].round(), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    return _ycbcr_to_rgb(full[0], full[1], full[2])
 
 
 def _decode_scan(data, pos, frame, qtabs, huff, tsel, restart):

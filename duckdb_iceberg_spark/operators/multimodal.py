@@ -632,6 +632,10 @@ def _synth_image_media(documents: DataFrame, fmt: str) -> DataFrame:
         from .jpeg import encode_jpeg
 
         enc = lambda px: encode_jpeg(px, quality=95)  # noqa: E731
+    elif fmt == "jpeg_prog":
+        from .jpeg import encode_jpeg_progressive
+
+        enc = lambda px: encode_jpeg_progressive(px, quality=95)  # noqa: E731
     else:
         enc = {"bmp": encode_bmp, "png": encode_png}[fmt]
 
@@ -908,6 +912,13 @@ def synth_png_media(documents: DataFrame) -> DataFrame:
 
 def synth_jpeg_media(documents: DataFrame) -> DataFrame:
     return _synth_image_media(documents, "jpeg")
+
+
+def synth_jpeg_progressive_media(documents: DataFrame) -> DataFrame:
+    """Progressive (SOF2) twin of :func:`synth_jpeg_media`: same
+    quantized coefficients emitted through the Annex-G scan script, so
+    decode is bit-identical to the baseline stream's."""
+    return _synth_image_media(documents, "jpeg_prog")
 
 
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:

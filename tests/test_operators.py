@@ -461,10 +461,52 @@ def test_jpeg_grayscale_and_errors():
     assert abs(out[:, :, 0].astype(float).mean() - g.mean()) < 3.0
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"notjpeg")
-    # progressive SOF2 rejected, not mis-decoded
+    # SOF2 with no scan data is invalid, not silently empty
     prog = b"\xff\xd8" + b"\xff\xc2" + b"\x00\x0b" + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="no SOS"):
         decode_jpeg(prog + b"\xff\xd9")
+    # arithmetic-coded frames still rejected
+    arith = b"\xff\xd8" + b"\xff\xca" + b"\x00\x0b" + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    with pytest.raises(ValueError, match="arithmetic"):
+        decode_jpeg(arith + b"\xff\xd9")
+
+
+def test_jpeg_progressive_decode_matches_baseline():
+    """Progressive (SOF2) decode vs baseline decode of the SAME input:
+    encode_jpeg_progressive carries identical quantized coefficients
+    through the Annex-G scan script (DC first at Al=1 + DC refine, AC
+    spectral bands 1-5/6-63 at Al=1 + AC refines with EOB runs and
+    correction bits), so the decoded pixels must be BIT-IDENTICAL —
+    any error in EOBRUN bookkeeping, successive-approximation shifts,
+    or the non-interleaved block-grid walk breaks equality."""
+    import numpy as np
+
+    from duckdb_iceberg_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(7)
+    yy, xx = np.meshgrid(np.arange(48), np.arange(64), indexing="ij")
+    cases = [
+        ((yy + xx) % 256)[:, :, None].repeat(3, 2).astype(np.uint8),  # gradient
+        rng.randint(0, 256, (41, 53, 3)).astype(np.uint8),  # dense noise
+        np.full((16, 16, 3), 128, np.uint8),  # flat (EOB-run stress)
+        rng.randint(0, 256, (3, 5, 3)).astype(np.uint8),  # sub-block dims
+        rng.randint(0, 256, (33, 17)).astype(np.uint8),  # grayscale
+    ]
+    sparse = np.zeros((24, 24, 3), np.uint8)  # long zero runs (ZRL path)
+    sparse[5, 7] = [255, 0, 0]
+    sparse[20, 3] = [0, 255, 30]
+    cases.append(sparse)
+    for img in cases:
+        for q in (30, 75, 95):
+            base = decode_jpeg(encode_jpeg(img, q))
+            prog_payload = encode_jpeg_progressive(img, q)
+            assert b"\xff\xc2" in prog_payload and b"\xff\xc0" not in prog_payload[:200]
+            prog = decode_jpeg(prog_payload)
+            assert np.array_equal(base, prog), (img.shape, q)
 
 
 def test_jpeg_resize_stays_jpeg():
