@@ -1105,6 +1105,34 @@ def test_line_dedup_strips_boilerplate_preserves_order(spark):
     assert len(out) == 5
 
 
+def test_line_dedup_paths_identical(spark):
+    """The zero-text-shuffle path (broadcast_common=True: hash-counted
+    common set, clean/flagged doc split, array-side filter) and the
+    exact-string shuffle-reassembly path must produce identical rows —
+    including all-boilerplate docs (empty text) and untouched docs."""
+    from duckdb_iceberg_spark.operators.dedup import line_dedup
+
+    footer = "subscribe now"
+    rows = [(i, f"word{i} a\n{footer}\ntail{i}") for i in range(8)] + [
+        (100, footer),
+        (101, "untouched doc"),
+        (102, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        (r.doc_id, r.text)
+        for r in line_dedup(df, max_doc_freq=2, joiner="\n").collect()
+    )
+    b = sorted(
+        (r.doc_id, r.text)
+        for r in line_dedup(
+            df, max_doc_freq=2, joiner="\n", broadcast_common=False
+        ).collect()
+    )
+    assert a == b
+    assert dict(a)[100] == "" and dict(a)[101] == "untouched doc"
+
+
 def test_line_dedup_threshold_boundary(spark):
     from duckdb_iceberg_spark.operators.dedup import line_dedup
 
