@@ -98,6 +98,7 @@ def bigram_lm_score(
     counts: tuple[DataFrame, DataFrame] | None = None,
     broadcast_unigrams: bool = True,
     tokens_col: str | None = None,
+    bigram_broadcast_limit: int = 4_000_000,
 ) -> DataFrame:
     """Score every document by mean smoothed bigram log-probability.
 
@@ -148,6 +149,18 @@ def bigram_lm_score(
         # shuffle before AQE could see the model table was
         # broadcast-sized — an AQE replanning boundary, so the fix is
         # structural, not a hint. sf10: 61 s -> ~20 s.)
+        #
+        # Small-model specialization (round 8): when vocab² bounds the
+        # distinct-bigram count under ~4M, the model tables are
+        # PROVABLY broadcast-sized before they are built, and the
+        # instance stream never shuffles at all: bigram/unigram
+        # identities collapse to xxhash64 LONGs (the dedup_span_stats
+        # digest precedent), both count tables broadcast, and the
+        # per-doc average partial-aggregates map-side. The vocab count
+        # is one token-stream pass — the same pass the crossJoin'd
+        # vocab aggregate pays anyway. Measured at sf10 (31-word
+        # synthetic vocab): 6.8 s -> ~3 s. Real corpora (vocab ~1M+)
+        # take the window path unchanged.
         t = F.col(tokens_col) if tokens_col else tokens(F.lower(F.col(text_col)))
 
         def _pairs(tb):
@@ -163,13 +176,50 @@ def bigram_lm_score(
                 F.slice(tb, 2, F.size(tb) - 1),
             )
 
+        uni = df.select(F.explode(t).alias("w"))
+        c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
+        # bind_once exists to stop Catalyst re-evaluating a COMPUTED
+        # token expression per reference; on a materialized token
+        # column it is pure interpreted-lambda overhead (measured at
+        # sf10: 1.7 s -> 0.5 s for the pair construction alone)
+        pairs_col = _pairs(t) if tokens_col else bind_once(t, _pairs)
+        v = c1.count()
+        if v * v <= bigram_broadcast_limit:
+            inst = df.select(
+                F.col(key_col), F.explode(pairs_col).alias("p")
+            ).select(
+                F.col(key_col),
+                F.xxhash64(F.col("p")["0"], F.col("p")["1"]).alias("__ph"),
+                F.xxhash64(F.col("p")["0"]).alias("__w1h"),
+            )
+            c12h = inst.groupBy("__ph").agg(F.count("*").alias("c12"))
+            # exact string counts keyed by hash; sum on the (never in
+            # practice) colliding key so a collision can merge counts
+            # but never duplicate join rows
+            c1h = (
+                c1.select(F.xxhash64("w").alias("__w1h"), "c1")
+                .groupBy("__w1h")
+                .agg(F.sum("c1").alias("c1"))
+            )
+            return (
+                inst.join(F.broadcast(c12h), "__ph")
+                .join(F.broadcast(c1h), "__w1h", "left")
+                .withColumn("c1", F.coalesce(F.col("c1"), F.lit(0)))
+                .groupBy(key_col)
+                .agg(
+                    F.avg(
+                        F.log(
+                            (F.col("c12") + F.lit(alpha))
+                            / (F.col("c1") + F.lit(alpha) * F.lit(float(v)))
+                        )
+                    ).alias("lm_score")
+                )
+            )
         scored = (
-            df.select(F.col(key_col), F.explode(bind_once(t, _pairs)).alias("p"))
+            df.select(F.col(key_col), F.explode(pairs_col).alias("p"))
             .withColumn("c12", F.count("*").over(Window.partitionBy("p")))
             .withColumn("__w1", F.col("p")["0"])
         )
-        uni = df.select(F.explode(t).alias("w"))
-        c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
     vocab = c1.agg(F.count("*").alias("__v"))
     c1w = c1.select(F.col("w").alias("__w1"), F.col("c1"))
     if broadcast_unigrams:

@@ -1145,6 +1145,23 @@ def test_line_dedup_threshold_boundary(spark):
     assert out == {1: "shared\nx", 2: "shared\ny"}
 
 
+def test_bigram_lm_paths_identical(spark):
+    """The vocab-gated hash-broadcast path (vocab² under the limit:
+    bigram/unigram identities as xxhash64 longs, both model tables
+    broadcast, no instance shuffle) must score every doc identically
+    to the window path (forced via bigram_broadcast_limit=0)."""
+    from duckdb_iceberg_spark.operators.lm import bigram_lm_score
+
+    rows = [(i, f"the cat sat on mat {i % 5} the cat ran") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: round(r.lm_score, 9) for r in bigram_lm_score(df).collect()}
+    b = {
+        r.doc_id: round(r.lm_score, 9)
+        for r in bigram_lm_score(df, bigram_broadcast_limit=0).collect()
+    }
+    assert a == b and len(a) == 40
+
+
 def test_bigram_lm_score_hand_computed(spark):
     import math
 
