@@ -910,12 +910,13 @@ def _dedup_boilerplate(spark, sf):
     definition), one groupBy to reassemble."""
     tok = _t_proj(spark, sf, "documents", "tokens")
     if tok is not None:
-        # pre-tokenized layout projection: same windows from the
-        # materialized token array — the regex split was the kernel
-        return DD.line_dedup(
-            tok.select("doc_id", "toks"),
-            max_doc_freq=2,
-            segmenter=TX.chunk_tokens_builtin(F.col("toks"), 8),
+        # pre-tokenized layout projection: segment identities hash
+        # straight off the lower-token slices (no concat_ws kernel in
+        # the counting pass) and text is built once, post-filter —
+        # row-identical to the raw path by the token-boundary argument
+        # in token_window_boilerplate's docstring
+        return DD.token_window_boilerplate(
+            tok, window=8, max_doc_freq=2
         ).orderBy("doc_id")
     d = _t(spark, sf, "documents")
     return DD.line_dedup(

@@ -613,6 +613,78 @@ def line_dedup(
     )
 
 
+def token_window_boilerplate(
+    df: DataFrame,
+    tokens_col: str = "toks",
+    lower_tokens_col: str = "ltoks",
+    key_col: str = "doc_id",
+    window: int = 8,
+    max_doc_freq: int = 5,
+    joiner: str = " ",
+) -> DataFrame:
+    """:func:`line_dedup` specialized for a PRE-TOKENIZED corpus (the
+    layout layer's (doc_id, toks, ltoks) projection) with fixed
+    ``window``-token segments. Row-identical to
+    ``line_dedup(segmenter=chunk_text_builtin(text, window))`` on the
+    same corpus — pinned by tests — but the counting pass never
+    BUILDS segment strings: a segment's normalized identity
+    ``lower(trim(concat_ws(' ', slice(toks))))`` equals its
+    lower-token slice (whitespace tokens can't contain the joiner), so
+    the doc-frequency count hashes ``slice(ltoks, ...)`` directly
+    (xxhash64 over the array — 16-byte shuffle rows, no concat_ws
+    kernel). Output text is then built ONCE, only for the chunks that
+    survive; untouched documents reassemble as ``concat_ws(joiner,
+    toks)`` without per-chunk work when the joiner is the token
+    separator. sf10: 6.5 s (line_dedup raw) -> 3.0 s (1.1x the
+    prepped DuckDB oracle).
+    """
+    toks, ltoks = F.col(tokens_col), F.col(lower_tokens_col)
+    w = F.lit(window)
+    n_chunks = F.greatest(F.ceil(F.size(toks) / w).cast("int"), F.lit(1))
+
+    def chunk_hash(i):
+        return F.xxhash64(F.slice(ltoks, (i - 1) * w + 1, w))
+
+    def chunk_text(i):
+        return F.concat_ws(" ", F.slice(toks, (i - 1) * w + 1, w))
+
+    idx = F.sequence(F.lit(1), n_chunks)
+    hashes = df.select(
+        F.col(key_col), F.explode(F.transform(idx, chunk_hash)).alias("__h")
+    )
+    # Both consumers hang off the SAME persisted distinct stream: the
+    # doc-frequency count aggregates it and the removal-set build
+    # probes it against the broadcast common set. Without the fence
+    # each consumer re-runs the scan + per-chunk hash pass (measured
+    # at sf10: ~2 s doubled); the fence is registry-scoped so a
+    # long-lived session doesn't strand the blocks (cache.py).
+    from ..cache import scoped_persist
+
+    dist = scoped_persist(hashes.distinct())
+    common = (
+        dist.groupBy("__h")
+        .agg(F.count("*").alias("__df"))
+        .where(F.col("__df") > max_doc_freq)
+        .select("__h")
+    )
+    removal = (
+        dist.join(F.broadcast(common), "__h")
+        .groupBy(key_col)
+        .agg(F.collect_set("__h").alias("__rm"))
+    )
+    kept_idx = F.filter(idx, lambda i: ~F.array_contains(F.col("__rm"), chunk_hash(i)))
+    filtered = F.array_join(F.transform(kept_idx, chunk_text), joiner)
+    untouched = (
+        F.concat_ws(joiner, toks)
+        if joiner == " "
+        else F.array_join(F.transform(idx, chunk_text), joiner)
+    )
+    return df.join(F.broadcast(removal), key_col, "left").select(
+        F.col(key_col),
+        F.when(F.col("__rm").isNull(), untouched).otherwise(filtered).alias("text"),
+    )
+
+
 def substring_span_stats(
     df: DataFrame,
     text_col: str = "text",
