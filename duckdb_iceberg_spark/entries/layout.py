@@ -234,7 +234,14 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
         n_files = _split_count(doc_src)
         stamp = int(os.path.getmtime(doc_src))
         tbl = f"prj_doc_tokens_{sfx}"
-        loc = os.path.join(base, f"{sfx}_doc_tokens_{stamp}_s{n_files}v1")
+        # v2: + the four scan-fused token/stopword/punct counters —
+        # per-doc grain, 4 ints/row; the regex kernels they replace
+        # are the entire cost of text_tokens at scale (sf10: 4.0 s of
+        # regexp over ~1 GB text → a 4-column projection read), and
+        # like every rollup here they are computed ONCE at ingest by
+        # the same expressions the raw path uses, so routed queries
+        # stay value-identical by construction.
+        loc = os.path.join(base, f"{sfx}_doc_tokens_{stamp}_s{n_files}v2")
         if not spark.catalog.tableExists(tbl):
             if not os.path.exists(os.path.join(loc, "_SUCCESS")):
                 d = spark.read.parquet(doc_src)
@@ -242,6 +249,10 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
                     "doc_id",
                     F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
                     F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ltoks"),
+                    TX.token_count(F.col("text")).alias("n_ws_tokens"),
+                    TX.regex_token_count(F.col("text")).alias("n_re_tokens"),
+                    TX.stopword_count(F.col("text")).alias("n_stopwords"),
+                    TX.punct_count(F.col("text")).alias("n_punct"),
                 ).repartition(n_files).write.mode("overwrite").parquet(loc)
             id_type = next(
                 f.dataType.simpleString()
@@ -250,7 +261,8 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
             )
             spark.sql(
                 f"CREATE TABLE {tbl} (`doc_id` {id_type}, `toks` array<string>, "
-                f"`ltoks` array<string>) USING PARQUET LOCATION '{loc}'"
+                "`ltoks` array<string>, `n_ws_tokens` int, `n_re_tokens` int, "
+                f"`n_stopwords` int, `n_punct` int) USING PARQUET LOCATION '{loc}'"
             )
             spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS NOSCAN")
         _BUCKETED_OVERLAY[(key_dir, "documents@tokens")] = tbl

@@ -27,6 +27,15 @@ from duckdb_iceberg_spark.entries.relational import *  # noqa: F401,F403
 
 
 def _text_tokens(spark, sf):
+    # The four regex counters are maintained at ingest on the token
+    # projection (layout.py: same expressions, computed once) — the
+    # query becomes a 5-column scan; raw path below is the fallback
+    # and stays value-identical by construction.
+    tok = _t_proj(spark, sf, "documents", "tokens")
+    if tok is not None and "n_ws_tokens" in tok.columns:
+        return tok.select(
+            "doc_id", "n_ws_tokens", "n_re_tokens", "n_stopwords", "n_punct"
+        )
     d = _t(spark, sf, "documents")
     return d.select(
         "doc_id",
@@ -727,6 +736,16 @@ def _contamination(spark, sf):
     3-grams found in a 'benchmark' corpus (every 97th doc). Benchmark
     gram set is deduped + broadcast — corpus side never shuffles for
     the join."""
+    tok = _t_proj(spark, sf, "documents", "tokens")
+    if tok is not None:
+        # pre-tokenized projection: gram hashes off ltoks slices — the
+        # benchmark-side pass reads zero text bytes
+        return DD.ngram_contamination(
+            tok.filter(F.col("doc_id") < 500),
+            tok.filter(F.col("doc_id") % 97 == 0),
+            n=3,
+            tokens_col="ltoks",
+        )
     d = _t(spark, sf, "documents")
     bench = d.filter(F.col("doc_id") % 97 == 0)
     return DD.ngram_contamination(d.filter(F.col("doc_id") < 500), bench, n=3)

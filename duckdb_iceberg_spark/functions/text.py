@@ -223,6 +223,25 @@ def span_hashes(col, n: int = 8) -> Column:
     return bind_once(t, _build)
 
 
+def span_hashes_tokens(tok_col, n: int = 8) -> Column:
+    """:func:`span_hashes` over an ALREADY-tokenized (lowercased)
+    array column — the pre-tokenized layout projection skips both the
+    regex split and the bind_once interpretation wrapper (a
+    materialized attribute re-reads for free). Span boundaries and
+    the <n whole-doc fallback are identical."""
+
+    def _build(tb):
+        return F.when(
+            F.size(tb) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tb) - n),
+                lambda i: F.xxhash64(F.slice(tb, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.xxhash64(tb)))
+
+    return _build(tok_col)
+
+
 def _dup_fraction(arr) -> Column:
     """(size - distinct size) / size over a BOUND array (see
     bind_once — the caller's array expression must evaluate once)."""

@@ -243,6 +243,7 @@ def ngram_contamination(
     bench_text_col: str = "text",
     key_col: str = "doc_id",
     n: int = 3,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Benchmark-contamination check: per document, the fraction of
     its distinct word n-grams that occur anywhere in a benchmark
@@ -255,13 +256,34 @@ def ngram_contamination(
     broadcast, so the corpus side is a single scan + per-row explode
     with NO shuffle on the data; the only shuffle is the per-doc
     groupBy, which a map-side partial count keeps narrow.
+
+    ``tokens_col``: both frames carry that LOWERCASED token-array
+    column (the layout projection). Gram identity then collapses to
+    xxhash64 over token slices (span_hashes_tokens — same boundaries,
+    same <n fallback; string-gram equality ⟺ token-slice equality
+    because whitespace tokens cannot contain the separator), so no
+    gram string is ever built and the broadcast set is 8-byte longs.
+    Row-identical to the string path modulo the usual 2^-64 digest
+    caveat (sf10: 1.0 s -> ~0.5 s, and the benchmark-side scan reads
+    no text bytes at all).
     """
-    bench = (
-        benchmark.select(F.explode(TX.shingles(F.col(bench_text_col), n)).alias("tok"))
-        .dropDuplicates(["tok"])
-        .withColumn("__hit", F.lit(1))
-    )
-    doc_grams = _doc_tokens(df, key_col, text_col, n)
+    if tokens_col is not None:
+        grams = lambda c: TX.span_hashes_tokens(F.col(c), n)  # noqa: E731
+        bench = (
+            benchmark.select(F.explode(grams(tokens_col)).alias("tok"))
+            .dropDuplicates(["tok"])
+            .withColumn("__hit", F.lit(1))
+        )
+        doc_grams = df.select(
+            key_col, F.explode(F.array_distinct(grams(tokens_col))).alias("tok")
+        )
+    else:
+        bench = (
+            benchmark.select(F.explode(TX.shingles(F.col(bench_text_col), n)).alias("tok"))
+            .dropDuplicates(["tok"])
+            .withColumn("__hit", F.lit(1))
+        )
+        doc_grams = _doc_tokens(df, key_col, text_col, n)
     return (
         doc_grams.join(F.broadcast(bench), "tok", "left")
         .groupBy(key_col)
