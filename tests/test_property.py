@@ -315,3 +315,29 @@ def test_gif_roundtrip_property(w, h, nframes, ncolors, seed):
     out = decode_gif(encode_gif(frames, 4, palette=pal))
     assert len(out) == nframes
     assert all((a == b).all() for a, b in zip(frames, out))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.integers(0, 2**32 - 1),
+    st.sampled_from([25, 60, 90]),
+)
+def test_jpeg_progressive_equals_baseline_property(h, w, seed, quality):
+    """For ANY image, the progressive (SOF2) stream decodes
+    bit-identically to the baseline stream — the two encoders carry
+    the same quantized coefficients, so any divergence is a decoder
+    bug in the successive-approximation / EOB-run machinery."""
+    import numpy as np
+
+    from duckdb_iceberg_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = np.random.RandomState(seed % 2**32).randint(0, 256, (h, w, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality))
+    assert np.array_equal(base, prog)
