@@ -286,3 +286,43 @@ def test_vocab_topk_partial_agg_and_no_global_sort(spark):
     assert "Sort " not in plan  # no global sort operator
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "BatchEvalPython" not in plan
+
+
+def test_token_window_boilerplate_no_text_shuffle(spark):
+    """The pre-tokenized boilerplate path must never exchange document
+    text: the only hash exchanges carry the 16-byte (doc, hash) digest
+    stream and the tiny removal-set build; reassembly joins are
+    broadcasts. A collect_list of segments or a SortMergeJoin anywhere
+    means text is crossing an exchange again."""
+    from pyspark.sql import functions as F
+
+    from duckdb_iceberg_spark.operators.dedup import token_window_boilerplate
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    tok = d.select(
+        "doc_id",
+        F.split(F.trim("text"), r"\s+").alias("toks"),
+        F.split(F.trim(F.lower("text")), r"\s+").alias("ltoks"),
+    )
+    plan = _plan(token_window_boilerplate(tok, window=8, max_doc_freq=2))
+    assert "SortMergeJoin" not in plan
+    assert "collect_list" not in plan
+    # every join in the output assembly is broadcast
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the exchanges that remain partition the digest stream, not text
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "toks" not in line and "text" not in line, line
+
+
+def test_bigram_lm_small_model_no_instance_shuffle(spark):
+    """Vocab-gated lm path: both model tables broadcast; the instance
+    stream reaches the per-doc aggregate without a bigram-key exchange
+    (only the doc-key aggregation exchanges, partial-aggregated)."""
+    from duckdb_iceberg_spark.operators.lm import bigram_lm_score
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(bigram_lm_score(d))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Window" not in plan  # the windowed shape is the big-vocab fallback
