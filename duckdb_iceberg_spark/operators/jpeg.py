@@ -589,6 +589,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte (B.1.1.2): FF padding before a marker
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
