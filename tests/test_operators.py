@@ -1254,3 +1254,35 @@ def test_exact_percentiles_cents_matches_builtin(spark, sf_dir):
     assert set(grouped) == set(ref_g)
     for k, (a0, a1) in grouped.items():
         assert abs(a0 - ref_g[k][0]) < 1e-9 and abs(a1 - ref_g[k][1]) < 1e-9
+
+
+def test_jpeg_decodes_third_party_files():
+    """Real JPEGs written by OTHER encoders (libjpeg-family) must
+    decode — the Huffman tables, sampling factors, EXIF/APPn segments
+    and dimensions all come from the wild, not from our encoder."""
+    import os
+
+    import numpy as np
+
+    from duckdb_iceberg_spark.operators.jpeg import decode_jpeg
+
+    candidates = [
+        # (path, (h, w))
+        ("/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
+         "site-packages/IPython/core/tests/2x2.jpg", (2, 2)),
+        ("/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
+         "test/test_email/data/python.jpg", (16, 16)),
+        ("/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/"
+         "doc/rust/html/embedded-book/assets/verify.jpeg", (477, 720)),
+    ]
+    seen = 0
+    for path, (h, w) in candidates:
+        if not os.path.exists(path):
+            continue
+        px = decode_jpeg(open(path, "rb").read())
+        assert px.shape == (h, w, 3) and px.dtype == np.uint8
+        seen += 1
+    if seen == 0:
+        import pytest
+
+        pytest.skip("no third-party JPEG present in this container")
