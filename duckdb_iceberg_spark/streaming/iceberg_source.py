@@ -99,6 +99,13 @@ class _IcebergStreamReader(DataSourceStreamReader):
         self._schema = schema
         # Spark normalizes data source option keys to lowercase
         lower = {k.lower(): v for k, v in options.items()}
+        # version guessing: pyiceberg/Java filesystem tables have no
+        # version-hint.text, so a stream over one needs the same gated
+        # opt-in the batch scan takes (string option — data source
+        # options arrive stringly-typed)
+        self.version_guessing = str(
+            lower.get("unsafe_enable_version_guessing", "false")
+        ).lower() in ("true", "1")
         mft = lower.get("maxfilespertrigger")
         self.max_files = int(mft) if mft is not None else None
         if self.max_files is not None and self.max_files <= 0:
@@ -132,7 +139,11 @@ class _IcebergStreamReader(DataSourceStreamReader):
     def _meta(self):
         from ..plans.table_metadata import load_table_metadata
 
-        meta = load_table_metadata(self.table_path, metadata_compression_codec=self.codec)
+        meta = load_table_metadata(
+            self.table_path,
+            metadata_compression_codec=self.codec,
+            unsafe_enable_version_guessing=self.version_guessing,
+        )
         if meta.format_version == 1:
             raise ValueError(
                 "Cannot stream from a format-version-1 Iceberg table: v1 "
@@ -284,9 +295,14 @@ class IcebergStreamDataSource(DataSource):
         from ..plans.table_metadata import load_table_metadata
 
         _apply_s3_options(dict(self.options))
+        lower = {k.lower(): v for k, v in self.options.items()}
         meta = load_table_metadata(
             self.options["path"],
             metadata_compression_codec=self.options.get("metadata_compression_codec", "none"),
+            unsafe_enable_version_guessing=str(
+                lower.get("unsafe_enable_version_guessing", "false")
+            ).lower()
+            in ("true", "1"),
         )
         return meta.schemas[meta.current_schema_id].to_struct_type()
 

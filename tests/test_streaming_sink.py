@@ -452,3 +452,33 @@ def test_stream_resolves_columns_by_field_id_after_rename(spark, tmp_path):
         assert got == want
     finally:
         q.stop()
+
+
+def test_stream_foreign_table_with_version_guessing(spark, tmp_path):
+    """The streaming source over a FOREIGN-written table: pyiceberg
+    metadata naming (no version-hint -> needs the gated
+    unsafe_enable_version_guessing option, now forwarded), zstandard
+    manifests, mixed partition specs, inherited sequence numbers. An
+    append stream emits every appended row exactly once across the
+    four foreign commits (equality deletes are not retractions in an
+    append-only stream, per the source's contract)."""
+    import duckdb
+
+    from duckdb_iceberg_spark.plans.foreign_fixture import write_foreign_table
+    from duckdb_iceberg_spark.streaming.iceberg_source import read_table_stream
+
+    src = "/root/testdata/sf0.001/part.parquet"
+    path = str(tmp_path / "foreign")
+    write_foreign_table(src, path)
+    stream = read_table_stream(spark, path, unsafe_enable_version_guessing="true")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("foreign_stream_vg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    total = duckdb.sql(f"SELECT count(*) FROM read_parquet('{src}')").fetchone()[0]
+    assert spark.table("foreign_stream_vg").count() == total
