@@ -304,3 +304,13 @@ def test_foreign_writer_eq_delete_table(spark, tmp_path):
     # snapshot listing exposes all four foreign commits
     snaps = iceberg_snapshots(spark, path, unsafe_enable_version_guessing=True).collect()
     assert [s.sequence_number for s in snaps] == [1, 2, 3, 4]
+    # the Arrow executor-read path resolves the same table identically
+    # (field-id parquet, percent-encoded dirs, seq-scoped eq deletes)
+    arrow = iceberg_scan(
+        spark, path, unsafe_enable_version_guessing=True, io="arrow"
+    )
+    got_arrow = sorted(
+        (r.p_partkey, r.p_brand, r.p_size, float(r.p_retailprice))
+        for r in arrow.collect()
+    )
+    assert got_arrow == got
