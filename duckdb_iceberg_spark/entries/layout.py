@@ -94,6 +94,18 @@ def _dataset_bytes(path: str) -> int:
     return total
 
 
+def _docs_big(sf_dir: str, threshold: int = 16 << 20) -> bool:
+    """Corpus-size gate for the zero-text-shuffle text shapes: their
+    extra fixed job floors (~0.3 s: persist fill + broadcasts) only
+    pay off once shuffling the corpus text would cost more. 16 MiB of
+    (dictionary-compressed) documents parquet ≈ the crossover measured
+    between sf0.1 (0.6 MiB -> classic shapes win) and sf10 (58 MiB ->
+    zero-shuffle shapes win 2-3x)."""
+    return _dataset_bytes(
+        os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    ) >= threshold
+
+
 def _split_count(src: str, per_file_bytes: int = 2 << 20, cap: int = 32) -> int:
     import math
 

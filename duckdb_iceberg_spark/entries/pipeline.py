@@ -928,14 +928,27 @@ def _dedup_boilerplate(spark, sf):
     count, one broadcast anti join (the boilerplate set is small by
     definition), one groupBy to reassemble."""
     tok = _t_proj(spark, sf, "documents", "tokens")
-    if tok is not None:
+    if tok is not None and _docs_big(sf):
         # pre-tokenized layout projection: segment identities hash
         # straight off the lower-token slices (no concat_ws kernel in
         # the counting pass) and text is built once, post-filter —
         # row-identical to the raw path by the token-boundary argument
-        # in token_window_boilerplate's docstring
+        # in token_window_boilerplate's docstring. Gated on corpus
+        # size: the zero-text-shuffle shape runs ~5 jobs (persist fill
+        # + 3 broadcasts) whose ~0.3 s of fixed floors only pay for
+        # themselves once the text crossing an exchange would cost
+        # more (sf10: 6.5 -> 3.0 s; sf0.1 it would LOSE 0.2 s).
         return DD.token_window_boilerplate(
             tok, window=8, max_doc_freq=2
+        ).orderBy("doc_id")
+    if tok is not None:
+        # small corpus, projection available: classic broadcast-anti
+        # shape (fewest job floors) over the materialized tokens
+        return DD.line_dedup(
+            tok.select("doc_id", "toks"),
+            max_doc_freq=2,
+            segmenter=TX.chunk_tokens_builtin(F.col("toks"), 8),
+            inplace_reassembly=False,
         ).orderBy("doc_id")
     d = _t(spark, sf, "documents")
     return DD.line_dedup(
@@ -970,8 +983,13 @@ def _text_lm_score(spark, sf):
     broadcast unigram/vocab join — documents never shuffle."""
     tok = _t_proj(spark, sf, "documents", "tokens")
     if tok is not None:
+        # corpus-size gate mirrors dedup_boilerplate's: the hash-
+        # broadcast path adds a vocab-count job + two broadcasts whose
+        # floors only pay off at scale (sf10 6.3 -> 2.3 s; sf0.1 it
+        # would lose ~0.1 s to the windowed shape)
+        limit = 4_000_000 if _docs_big(sf) else 0
         return (
-            LM.bigram_lm_score(tok, tokens_col="ltoks")
+            LM.bigram_lm_score(tok, tokens_col="ltoks", bigram_broadcast_limit=limit)
             .select("doc_id", F.round(F.col("lm_score"), 3).alias("lm_score"))
             .orderBy("doc_id")
         )

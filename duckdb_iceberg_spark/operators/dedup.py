@@ -505,6 +505,7 @@ def line_dedup(
     segmenter=None,
     joiner: str = " ",
     broadcast_common: bool = True,
+    inplace_reassembly: bool = True,
 ) -> DataFrame:
     """Corpus-level boilerplate removal (the CCNet / RefinedWeb line
     dedup step): segment every document, count each normalized
@@ -534,6 +535,11 @@ def line_dedup(
     path if a pathological corpus inflates those sets past broadcast
     range (it also avoids the xxhash64 segment-digest collapse, the
     same digest the substring_span_stats operator uses).
+    ``inplace_reassembly=False`` keeps the broadcast anti join but
+    reassembles via the classic segment shuffle — fewer fixed job
+    floors (no persist fill / removal-set broadcasts), the right
+    trade on SMALL corpora where shuffling the text is cheaper than
+    ~0.3 s of extra job floors.
     """
     if segmenter is None:
         lines = F.split(F.col(text_col), r"\n")
@@ -550,7 +556,7 @@ def line_dedup(
         from ..functions.text import bind_once
 
         segmenter = bind_once(lines, _seg)
-    if broadcast_common:
+    if broadcast_common and inplace_reassembly:
         # Document text NEVER shuffles on this path. Segment identity
         # collapses to an xxhash64 digest of the normalized segment
         # (16-byte shuffle rows — the dedup_span_stats digest
@@ -618,6 +624,11 @@ def line_dedup(
         .where(F.col("__df") > max_doc_freq)
         .select("__k")
     )
+    if broadcast_common:
+        # classic shape (r7): broadcast anti join + shuffle reassembly
+        # — fewer fixed job floors, wins on small corpora where the
+        # text shuffle is cheap (see inplace_reassembly docstring note)
+        common = F.broadcast(common)
     kept = segs.join(common, norm == common["__k"], "left_anti")
     reassembled = kept.groupBy(key_col).agg(
         F.array_join(

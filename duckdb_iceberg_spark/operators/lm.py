@@ -183,8 +183,9 @@ def bigram_lm_score(
         # column it is pure interpreted-lambda overhead (measured at
         # sf10: 1.7 s -> 0.5 s for the pair construction alone)
         pairs_col = _pairs(t) if tokens_col else bind_once(t, _pairs)
-        v = c1.count()
-        if v * v <= bigram_broadcast_limit:
+        # limit 0 disables the gate WITHOUT paying the vocab-count job
+        v = c1.count() if bigram_broadcast_limit > 0 else 0
+        if bigram_broadcast_limit > 0 and v * v <= bigram_broadcast_limit:
             inst = df.select(
                 F.col(key_col), F.explode(pairs_col).alias("p")
             ).select(
