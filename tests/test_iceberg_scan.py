@@ -314,3 +314,38 @@ def test_foreign_writer_eq_delete_table(spark, tmp_path):
         for r in arrow.collect()
     )
     assert got_arrow == got
+
+
+def test_foreign_table_where_prunes_and_filters_exactly(spark, tmp_path):
+    """`where=` over the foreign-written mixed-spec table: rows are
+    exactly the filtered full scan, AND file pruning engages against
+    the foreign manifests — identity-partition values on the spec-1
+    entries and Appendix-D bounds on every entry (only the matching
+    brand's spec-1 files plus the unpruneable spec-0 file survive)."""
+    from duckdb_iceberg_spark.plans.foreign_fixture import write_foreign_table
+    from duckdb_iceberg_spark.plans.manifests import load_table_scan
+    from duckdb_iceberg_spark.plans.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.iceberg import (
+        _predicate_to_pruners,
+        _prune_by_partition,
+        _prune_by_stats,
+    )
+
+    path = str(tmp_path / "t")
+    write_foreign_table("/root/testdata/sf0.01/part.parquet", path)
+    pred = "p_brand = 'Brand#11' AND p_partkey < 500"
+    full = iceberg_scan(spark, path, unsafe_enable_version_guessing=True)
+    pruned = iceberg_scan(
+        spark, path, unsafe_enable_version_guessing=True, where=pred
+    )
+    got = sorted(map(tuple, pruned.collect()))
+    want = sorted(map(tuple, full.filter(pred).collect()))
+    assert got == want and len(got) > 0
+    # file-level: the pruners keep strictly fewer data files
+    meta = load_table_metadata(path, unsafe_enable_version_guessing=True)
+    scan = load_table_scan(meta, meta.latest_snapshot(), path)
+    entries = scan.data_files()
+    stats_f, part_f, _checks = _predicate_to_pruners(meta, pred)
+    kept = _prune_by_stats(meta, entries, stats_f)
+    kept = _prune_by_partition(meta, kept, part_f, strict=False)
+    assert len(kept) < len(entries) // 4, (len(kept), len(entries))
