@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _dedup_keep_best,
         "dedup_boilerplate": _dedup_boilerplate,
         "text_lm_score": _text_lm_score,
+        "text_lm_xcorpus": _text_lm_xcorpus,
         "contamination": _contamination,
         "sim_topk": _sim_topk,
         "sim_quantized": _sim_quantized,
@@ -401,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
         "dedup_boilerplate": _DEDUP_BOILERPLATE_SQL,
         "text_lm_score": _TEXT_LM_SCORE_SQL,
+        "text_lm_xcorpus": _TEXT_LM_XCORPUS_SQL,
         "sim_topk": _SIM_TOPK_SQL,
         "sim_quantized": _SIM_QUANT_SQL,
         "sim_neardup": _SIM_NEARDUP_SQL,

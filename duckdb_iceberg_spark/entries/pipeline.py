@@ -1001,6 +1001,49 @@ def _text_lm_score(spark, sf):
     )
 
 
+def _text_lm_xcorpus(spark, sf):
+    """CROSS-corpus LM scoring (the KenLM-style curation signal in its
+    standard form): train the bigram model on a clean reference corpus
+    (every 97th doc) and score the target docs against it — OOV
+    bigrams score the smoothing floor instead of vanishing. Exercises
+    bigram_lm_score's external-``counts`` path, which the self-trained
+    entry never touches."""
+    d = _t(spark, sf, "documents")
+    ref = d.filter(F.col("doc_id") % 97 == 0)
+    counts = LM.bigram_counts(ref)
+    return (
+        LM.bigram_lm_score(d.filter(F.col("doc_id") < 500), counts=counts)
+        .select("doc_id", F.round(F.col("lm_score"), 3).alias("lm_score"))
+        .orderBy("doc_id")
+    )
+
+
+_TEXT_LM_XCORPUS_SQL = r"""
+WITH rt AS (
+  SELECT regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS t
+  FROM documents WHERE doc_id % 97 = 0),
+rbg AS (
+  SELECT t[s.i] || ' ' || t[s.i + 1] AS bg
+  FROM rt, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s),
+c12 AS (SELECT bg, COUNT(*) AS c12 FROM rbg GROUP BY bg),
+runi AS (SELECT unnest(t) AS w FROM rt),
+c1 AS (SELECT w, COUNT(*) AS c1 FROM runi GROUP BY w),
+v AS (SELECT COUNT(*) AS v FROM c1),
+tt AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS t
+  FROM documents WHERE doc_id < 500),
+tbg AS (
+  SELECT doc_id, t[s.i] || ' ' || t[s.i + 1] AS bg
+  FROM tt, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s)
+SELECT doc_id,
+  ROUND(AVG(LN((COALESCE(c12.c12, 0) + 0.5) / (COALESCE(c1.c1, 0) + 0.5 * v.v))), 3) AS lm_score
+FROM tbg LEFT JOIN c12 USING (bg)
+LEFT JOIN c1 ON split_part(tbg.bg, ' ', 1) = c1.w
+CROSS JOIN v
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _TEXT_LM_SCORE_SQL = r"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS toks
