@@ -103,7 +103,16 @@ SELECT doc_id, {TX.rolling_hash_sql('text')} AS rh FROM documents
 def _pack_sequences(spark, sf):
     """Token-budget shard assignment per language (sequence packing
     for training shards): one stratified window, no UDF."""
-    d = _t(spark, sf, "documents").withColumn("n_tokens", TX.token_count(F.col("text")))
+    # n_tokens comes from the ingest-time counter when the token
+    # projection is maintained (same expression, computed once); the
+    # lang stratum still reads the base table, joined by doc_id —
+    # cheaper than re-running the regex kernel over all text
+    tok = _t_proj(spark, sf, "documents", "tokens")
+    base = _t(spark, sf, "documents").select("doc_id", "lang")
+    if tok is not None and "n_ws_tokens" in tok.columns:
+        d = base.join(tok.select("doc_id", F.col("n_ws_tokens").alias("n_tokens")), "doc_id")
+    else:
+        d = _t(spark, sf, "documents").withColumn("n_tokens", TX.token_count(F.col("text")))
     packed = PK.pack_sequences(d, "n_tokens", "doc_id", budget=2048, strata=["lang"])
     return (
         packed.groupBy("lang", "shard_id")
