@@ -253,7 +253,7 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
         # like every rollup here they are computed ONCE at ingest by
         # the same expressions the raw path uses, so routed queries
         # stay value-identical by construction.
-        loc = os.path.join(base, f"{sfx}_doc_tokens_{stamp}_s{n_files}v2")
+        loc = os.path.join(base, f"{sfx}_doc_tokens_{stamp}_s{n_files}v3")
         if not spark.catalog.tableExists(tbl):
             if not os.path.exists(os.path.join(loc, "_SUCCESS")):
                 d = spark.read.parquet(doc_src)
@@ -265,6 +265,7 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
                     TX.regex_token_count(F.col("text")).alias("n_re_tokens"),
                     TX.stopword_count(F.col("text")).alias("n_stopwords"),
                     TX.punct_count(F.col("text")).alias("n_punct"),
+                    F.length(F.col("text")).alias("n_chars"),
                 ).repartition(n_files).write.mode("overwrite").parquet(loc)
             id_type = next(
                 f.dataType.simpleString()
@@ -274,7 +275,7 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
             spark.sql(
                 f"CREATE TABLE {tbl} (`doc_id` {id_type}, `toks` array<string>, "
                 "`ltoks` array<string>, `n_ws_tokens` int, `n_re_tokens` int, "
-                f"`n_stopwords` int, `n_punct` int) USING PARQUET LOCATION '{loc}'"
+                f"`n_stopwords` int, `n_punct` int, `n_chars` int) USING PARQUET LOCATION '{loc}'"
             )
             spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS NOSCAN")
         _BUCKETED_OVERLAY[(key_dir, "documents@tokens")] = tbl

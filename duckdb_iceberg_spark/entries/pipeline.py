@@ -57,6 +57,17 @@ FROM documents
 
 
 def _text_quality(spark, sf):
+    tok = _t_proj(spark, sf, "documents", "tokens")
+    if tok is not None and "n_chars" in tok.columns:
+        # all four counters maintained at ingest; the query is pure
+        # integer arithmetic over a 5-column scan
+        return tok.select(
+            "doc_id",
+            TX.quality_score_from_stats(
+                F.col("n_ws_tokens"), F.col("n_chars"),
+                F.col("n_stopwords"), F.col("n_punct"),
+            ).alias("quality"),
+        )
     d = _t(spark, sf, "documents")
     return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
 

@@ -88,10 +88,19 @@ def punct_count(col) -> Column:
 def quality_score(col) -> Column:
     """Heuristic document quality in [0,1]: favors mid-length docs with
     low punctuation density and a natural stopword ratio."""
-    n_tok = token_count(col).cast("double")
-    n_char = F.length(col).cast("double")
-    stop_ratio = stopword_count(col) / F.greatest(n_tok, F.lit(1.0))
-    punct_ratio = punct_count(col) / F.greatest(n_char, F.lit(1.0))
+    return quality_score_from_stats(
+        token_count(col), F.length(col), stopword_count(col), punct_count(col)
+    )
+
+
+def quality_score_from_stats(n_tok, n_char, n_stop, n_punct) -> Column:
+    """:func:`quality_score` over ALREADY-computed counters (the token
+    projection's ingest-time stats) — value-identical by construction
+    since quality_score delegates here with the raw expressions."""
+    n_tok = n_tok.cast("double")
+    n_char = n_char.cast("double")
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1.0))
+    punct_ratio = n_punct / F.greatest(n_char, F.lit(1.0))
     len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
     raw = (
         F.lit(0.4) * len_score
