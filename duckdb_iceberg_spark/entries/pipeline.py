@@ -402,13 +402,33 @@ def _curate_pipeline(spark, sf):
     near-normalized dedup -> per-language corpus stats. The composite
     of the text-analysis and dedup stages a 100 TB curation run
     chains; everything stays JVM-side, dedup is one hash shuffle."""
-    d = _t(spark, sf, "documents").select(
-        "doc_id",
-        "lang",
-        TX.token_count(F.col("text")).alias("n_tokens"),
-        TX.quality_score(F.col("text")).alias("quality"),
-        TX.fingerprint(F.col("text")).alias("fp"),
-    )
+    tok = _t_proj(spark, sf, "documents", "tokens")
+    if tok is not None and "n_chars" in tok.columns:
+        # counters + quality from the ingest-time stats; only the
+        # md5 fingerprint still reads text (not a maintained stat)
+        d = (
+            _t(spark, sf, "documents")
+            .select("doc_id", "lang", TX.fingerprint(F.col("text")).alias("fp"))
+            .join(
+                tok.select(
+                    "doc_id",
+                    F.col("n_ws_tokens").alias("n_tokens"),
+                    TX.quality_score_from_stats(
+                        F.col("n_ws_tokens"), F.col("n_chars"),
+                        F.col("n_stopwords"), F.col("n_punct"),
+                    ).alias("quality"),
+                ),
+                "doc_id",
+            )
+        )
+    else:
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            "lang",
+            TX.token_count(F.col("text")).alias("n_tokens"),
+            TX.quality_score(F.col("text")).alias("quality"),
+            TX.fingerprint(F.col("text")).alias("fp"),
+        )
     q = d.filter((F.col("quality") > 0.5) & (F.col("lang") != "und"))
     keep = q.withColumn(
         "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
@@ -615,7 +635,14 @@ def _sample_token_budget(spark, sf):
     pays); output is budget-bounded, independent of corpus size."""
     budget = 3_000
     d = _t(spark, sf, "documents")
-    toks = d.select("doc_id", "lang", TX.token_count(F.col("text")).cast("bigint").alias("toks"))
+    tokp = _t_proj(spark, sf, "documents", "tokens")
+    if tokp is not None and "n_ws_tokens" in tokp.columns:
+        toks = d.select("doc_id", "lang").join(
+            tokp.select("doc_id", F.col("n_ws_tokens").cast("bigint").alias("toks")),
+            "doc_id",
+        )
+    else:
+        toks = d.select("doc_id", "lang", TX.token_count(F.col("text")).cast("bigint").alias("toks"))
     order = F.md5(F.concat_ws(":", F.lit("7"), F.col("doc_id").cast("string")))
     w = (
         Window.partitionBy("lang")
