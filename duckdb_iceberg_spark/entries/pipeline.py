@@ -114,16 +114,12 @@ SELECT doc_id, {TX.rolling_hash_sql('text')} AS rh FROM documents
 def _pack_sequences(spark, sf):
     """Token-budget shard assignment per language (sequence packing
     for training shards): one stratified window, no UDF."""
-    # n_tokens comes from the ingest-time counter when the token
-    # projection is maintained (same expression, computed once); the
-    # lang stratum still reads the base table, joined by doc_id —
-    # cheaper than re-running the regex kernel over all text
-    tok = _t_proj(spark, sf, "documents", "tokens")
-    base = _t(spark, sf, "documents").select("doc_id", "lang")
-    if tok is not None and "n_ws_tokens" in tok.columns:
-        d = base.join(tok.select("doc_id", F.col("n_ws_tokens").alias("n_tokens")), "doc_id")
-    else:
-        d = _t(spark, sf, "documents").withColumn("n_tokens", TX.token_count(F.col("text")))
+    # measured: joining the ingest-time counter in by doc_id costs
+    # MORE than the single inline regex here (the join adds exchanges
+    # on both sides, while the lang-window shuffle happens regardless;
+    # sf10: 0.90 s inline vs ~1.1-1.3 s joined) — the projection pays
+    # off only where it REPLACES kernels without adding a join
+    d = _t(spark, sf, "documents").withColumn("n_tokens", TX.token_count(F.col("text")))
     packed = PK.pack_sequences(d, "n_tokens", "doc_id", budget=2048, strata=["lang"])
     return (
         packed.groupBy("lang", "shard_id")
@@ -635,14 +631,10 @@ def _sample_token_budget(spark, sf):
     pays); output is budget-bounded, independent of corpus size."""
     budget = 3_000
     d = _t(spark, sf, "documents")
-    tokp = _t_proj(spark, sf, "documents", "tokens")
-    if tokp is not None and "n_ws_tokens" in tokp.columns:
-        toks = d.select("doc_id", "lang").join(
-            tokp.select("doc_id", F.col("n_ws_tokens").cast("bigint").alias("toks")),
-            "doc_id",
-        )
-    else:
-        toks = d.select("doc_id", "lang", TX.token_count(F.col("text")).cast("bigint").alias("toks"))
+    # single inline regex beats joining the ingest counter in (see the
+    # measured note in _pack_sequences — a join only pays when it
+    # replaces several kernels at once, as in _curate_pipeline)
+    toks = d.select("doc_id", "lang", TX.token_count(F.col("text")).cast("bigint").alias("toks"))
     order = F.md5(F.concat_ws(":", F.lit("7"), F.col("doc_id").cast("string")))
     w = (
         Window.partitionBy("lang")
