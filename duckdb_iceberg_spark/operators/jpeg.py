@@ -486,14 +486,22 @@ def _ac_refine_tokens(blocks, Ss, Se, Al):
     return toks
 
 
-def encode_jpeg_progressive(pixels, quality: int = 90) -> bytes:
+def encode_jpeg_progressive(
+    pixels, quality: int = 90, restart_interval: int | None = None
+) -> bytes:
     """Encode as a PROGRESSIVE 4:4:4 JFIF JPEG (SOF2) carrying the
     SAME quantized coefficients as :func:`encode_jpeg`, via a
     libjpeg-style scan script: interleaved DC (Al=1) → DC refine →
     per-component AC bands 1-5 / 6-63 (Al=1) → AC refines (Al=0).
     Decoding this stream and the baseline stream of the same input
     yields bit-identical pixels — the cross-validation used by the
-    tests."""
+    tests.
+
+    ``restart_interval``: emit a DRI segment and RSTn markers every N
+    MCUs in every scan (T.81: DC predictors and EOB runs must not
+    cross a restart boundary, and each interval's entropy data is
+    byte-aligned) — exercises the decoder's progressive restart
+    machinery with spec-valid streams."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = np.repeat(px[:, :, None], 3, axis=2)
@@ -507,60 +515,89 @@ def encode_jpeg_progressive(pixels, quality: int = 90) -> bytes:
     zz = [_fdct_quant(p, q) for p, q in zip((ycc[..., 0], ycc[..., 1], ycc[..., 2]), (qy, qc, qc))]
     nby, nbx = zz[0].shape[:2]
     flat = [z.reshape(-1, 64) for z in zz]  # MCU order == block order (4:4:4)
+    n_mcu = nby * nbx
+    ri = restart_interval
+
+    def mcu_intervals():
+        if not ri:
+            return [range(n_mcu)]
+        return [range(i, min(i + ri, n_mcu)) for i in range(0, n_mcu, ri)]
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
-    def entropy_scan(toks, comps_spec, ss, se, ah, al, tbl_class) -> bytes:
-        """DHT (fixed-length canonical over used symbols) + SOS + data."""
-        syms = {t[1] for t in toks if t[0] == "sym"}
+    def entropy_scan(tok_intervals, comps_spec, ss, se, ah, al, tbl_class) -> bytes:
+        """DHT (fixed-length canonical over used symbols) + SOS +
+        per-interval byte-aligned entropy data joined by RSTn."""
+        syms = {t[1] for toks in tok_intervals for t in toks if t[0] == "sym"}
         bits, vals, enc = _fixed_table(syms or {0x00})
-        bw = _BitWriter()
-        for t in toks:
-            if t[0] == "sym":
-                code, length = enc[t[1]]
-                bw.put(code, length)
-            else:
-                bw.put(t[1], t[2])
+        data = bytearray()
+        for i, toks in enumerate(tok_intervals):
+            bw = _BitWriter()
+            for t in toks:
+                if t[0] == "sym":
+                    code, length = enc[t[1]]
+                    bw.put(code, length)
+                else:
+                    bw.put(t[1], t[2])
+            data += bw.flush()
+            if i < len(tok_intervals) - 1:
+                data += bytes([0xFF, 0xD0 + (i % 8)])
         out = seg(0xC4, bytes([tbl_class << 4]) + bytes(bits) + bytes(vals))
         sos = bytes([len(comps_spec)])
         for cid in comps_spec:
             sos += bytes([cid, 0x00])  # table 0 for both classes
         sos += bytes([ss, se, (ah << 4) | al])
-        return out + seg(0xDA, sos) + bw.flush()
+        return out + seg(0xDA, sos) + bytes(data)
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for tid, q in ((0, qy), (1, qc)):
         out += seg(0xDB, bytes([tid]) + bytes(int(q[r, c]) for r, c in _ZZ))
+    if ri:
+        out += seg(0xDD, struct.pack(">H", ri))
     comp = b"".join(bytes([cid, 0x11, tq]) for cid, tq in ((1, 0), (2, 1), (3, 1)))
     out += seg(0xC2, struct.pack(">BHHB", 8, h, w, 3) + comp)  # SOF2
 
-    # scan 1: DC first, interleaved, Al=1 (diffs in the >>1 domain)
-    toks: list = []
-    preds = [0, 0, 0]
-    for b in range(nby * nbx):
-        for ci in range(3):
-            dc = int(flat[ci][b, 0]) >> 1  # arithmetic shift, like the decoder's << 1
-            diff = dc - preds[ci]
-            preds[ci] = dc
-            s = _category(diff)
-            toks.append(("sym", s))
-            toks.append(("bits", diff if diff >= 0 else diff + (1 << s) - 1, s))
-    out += entropy_scan(toks, [1, 2, 3], 0, 0, 0, 1, 0)
+    # scan 1: DC first, interleaved, Al=1 (diffs in the >>1 domain;
+    # predictors reset per restart interval)
+    dc_ints = []
+    for blocks in mcu_intervals():
+        toks: list = []
+        preds = [0, 0, 0]
+        for b in blocks:
+            for ci in range(3):
+                dc = int(flat[ci][b, 0]) >> 1  # arithmetic shift, like the decoder's << 1
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                s = _category(diff)
+                toks.append(("sym", s))
+                toks.append(("bits", diff if diff >= 0 else diff + (1 << s) - 1, s))
+        dc_ints.append(toks)
+    out += entropy_scan(dc_ints, [1, 2, 3], 0, 0, 0, 1, 0)
     # scan 2: DC refine (raw bit0 per block, no Huffman symbols)
-    toks = []
-    for b in range(nby * nbx):
-        for ci in range(3):
-            toks.append(("bits", int(flat[ci][b, 0]) & 1, 1))
-    out += entropy_scan(toks, [1, 2, 3], 0, 0, 1, 0, 0)
+    out += entropy_scan(
+        [
+            [("bits", int(flat[ci][b, 0]) & 1, 1) for b in blocks for ci in range(3)]
+            for blocks in mcu_intervals()
+        ],
+        [1, 2, 3], 0, 0, 1, 0, 0,
+    )
     # per-component AC scans: two spectral bands at Al=1, then refines
+    # (non-interleaved: one block per MCU; EOB runs cannot cross a
+    # restart boundary, which per-interval token generation guarantees)
     for ci, cid in ((0, 1), (1, 2), (2, 3)):
         for ss, se in ((1, 5), (6, 63)):
-            out += entropy_scan(_ac_first_tokens(flat[ci], ss, se, 1), [cid], ss, se, 0, 1, 1)
+            out += entropy_scan(
+                [_ac_first_tokens(flat[ci][list(blocks)], ss, se, 1) for blocks in mcu_intervals()],
+                [cid], ss, se, 0, 1, 1,
+            )
     for ci, cid in ((0, 1), (1, 2), (2, 3)):
         for ss, se in ((1, 5), (6, 63)):
-            out += entropy_scan(_ac_refine_tokens(flat[ci], ss, se, 0), [cid], ss, se, 1, 0, 1)
+            out += entropy_scan(
+                [_ac_refine_tokens(flat[ci][list(blocks)], ss, se, 0) for blocks in mcu_intervals()],
+                [cid], ss, se, 1, 0, 1,
+            )
     out += b"\xff\xd9"
     return bytes(out)
 

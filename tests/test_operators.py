@@ -1286,3 +1286,28 @@ def test_jpeg_decodes_third_party_files():
         import pytest
 
         pytest.skip("no third-party JPEG present in this container")
+
+
+def test_jpeg_progressive_restart_intervals():
+    """Progressive streams WITH restart markers (DRI + RSTn every N
+    MCUs, DC predictors reset and EOB runs fenced per interval) decode
+    bit-identically to the baseline — the decoder's progressive
+    restart machinery against spec-valid streams, including interval
+    sizes that split every block apart (ri=1) and exceed the MCU
+    count (ri=100)."""
+    import numpy as np
+
+    from duckdb_iceberg_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(11)
+    for shape in [(48, 64, 3), (17, 9, 3), (8, 8, 3)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, 80))
+        for ri in (1, 3, 7, 100):
+            payload = encode_jpeg_progressive(img, 80, restart_interval=ri)
+            assert b"\xff\xdd" in payload  # DRI present
+            assert np.array_equal(base, decode_jpeg(payload)), (shape, ri)
