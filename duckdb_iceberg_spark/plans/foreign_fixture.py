@@ -233,10 +233,20 @@ def _data_entry(cols, fpath, size_bytes, *, seq, snap_id, partition=None, eq_ids
     }
 
 
-def write_foreign_table(part_parquet: str, table_path: str) -> dict:
+def write_foreign_table(
+    part_parquet: str, table_path: str, *, extra_eq_delete_files: int = 0
+) -> dict:
     """Build the fixture table at ``table_path`` from the testdata
     ``part`` parquet. Returns a summary dict (counts per commit) so
-    tests can sanity-check the construction itself."""
+    tests can sanity-check the construction itself.
+
+    ``extra_eq_delete_files`` > 0 additionally writes that many
+    SINGLE-ROW equality-delete files (all ``eq_ids=[1]``, one
+    p_partkey each, taken from commit 1's keys) into the same seq-3
+    delete commit — the shape a long-lived MoR table converges to
+    (one tiny delete file per upsert batch). Used by the plan test
+    that asserts delete application stays ONE anti-join per
+    equality_ids group no matter how many files carry it."""
     import duckdb
 
     con = duckdb.connect()
@@ -358,11 +368,20 @@ def write_foreign_table(part_parquet: str, table_path: str) -> dict:
     _, dsz1 = _write_parquet(d1, {"p_size": DELETE_SIZES})
     d2 = os.path.join(data_dir, f"00002-1-{uuid.uuid4().hex}-deletes-00002.parquet")
     _, dsz2 = _write_parquet(d2, {"p_brand": [DELETE_BRAND]})
+    delete_entries = [
+        _data_entry({"p_size": DELETE_SIZES}, d1, dsz1, seq=None, snap_id=1003, eq_ids=[3], content=2),
+        _data_entry({"p_brand": [DELETE_BRAND]}, d2, dsz2, seq=None, snap_id=1003, eq_ids=[2], content=2),
+    ]
+    extra_keys = a["p_partkey"][:extra_eq_delete_files]
+    for i, k in enumerate(extra_keys):
+        dk = os.path.join(data_dir, f"00002-{i + 2}-{uuid.uuid4().hex}-deletes-{i + 3:05d}.parquet")
+        _, dksz = _write_parquet(dk, {"p_partkey": [k]})
+        delete_entries.append(
+            _data_entry({"p_partkey": [k]}, dk, dksz, seq=None, snap_id=1003, eq_ids=[1], content=2)
+        )
+    summary["extra_eq_delete_keys"] = extra_keys
     add_manifest(
-        [
-            _data_entry({"p_size": DELETE_SIZES}, d1, dsz1, seq=None, snap_id=1003, eq_ids=[3], content=2),
-            _data_entry({"p_brand": [DELETE_BRAND]}, d2, dsz2, seq=None, snap_id=1003, eq_ids=[2], content=2),
-        ],
+        delete_entries,
         spec_id=0, content=1, seq=3, snap_id=1003, partition_fields=[],
     )
     commit(3, 1003, "overwrite")

@@ -760,6 +760,12 @@ def _prune_by_stats(meta: TableMetadata, entries, flt: dict):
     return out
 
 
+# Per-equality_ids-group broadcast cap for delete-side tables (compressed
+# on-disk bytes from the manifests). Matches the session's 32 MiB
+# autoBroadcastJoinThreshold; above it the anti-join shuffles instead.
+_EQ_DELETE_BROADCAST_BYTES = 32 * 1024 * 1024
+
+
 def _apply_equality_deletes(
     spark: SparkSession,
     df: DataFrame,
@@ -774,7 +780,17 @@ def _apply_equality_deletes(
     Deliberate improvement over the reference, which treats every
     delete file as positional (iceberg_scan.cpp:167-169) and would
     read equality-delete tables incorrectly (SURVEY.md §2A 'absent').
-    """
+
+    Batched for scale (r8 VERDICT #2): all delete files sharing one
+    ``equality_ids`` set are read in a SINGLE union scan, their
+    per-file sequence numbers re-attached via ``_metadata.file_path``,
+    reduced to ``max(seq)`` per key (a row dies iff ANY matching
+    delete has a larger seq ⟺ the max does), and applied with ONE
+    anti-join — so plan size is O(distinct equality_ids sets), not
+    O(delete files), and a MoR table carrying thousands of
+    equality-delete files doesn't blow up the analyzer. The broadcast
+    is size-gated on the manifests' recorded file sizes; an oversized
+    group falls back to a shuffled null-safe-equi anti-join."""
     id_to_name = {c.field_id: c.name for c in schema.columns}
     # data-file -> sequence number lookup (tiny; broadcast)
     seq_rows = [(e.file_path, e.sequence_number or 0) for e in scan.data_files()]
@@ -792,15 +808,31 @@ def _apply_equality_deletes(
         cols = [id_to_name[i] for i in eq_ids if i in id_to_name]
         if not cols:
             continue
-        for e in entries:
-            dels = spark.read.parquet(e.file_path).select(*cols).dropDuplicates()
-            renamed = dels.select(*[F.col(c).alias(f"___eq_{c}") for c in cols])
-            cond = None
-            for c in cols:
-                clause = df[c].eqNullSafe(renamed[f"___eq_{c}"])
-                cond = clause if cond is None else (cond & clause)
-            cond = cond & (df["___data_seq"] < F.lit(e.sequence_number or 0))
-            df = df.join(F.broadcast(renamed), cond, "left_anti")
+        # one union read; per-file seq rejoined on the decoded
+        # _metadata URI (raw-vs-raw, same rule as the positional path)
+        dseq_rows = [(e.file_path, e.sequence_number or 0) for e in entries]
+        dseq_df = spark.createDataFrame(dseq_rows, "___del_path string, ___del_seq long")
+        dels = spark.read.parquet(*[e.file_path for e in entries]).select(
+            *cols, _decode_file_uri(F.col("_metadata.file_path")).alias("___dfile")
+        )
+        dels = dels.join(
+            F.broadcast(dseq_df),
+            _norm_path(dels["___dfile"]) == _norm_path(dseq_df["___del_path"]),
+            "inner",
+        ).drop("___del_path", "___dfile")
+        dels = dels.groupBy(*cols).agg(F.max("___del_seq").alias("___del_seq"))
+        renamed = dels.select(
+            *[F.col(c).alias(f"___eq_{c}") for c in cols], "___del_seq"
+        )
+        total_bytes = sum(e.file_size_in_bytes or 0 for e in entries)
+        if total_bytes <= _EQ_DELETE_BROADCAST_BYTES:
+            renamed = F.broadcast(renamed)
+        cond = None
+        for c in cols:
+            clause = df[c].eqNullSafe(renamed[f"___eq_{c}"])
+            cond = clause if cond is None else (cond & clause)
+        cond = cond & (df["___data_seq"] < renamed["___del_seq"])
+        df = df.join(renamed, cond, "left_anti")
     return df.drop("___data_seq")
 
 

@@ -316,6 +316,46 @@ def test_foreign_writer_eq_delete_table(spark, tmp_path):
     assert got_arrow == got
 
 
+def test_eq_delete_join_count_independent_of_file_count(spark, tmp_path):
+    """Batched equality-delete application (r8 VERDICT #2): a table
+    carrying MANY equality-delete files must still plan exactly ONE
+    anti-join per distinct equality_ids group — plan size is
+    O(groups), not O(files) — and the extra single-key delete files
+    must apply with correct sequence scoping (commit-4 rows survive
+    even when their keys appear in the seq-3 deletes)."""
+    import duckdb
+
+    from duckdb_iceberg_spark.plans.foreign_fixture import (
+        DELETE_BRAND,
+        DELETE_SIZES,
+        write_foreign_table,
+    )
+
+    src = "/root/testdata/sf0.001/part.parquet"
+    path = str(tmp_path / "t20")
+    info = write_foreign_table(src, path, extra_eq_delete_files=20)
+    keys = info["extra_eq_delete_keys"]
+    assert len(keys) == 20 and all(k % 3 == 0 for k in keys)
+    df = iceberg_scan(spark, path, unsafe_enable_version_guessing=True)
+    # 3 equality_ids groups ([p_size], [p_brand], [p_partkey]) -> 3
+    # anti-joins, though the keys arrive spread over 22 delete files
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LeftAnti") == 3, plan
+    sizes = ",".join(map(str, DELETE_SIZES))
+    in_keys = ",".join(map(str, keys))
+    got = sorted((r.p_partkey, r.p_brand) for r in df.collect())
+    want = sorted(
+        (int(a), b)
+        for a, b in duckdb.sql(
+            f"""SELECT p_partkey, p_brand FROM read_parquet('{src}')
+            WHERE (p_partkey % 3 = 2)
+               OR (NOT (p_size IN ({sizes}) OR p_brand = '{DELETE_BRAND}')
+                   AND p_partkey NOT IN ({in_keys}))"""
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_foreign_table_where_prunes_and_filters_exactly(spark, tmp_path):
     """`where=` over the foreign-written mixed-spec table: rows are
     exactly the filtered full scan, AND file pruning engages against
