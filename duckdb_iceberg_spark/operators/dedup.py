@@ -540,6 +540,16 @@ def line_dedup(
     floors (no persist fill / removal-set broadcasts), the right
     trade on SMALL corpora where shuffling the text is cheaper than
     ~0.3 s of extra job floors.
+
+    Digest-collision risk of the default path (r8 ADVICE): a segment
+    is wrongly stripped only if its xxhash64 collides with a
+    BOILERPLATE hash — expectation S·B/2^64 for S distinct segments
+    against B boilerplate entries, ≈5e-5 even at S=1e10, B=1e5 (100 TB
+    scale); wrongly COUNTED frequencies need a plain S²/2^65 collision
+    and only matter on the > max_doc_freq boundary. A 128-bit digest
+    would need struct/two-column keys, which measured +3-4 s per
+    exchange at 26M rows (round-8 struct-key finding) — not paid by
+    default. ``broadcast_common=False`` is the exact-string contract.
     """
     if segmenter is None:
         lines = F.split(F.col(text_col), r"\n")

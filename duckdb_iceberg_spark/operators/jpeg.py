@@ -722,7 +722,21 @@ def _decode_prog_scan(data, pos, frame, huff, scomps, ss, se, ah, al, restart, c
     """One progressive scan (T.81 G.2): DC first/refine (interleaved
     allowed), AC first/refine (single component, own block grid, EOB
     runs). Updates ``coefs`` in place; returns the stream position of
-    the next marker."""
+    the next marker.
+
+    An RSTn hit before the DRI-derived MCU/block count (missing or
+    wrong DRI, truncated interval) must surface as ValueError like
+    every other malformed-stream condition — never as the private
+    _RestartBoundary type (r8 ADVICE)."""
+    try:
+        return _decode_prog_scan_body(
+            data, pos, frame, huff, scomps, ss, se, ah, al, restart, coefs
+        )
+    except _RestartBoundary:
+        raise ValueError("unexpected restart marker in progressive scan") from None
+
+
+def _decode_prog_scan_body(data, pos, frame, huff, scomps, ss, se, ah, al, restart, coefs) -> int:
     comps = frame["comps"]
     idx = {c["id"]: i for i, c in enumerate(comps)}
     br = _BitReader(data, pos)

@@ -98,7 +98,7 @@ def bigram_lm_score(
     counts: tuple[DataFrame, DataFrame] | None = None,
     broadcast_unigrams: bool = True,
     tokens_col: str | None = None,
-    bigram_broadcast_limit: int = 4_000_000,
+    bigram_broadcast_limit: int = 0,
 ) -> DataFrame:
     """Score every document by mean smoothed bigram log-probability.
 
@@ -113,6 +113,16 @@ def bigram_lm_score(
     a warehouse materializes it once at ingest, not per query. Must
     equal ``split(trim(lower(text)), '\\s+')`` exactly for result
     parity with the raw path (self-trained path only).
+
+    ``bigram_broadcast_limit``: 0 (default) keeps construction fully
+    LAZY — no Spark job runs until the caller executes the result.
+    A positive limit opts into the small-model specialization: one
+    eager vocab-count job at construction time decides whether
+    vocab² fits under the limit; if it does, both model tables
+    broadcast and documents never shuffle. Opt-in because a library
+    call that silently runs jobs before ``.count()``/``.write`` is a
+    surprise (r8 ADVICE); the entry layer passes 4M when the corpus
+    size gate says the broadcast floors pay off.
     """
     from pyspark.sql import Window
 
@@ -184,8 +194,8 @@ def bigram_lm_score(
         # sf10: 1.7 s -> 0.5 s for the pair construction alone)
         pairs_col = _pairs(t) if tokens_col else bind_once(t, _pairs)
         # limit 0 disables the gate WITHOUT paying the vocab-count job
-        v = c1.count() if bigram_broadcast_limit > 0 else 0
-        if bigram_broadcast_limit > 0 and v * v <= bigram_broadcast_limit:
+        v = c1.count() if bigram_broadcast_limit > 0 else None
+        if v is not None and v * v <= bigram_broadcast_limit:
             inst = df.select(
                 F.col(key_col), F.explode(pairs_col).alias("p")
             ).select(
@@ -221,6 +231,27 @@ def bigram_lm_score(
             .withColumn("c12", F.count("*").over(Window.partitionBy("p")))
             .withColumn("__w1", F.col("p")["0"])
         )
+        if v is not None:
+            # The gate already paid the vocab-count job — reuse the
+            # number as a literal instead of re-aggregating c1 (which
+            # would re-pay the tokenize+distinct pass) and crossJoining
+            # it back in (r8 ADVICE).
+            c1w = c1.select(F.col("w").alias("__w1"), F.col("c1"))
+            if broadcast_unigrams:
+                c1w = F.broadcast(c1w)
+            return (
+                scored.join(c1w, "__w1", "left")
+                .withColumn("c1", F.coalesce(F.col("c1"), F.lit(0)))
+                .groupBy(key_col)
+                .agg(
+                    F.avg(
+                        F.log(
+                            (F.col("c12") + F.lit(alpha))
+                            / (F.col("c1") + F.lit(alpha) * F.lit(float(v)))
+                        )
+                    ).alias("lm_score")
+                )
+            )
     vocab = c1.agg(F.count("*").alias("__v"))
     c1w = c1.select(F.col("w").alias("__w1"), F.col("c1"))
     if broadcast_unigrams:

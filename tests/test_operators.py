@@ -1154,12 +1154,19 @@ def test_bigram_lm_paths_identical(spark):
 
     rows = [(i, f"the cat sat on mat {i % 5} the cat ran") for i in range(40)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    a = {r.doc_id: round(r.lm_score, 9) for r in bigram_lm_score(df).collect()}
-    b = {
+    a = {
         r.doc_id: round(r.lm_score, 9)
-        for r in bigram_lm_score(df, bigram_broadcast_limit=0).collect()
+        for r in bigram_lm_score(df, bigram_broadcast_limit=4_000_000).collect()
     }
-    assert a == b and len(a) == 40
+    # default limit=0 is the lazy window path (no job at construction)
+    b = {r.doc_id: round(r.lm_score, 9) for r in bigram_lm_score(df).collect()}
+    # a gated-but-over-limit model must also match: vocab (11) squared
+    # exceeds limit=1, so the window path runs with the reused literal v
+    c = {
+        r.doc_id: round(r.lm_score, 9)
+        for r in bigram_lm_score(df, bigram_broadcast_limit=1).collect()
+    }
+    assert a == b == c and len(a) == 40
 
 
 def test_bigram_lm_score_hand_computed(spark):
@@ -1311,3 +1318,28 @@ def test_jpeg_progressive_restart_intervals():
             payload = encode_jpeg_progressive(img, 80, restart_interval=ri)
             assert b"\xff\xdd" in payload  # DRI present
             assert np.array_equal(base, decode_jpeg(payload)), (shape, ri)
+
+
+def test_jpeg_progressive_wrong_dri_is_valueerror():
+    """A progressive stream whose RSTn arrives BEFORE the DRI-declared
+    interval (lying/corrupt DRI) must raise ValueError from
+    decode_jpeg directly — not leak the private _RestartBoundary type
+    (r8 ADVICE)."""
+    import numpy as np
+    import pytest
+
+    from duckdb_iceberg_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(12)
+    img = rng.randint(0, 256, (48, 64, 3)).astype(np.uint8)
+    payload = bytearray(encode_jpeg_progressive(img, 80, restart_interval=3))
+    # DRI segment: FF DD 00 04 <hi> <lo> — rewrite interval 3 -> 1000
+    # so every RSTn in the entropy stream now lands "too early"
+    i = payload.index(b"\xff\xdd")
+    assert payload[i + 4 : i + 6] == (3).to_bytes(2, "big")
+    payload[i + 4 : i + 6] = (1000).to_bytes(2, "big")
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload))
