@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_pruned_scan": _iceberg_pruned_scan,
         "iceberg_write_pipeline": _iceberg_write_pipeline,
         "rest_catalog_commit": _rest_catalog_commit,
+        "rest_catalog_listing": _rest_catalog_listing,
         "iceberg_merge_upsert": _iceberg_merge_upsert,
         "iceberg_changelog": _iceberg_changelog,
         "iceberg_wap_branch": _iceberg_wap_branch,
@@ -466,6 +467,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_metadata_entries": _ICEBERG_MD_SQL,
         "iceberg_write_pipeline": _ICEBERG_WP_SQL,
         "rest_catalog_commit": _REST_COMMIT_SQL,
+        "rest_catalog_listing": _REST_LISTING_SQL,
         "iceberg_wap_branch": _ICEBERG_WAP_SQL,
         "streaming_from_iceberg": _ICEBERG_SRC_SQL,
         "iceberg_compaction": _ICEBERG_CP_SQL,

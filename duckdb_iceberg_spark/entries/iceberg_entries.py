@@ -416,6 +416,49 @@ def _rest_catalog_commit(spark, sf):
 _REST_COMMIT_SQL = "SELECT s_suppkey, s_name, s_nationkey FROM supplier"
 
 
+def _rest_catalog_listing(spark, sf):
+    """Catalog ENUMERATION with spec pagination + auth: register one
+    table per region across two namespaces on the local REST server
+    (require_auth — the client's OAuth2 client-credentials exchange is
+    on the path), then drain list_namespaces/list_tables with tiny
+    page sizes so next-page-token is actually followed. The reference
+    exercises only load-by-name (scripts/start-rest-catalog.sh:14-27);
+    real catalogs cap page sizes server-side, so a non-paginating
+    client silently truncates the catalog. Rows = (namespace,
+    table_name) exactly as the catalog returned them."""
+    from duckdb_iceberg_spark.sources.rest_catalog import RestCatalog
+    from duckdb_iceberg_spark.sources.rest_server import LocalRestCatalogServer
+
+    srv = LocalRestCatalogServer(require_auth=True)
+    srv.start()
+    try:
+        cat = RestCatalog(srv.uri, credential="dev:secret")
+        for r in _t(spark, sf, "region").select("r_regionkey", "r_name").collect():
+            ns = "mkt_a" if r.r_regionkey % 2 == 0 else "mkt_b"
+            cat.register_table(
+                ns, r.r_name.lower(), f"/tmp/unused/{r.r_name}/metadata/v1.metadata.json"
+            )
+        rows = [
+            (".".join(ns), t)
+            for ns in cat.list_namespaces(page_size=1)
+            for t in cat.list_tables(".".join(ns), page_size=2)
+        ]
+    finally:
+        srv.stop()
+    return (
+        spark.createDataFrame(rows, "namespace string, table_name string")
+        .orderBy("namespace", "table_name")
+    )
+
+
+_REST_LISTING_SQL = """
+SELECT CASE WHEN r_regionkey % 2 = 0 THEN 'mkt_a' ELSE 'mkt_b' END AS namespace,
+       lower(r_name) AS table_name
+FROM region
+ORDER BY namespace, table_name
+"""
+
+
 def _iceberg_write_pipeline(spark, sf):
     """Native write surface end-to-end: CTAS -> UPDATE-to-NULL ->
     self-INSERT -> DELETE -> ADD COLUMN DEFAULT -> computed UPDATE ->

@@ -216,14 +216,39 @@ class RestCatalog:
         q = f"?warehouse={urllib.parse.quote(self.warehouse)}" if self.warehouse else ""
         return self._get(f"/v1/config{q}")
 
-    def list_namespaces(self) -> list[tuple[str, ...]]:
-        doc = self._get("/v1/namespaces")
-        return [tuple(ns) for ns in doc.get("namespaces", [])]
+    def _paged(self, path: str, query: dict, page_size: Optional[int]) -> list[dict]:
+        """Drain a paginated listing endpoint (Iceberg REST spec:
+        request ``pageToken``/``pageSize``, follow ``next-page-token``
+        until the server omits it). Real catalogs cap page sizes
+        server-side, so a client that reads only the first page
+        silently sees a truncated catalog — the enumeration bug the
+        reference's CI flow (load-by-name only) never hits."""
+        docs = []
+        token: Optional[str] = None
+        while True:
+            q = dict(query)
+            if page_size is not None:
+                q["pageSize"] = str(page_size)
+            if token is not None:
+                q["pageToken"] = token
+            qs = f"?{urllib.parse.urlencode(q)}" if q else ""
+            doc = self._get(f"{path}{qs}")
+            docs.append(doc)
+            token = doc.get("next-page-token")
+            if not token:
+                return docs
 
-    def list_tables(self, namespace: str) -> list[str]:
+    def list_namespaces(
+        self, parent: Optional[str] = None, *, page_size: Optional[int] = None
+    ) -> list[tuple[str, ...]]:
+        q = {"parent": parent} if parent else {}
+        docs = self._paged("/v1/namespaces", q, page_size)
+        return [tuple(ns) for doc in docs for ns in doc.get("namespaces", [])]
+
+    def list_tables(self, namespace: str, *, page_size: Optional[int] = None) -> list[str]:
         ns = urllib.parse.quote(namespace)
-        doc = self._get(f"/v1/namespaces/{ns}/tables")
-        return [t["name"] for t in doc.get("identifiers", [])]
+        docs = self._paged(f"/v1/namespaces/{ns}/tables", {}, page_size)
+        return [t["name"] for doc in docs for t in doc.get("identifiers", [])]
 
     def load_table(self, namespace: str, table: str) -> dict:
         ns = urllib.parse.quote(namespace)

@@ -42,9 +42,14 @@ def _read_metadata(path: str) -> dict:
 class LocalRestCatalogServer:
     """Spin up with ``start()``; ``uri`` gives the base URL."""
 
-    def __init__(self, token: str = "local-dev-token"):
+    def __init__(self, token: str = "local-dev-token", *, require_auth: bool = False):
         self.tables: dict[tuple[str, str], str] = {}  # (ns, table) -> metadata-location
         self.token = token
+        # require_auth: every /v1/* call except the token endpoint must
+        # carry `Authorization: Bearer <token>` or gets 401 — lets
+        # tests drive the client's OAuth2 exchange against a server
+        # that actually rejects anonymous requests.
+        self.require_auth = require_auth
         self._srv: HTTPServer | None = None
 
     # -- commit semantics --------------------------------------------------
@@ -115,13 +120,54 @@ class LocalRestCatalogServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _authed(self) -> bool:
+                if not server.require_auth:
+                    return True
+                return self.headers.get("Authorization") == f"Bearer {server.token}"
+
+            def _page(self, items: list, key: str) -> dict:
+                """Iceberg REST list pagination: pageToken is the
+                offset into the (stable-sorted) full listing; emit
+                next-page-token while more remain. Real catalogs cap
+                pageSize server-side the same way (here: 1000)."""
+                import urllib.parse as _up
+
+                q = _up.parse_qs(_up.urlsplit(self.path).query)
+                size = min(int(q.get("pageSize", ["1000"])[0]), 1000)
+                off = int(q.get("pageToken", ["0"])[0])
+                doc = {key: items[off : off + size]}
+                if off + size < len(items):
+                    doc["next-page-token"] = str(off + size)
+                return doc
+
             def do_GET(self):
                 path = self.path.split("?")[0]
+                if not self._authed():
+                    return self._send(401, {"error": {"message": "unauthorized"}})
                 if path == "/v1/config":
                     return self._send(200, {"defaults": {}, "overrides": {}})
                 if path == "/v1/namespaces":
-                    ns = sorted({k[0] for k in server.tables})
-                    return self._send(200, {"namespaces": [[n] for n in ns] or [["default"]]})
+                    import urllib.parse as _up
+
+                    q = _up.parse_qs(_up.urlsplit(self.path).query)
+                    parent = q.get("parent", [None])[0]
+                    levels = sorted({k[0] for k in server.tables}) or ["default"]
+                    if parent:
+                        # dot-separated multi-level namespaces: children
+                        # exactly one level below `parent`
+                        pfx = parent.split(".")
+                        out = sorted(
+                            {
+                                ".".join(n.split(".")[: len(pfx) + 1])
+                                for n in levels
+                                if n.split(".")[: len(pfx)] == pfx and n != parent
+                            }
+                        )
+                    else:
+                        out = levels
+                    return self._send(
+                        200, self._page([n.split(".") for n in out], "namespaces")
+                    )
                 m = re.fullmatch(r"/v1/namespaces/([^/]+)/tables", path)
                 if m:
                     ns = m.group(1)
@@ -130,7 +176,7 @@ class LocalRestCatalogServer:
                         for (n, t) in sorted(server.tables)
                         if n == ns
                     ]
-                    return self._send(200, {"identifiers": ids})
+                    return self._send(200, self._page(ids, "identifiers"))
                 m = re.fullmatch(r"/v1/namespaces/([^/]+)/tables/([^/]+)", path)
                 if m and (m.group(1), m.group(2)) in server.tables:
                     loc = server.tables[(m.group(1), m.group(2))]
@@ -143,6 +189,8 @@ class LocalRestCatalogServer:
                 raw = self.rfile.read(n) if n else b"{}"
                 if path == "/v1/oauth/tokens":
                     return self._send(200, {"access_token": server.token, "token_type": "bearer"})
+                if not self._authed():
+                    return self._send(401, {"error": {"message": "unauthorized"}})
                 try:
                     body = json.loads(raw.decode("utf-8"))
                 except ValueError:

@@ -266,3 +266,61 @@ def test_sigv4_config_validation():
             aws_secret_access_key="s",
             aws_region="r",
         )
+
+
+def test_rest_listing_pagination_and_parent():
+    """list_namespaces/list_tables drain next-page-token across pages
+    (Iceberg REST spec pagination — real catalogs cap page sizes
+    server-side, so a first-page-only client truncates the catalog),
+    and `parent=` returns children exactly one level down."""
+    from duckdb_iceberg_spark.sources.rest_catalog import RestCatalog
+    from duckdb_iceberg_spark.sources.rest_server import LocalRestCatalogServer
+
+    srv = LocalRestCatalogServer()
+    srv.start()
+    try:
+        cat = RestCatalog(srv.uri)
+        for i in range(7):
+            cat.register_table("ns_a", f"t{i}", f"/tmp/x/t{i}.metadata.json")
+        cat.register_table("ns_b", "solo", "/tmp/x/solo.metadata.json")
+        cat.register_table("ns_a.child1", "c", "/tmp/x/c.metadata.json")
+        cat.register_table("ns_a.child2", "d", "/tmp/x/d.metadata.json")
+        # page_size=2 over 7 tables = 4 pages, all drained in order
+        assert cat.list_tables("ns_a", page_size=2) == [f"t{i}" for i in range(7)]
+        assert cat.list_tables("ns_a", page_size=2) == cat.list_tables("ns_a")
+        names = cat.list_namespaces(page_size=1)
+        assert names == cat.list_namespaces()
+        assert ("ns_b",) in names and ("ns_a",) in names
+        # parent filtering: exactly the one-level-down children
+        kids = cat.list_namespaces(parent="ns_a", page_size=1)
+        assert kids == [("ns_a", "child1"), ("ns_a", "child2")]
+    finally:
+        srv.stop()
+
+
+def test_rest_require_auth_401_and_oauth_path():
+    """With require_auth the server rejects anonymous requests (401)
+    but the client's OAuth2 client-credentials exchange obtains the
+    bearer token and every subsequent call succeeds."""
+    import urllib.error
+
+    import pytest
+
+    from duckdb_iceberg_spark.sources.rest_catalog import RestCatalog
+    from duckdb_iceberg_spark.sources.rest_server import LocalRestCatalogServer
+
+    srv = LocalRestCatalogServer(require_auth=True)
+    srv.start()
+    try:
+        anon = RestCatalog(srv.uri)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            anon.list_namespaces()
+        assert ei.value.code == 401
+        wrong = RestCatalog(srv.uri, token="not-the-token")
+        with pytest.raises(urllib.error.HTTPError):
+            wrong.list_namespaces()
+        cat = RestCatalog(srv.uri, credential="dev:secret")
+        cat.register_table("default", "t", "/tmp/x/t.metadata.json")
+        assert cat.list_tables("default") == ["t"]
+    finally:
+        srv.stop()
