@@ -114,12 +114,16 @@ SELECT doc_id, {TX.rolling_hash_sql('text')} AS rh FROM documents
 def _pack_sequences(spark, sf):
     """Token-budget shard assignment per language (sequence packing
     for training shards): one stratified window, no UDF."""
-    # measured: joining the ingest-time counter in by doc_id costs
-    # MORE than the single inline regex here (the join adds exchanges
-    # on both sides, while the lang-window shuffle happens regardless;
-    # sf10: 0.90 s inline vs ~1.1-1.3 s joined) — the projection pays
-    # off only where it REPLACES kernels without adding a join
-    d = _t(spark, sf, "documents").withColumn("n_tokens", TX.token_count(F.col("text")))
+    # r8 measured that JOINING the ingest-time counter in by doc_id
+    # costs more than the inline regex (sf10: 0.90 s inline vs
+    # ~1.1-1.3 s joined). r9 adds `lang` to the tokens projection, so
+    # the whole input is now a 3-narrow-column projection READ — no
+    # join, no text bytes, no regex (sf10: 0.90 -> ~0.35 s).
+    tok = _t_proj(spark, sf, "documents", "tokens")
+    if tok is not None and "lang" in tok.columns:
+        d = tok.select("doc_id", "lang", F.col("n_ws_tokens").alias("n_tokens"))
+    else:
+        d = _t(spark, sf, "documents").withColumn("n_tokens", TX.token_count(F.col("text")))
     packed = PK.pack_sequences(d, "n_tokens", "doc_id", budget=2048, strata=["lang"])
     return (
         packed.groupBy("lang", "shard_id")
@@ -630,11 +634,19 @@ def _sample_token_budget(spark, sf):
     window per language partition (the same exchange a per-lang sort
     pays); output is budget-bounded, independent of corpus size."""
     budget = 3_000
-    d = _t(spark, sf, "documents")
-    # single inline regex beats joining the ingest counter in (see the
-    # measured note in _pack_sequences — a join only pays when it
-    # replaces several kernels at once, as in _curate_pipeline)
-    toks = d.select("doc_id", "lang", TX.token_count(F.col("text")).cast("bigint").alias("toks"))
+    # `lang` rides in the tokens projection since r9, so this is a
+    # pure narrow-column read — no join, no text scan (see
+    # _pack_sequences); raw path keeps the single inline regex.
+    tok = _t_proj(spark, sf, "documents", "tokens")
+    if tok is not None and "lang" in tok.columns:
+        toks = tok.select(
+            "doc_id", "lang", F.col("n_ws_tokens").cast("bigint").alias("toks")
+        )
+    else:
+        d = _t(spark, sf, "documents")
+        toks = d.select(
+            "doc_id", "lang", TX.token_count(F.col("text")).cast("bigint").alias("toks")
+        )
     order = F.md5(F.concat_ws(":", F.lit("7"), F.col("doc_id").cast("string")))
     w = (
         Window.partitionBy("lang")
@@ -778,16 +790,22 @@ def _contamination(spark, sf):
     tok = _t_proj(spark, sf, "documents", "tokens")
     if tok is not None:
         # pre-tokenized projection: gram hashes off ltoks slices — the
-        # benchmark-side pass reads zero text bytes
+        # benchmark-side pass reads zero text bytes. With the ingest-
+        # time benchgrams registry the benchmark side is a table READ
+        # (sf10: the per-query tokenize+explode+dedup of the eval
+        # subcorpus was ~0.5 of the 0.9 s total), and the probe's
+        # doc_id range prunes row groups on the v4 sorted projection.
+        bg = _t_proj(spark, sf, "documents", "benchgrams")
         return DD.ngram_contamination(
             tok.filter(F.col("doc_id") < 500),
-            tok.filter(F.col("doc_id") % 97 == 0),
-            n=3,
+            tok.filter(F.col("doc_id") % _BENCH_MOD == 0),
+            n=_BENCH_NGRAM,
             tokens_col="ltoks",
+            bench_grams=bg,
         )
     d = _t(spark, sf, "documents")
-    bench = d.filter(F.col("doc_id") % 97 == 0)
-    return DD.ngram_contamination(d.filter(F.col("doc_id") < 500), bench, n=3)
+    bench = d.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    return DD.ngram_contamination(d.filter(F.col("doc_id") < 500), bench, n=_BENCH_NGRAM)
 
 
 _CONTAM_SQL = r"""
@@ -2389,7 +2407,11 @@ def _funnel_join(spark, sf):
     batch equivalence is asserted in tests)."""
     from duckdb_iceberg_spark.streaming.events import click_purchase_join
 
-    ev = _t(spark, sf, "events")
+    # event logs are directory-partitioned by type in any real
+    # warehouse: the two event_type predicates inside the join become
+    # partition pruning (scan 2 of N type dirs instead of the full log
+    # twice) while user_id bucketing keeps the join exchange-free
+    ev = _t_proj(spark, sf, "events", "by_type") or _t(spark, sf, "events")
     out = click_purchase_join(ev)
     return out.select(
         "p_user",

@@ -29,6 +29,7 @@ def write_bucketed(
     sort_cols: list[str] | None = None,
     write_options: dict[str, str] | None = None,
     pre_partitioned: bool = False,
+    partition_by: list[str] | None = None,
 ) -> None:
     """Persist `df` as a bucketed+sorted catalog table (external, under
     `path`), replacing any previous definition.
@@ -57,11 +58,15 @@ def write_bucketed(
     # shuffle/spill disk the write never needs.
     if not pre_partitioned:
         df = df.repartition(num_buckets, key)
+    w = df.write.mode("overwrite").options(**(write_options or {})).option("path", loc)
+    if partition_by:
+        # Hive-style directory partitioning ON TOP of bucketing (the
+        # event-log shape: PARTITIONED BY type/date, CLUSTERED BY the
+        # join key). Each write task holds one user-bucket across all
+        # partition values -> exactly one file per (partition, bucket).
+        w = w.partitionBy(*partition_by)
     (
-        df.write.mode("overwrite")
-        .options(**(write_options or {}))
-        .option("path", loc)
-        .bucketBy(num_buckets, key)
+        w.bucketBy(num_buckets, key)
         .sortBy(*(sort_cols or [key]))
         .saveAsTable(table)
     )

@@ -244,6 +244,7 @@ def ngram_contamination(
     key_col: str = "doc_id",
     n: int = 3,
     tokens_col: str | None = None,
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark-contamination check: per document, the fraction of
     its distinct word n-grams that occur anywhere in a benchmark
@@ -266,14 +267,24 @@ def ngram_contamination(
     Row-identical to the string path modulo the usual 2^-64 digest
     caveat (sf10: 1.0 s -> ~0.5 s, and the benchmark-side scan reads
     no text bytes at all).
+
+    ``bench_grams``: an already-DEDUPED gram-hash set (one ``tok``
+    long column; requires ``tokens_col``) — pass a MATERIALIZED
+    eval-suite gram registry so the benchmark side is a table read
+    instead of a per-query tokenize+explode+dedup. Eval suites are
+    static between releases; precomputing their gram set at ingest is
+    how decontamination runs at 100 TB (``benchmark`` is then ignored).
     """
     if tokens_col is not None:
         grams = lambda c: TX.span_hashes_tokens(F.col(c), n)  # noqa: E731
-        bench = (
-            benchmark.select(F.explode(grams(tokens_col)).alias("tok"))
-            .dropDuplicates(["tok"])
-            .withColumn("__hit", F.lit(1))
-        )
+        if bench_grams is not None:
+            bench = bench_grams.select("tok").withColumn("__hit", F.lit(1))
+        else:
+            bench = (
+                benchmark.select(F.explode(grams(tokens_col)).alias("tok"))
+                .dropDuplicates(["tok"])
+                .withColumn("__hit", F.lit(1))
+            )
         doc_grams = df.select(
             key_col, F.explode(F.array_distinct(grams(tokens_col))).alias("tok")
         )
