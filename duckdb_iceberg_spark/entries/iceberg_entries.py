@@ -606,6 +606,43 @@ WHERE (p_partkey % 3 = 2)
 """
 
 
+def _iceberg_deletion_vectors(spark, sf):
+    """Iceberg V3 deletion vectors (Puffin roaring-bitmap blobs, spec
+    fields 143-145) read alongside a leftover v2 positional-delete
+    parquet — the state of an upgraded table. DV blobs decode
+    EXECUTOR-side (mapInPandas over (path, offset, size) rows) into the
+    same (file_path, pos) anti-join classic deletes use. Beyond the
+    reference entirely: it has no v3 support (and mishandles even v2
+    equality deletes, iceberg_scan.cpp:167-169)."""
+    import tempfile
+
+    from duckdb_iceberg_spark.plans.foreign_fixture import write_dv_table
+
+    path = tempfile.mkdtemp(prefix="ice_dv_") + "/t"
+    write_dv_table(os.path.join(sf, "part.parquet"), path)
+    return iceberg_scan(spark, path).select(
+        "p_partkey", "p_brand", "p_size"
+    ).orderBy("p_partkey")
+
+
+# mirrors write_dv_table: file 0 (%3=0) loses its DELETE_SIZES rows via
+# a DV, file 1 (%3=1) loses its FIRST five row positions (rows are
+# written p_partkey-ascending => the 5 smallest keys), file 2 (%3=2)
+# loses its LAST three positions via a classic positional delete.
+_ICEBERG_DV_SQL = """
+WITH p AS (
+  SELECT p_partkey, p_brand, p_size,
+         ROW_NUMBER() OVER (PARTITION BY p_partkey % 3 ORDER BY p_partkey) AS rn,
+         COUNT(*) OVER (PARTITION BY p_partkey % 3) AS cnt
+  FROM part)
+SELECT p_partkey, p_brand, p_size FROM p
+WHERE NOT (p_partkey % 3 = 0 AND p_size IN (1,2,3,48,49,50))
+  AND NOT (p_partkey % 3 = 1 AND rn <= 5)
+  AND NOT (p_partkey % 3 = 2 AND rn > cnt - 3)
+ORDER BY p_partkey
+"""
+
+
 _SALT_TUNE: dict[str, int] = {}
 
 

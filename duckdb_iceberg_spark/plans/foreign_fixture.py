@@ -107,7 +107,7 @@ def _bounds(cols: dict[str, list]) -> tuple[list, list]:
 # Java-style manifest entry schema: the full optional field set, which
 # is a SUPERSET of what writer.py emits — the reader must decode
 # against this embedded writer schema, not assume its own field list.
-def _entry_schema(partition_fields: list[dict]) -> dict:
+def _entry_schema(partition_fields: list[dict], v3: bool = False) -> dict:
     kv = lambda name, kf, vf, vtype: {  # noqa: E731
         "name": name,
         "type": [
@@ -171,7 +171,17 @@ def _entry_schema(partition_fields: list[dict]) -> dict:
                             "field-id": 135,
                         },
                         {"name": "sort_order_id", "type": ["null", "int"], "default": None, "field-id": 140},
-                    ],
+                    ]
+                    + (
+                        [
+                            # v3 deletion-vector fields (Iceberg spec 143-145)
+                            {"name": "referenced_data_file", "type": ["null", "string"], "default": None, "field-id": 143},
+                            {"name": "content_offset", "type": ["null", "long"], "default": None, "field-id": 144},
+                            {"name": "content_size_in_bytes", "type": ["null", "long"], "default": None, "field-id": 145},
+                        ]
+                        if v3
+                        else []
+                    ),
                 },
             },
         ],
@@ -204,10 +214,14 @@ _MANIFEST_FILE_SCHEMA = {
 }
 
 
-def _data_entry(cols, fpath, size_bytes, *, seq, snap_id, partition=None, eq_ids=None, content=0):
-    lo, hi = _bounds(cols)
-    n = len(next(iter(cols.values())))
-    return {
+def _data_entry(cols, fpath, size_bytes, *, seq, snap_id, partition=None, eq_ids=None, content=0, dv=None, n=None):
+    """``dv``: (referenced_data_file, content_offset, content_size) for
+    a v3 deletion-vector entry (content=1, file_format='puffin');
+    ``n`` overrides record_count (the DV's cardinality)."""
+    lo, hi = _bounds(cols) if cols else ([], [])
+    if n is None:
+        n = len(next(iter(cols.values())))
+    entry = {
         "status": 1,  # ADDED
         "snapshot_id": snap_id,
         "sequence_number": seq,  # None => inherited from manifest list
@@ -215,7 +229,7 @@ def _data_entry(cols, fpath, size_bytes, *, seq, snap_id, partition=None, eq_ids
         "data_file": {
             "content": content,
             "file_path": fpath,
-            "file_format": "PARQUET",
+            "file_format": "PUFFIN" if dv else "PARQUET",
             "partition": partition or {},
             "record_count": n,
             "file_size_in_bytes": size_bytes,
@@ -226,11 +240,18 @@ def _data_entry(cols, fpath, size_bytes, *, seq, snap_id, partition=None, eq_ids
             "lower_bounds": lo or None,
             "upper_bounds": hi or None,
             "key_metadata": None,
-            "split_offsets": [4],
+            "split_offsets": None if dv else [4],
             "equality_ids": eq_ids,
             "sort_order_id": 0 if content == 0 else None,
         },
     }
+    # always present so the v3 entry schema can encode any entry; the
+    # v2 schema simply never references these keys
+    ref, off, size = dv if dv else (None, None, None)
+    entry["data_file"]["referenced_data_file"] = ref
+    entry["data_file"]["content_offset"] = off
+    entry["data_file"]["content_size_in_bytes"] = size
+    return entry
 
 
 def write_foreign_table(
@@ -446,4 +467,187 @@ def _spec_json(spec_id: int) -> dict:
     return {
         "spec-id": spec_id,
         "fields": [{"name": "p_brand", "transform": "identity", "source-id": 2, "field-id": 1000}],
+    }
+
+
+def write_dv_table(part_parquet: str, table_path: str) -> dict:
+    """Build an Iceberg V3 table whose deletes are DELETION VECTORS
+    (Puffin roaring-bitmap blobs, spec fields 143-145) PLUS one classic
+    positional-delete parquet — the mix a v2->v3 upgraded table
+    legitimately carries and readers must apply together.
+
+    Layout: commit 1 (seq 1) appends three unpartitioned data files
+    (p_partkey mod 3); commit 2 (seq 2) adds one Puffin file holding a
+    DV per first two data files (rows with p_size in DELETE_SIZES in
+    file 0; the first five rows of file 1) and a parquet positional
+    delete for the last three rows of file 2. Returns the summary the
+    test needs to compute the expected survivors independently."""
+    import duckdb
+
+    from .puffin import write_puffin_dv_file
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT p_partkey, p_brand, p_size, p_retailprice "
+        f"FROM read_parquet('{part_parquet}') ORDER BY p_partkey"
+    ).fetchall()
+    con.close()
+
+    meta_dir = os.path.join(table_path, "metadata")
+    data_dir = os.path.join(table_path, "data")
+    os.makedirs(meta_dir, exist_ok=True)
+    os.makedirs(data_dir, exist_ok=True)
+
+    files = []  # (path, rows, size)
+    for mod in range(3):
+        sel = [r for r in rows if r[0] % 3 == mod]
+        cols = {
+            "p_partkey": [r[0] for r in sel],
+            "p_brand": [r[1] for r in sel],
+            "p_size": [r[2] for r in sel],
+            "p_retailprice": [r[3] for r in sel],
+        }
+        fp = os.path.join(data_dir, f"00000-{mod}-{uuid.uuid4().hex}-0-00001.parquet")
+        _, sz = _write_parquet(fp, cols, reverse=False)
+        files.append((fp, sel, cols, sz))
+
+    # deletion vectors: positions are row ordinals within each file
+    dv0 = [i for i, r in enumerate(files[0][1]) if r[2] in DELETE_SIZES]
+    dv1 = list(range(5))
+    puffin = os.path.join(data_dir, f"00001-0-{uuid.uuid4().hex}-deletes.puffin")
+    blob_info = write_puffin_dv_file(
+        puffin, {files[0][0]: dv0, files[1][0]: dv1},
+        snapshot_id=2002, sequence_number=2,
+    )
+    # classic positional-delete parquet for file 2 (v2 leftover)
+    n2 = len(files[2][1])
+    pd_path = os.path.join(data_dir, f"00001-1-{uuid.uuid4().hex}-deletes-00001.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {"file_path": [files[2][0]] * 3, "pos": [n2 - 3, n2 - 2, n2 - 1]},
+            schema=pa.schema(
+                [
+                    pa.field("file_path", pa.string(), metadata={b"PARQUET:field_id": b"2147483546"}),
+                    pa.field("pos", pa.int64(), metadata={b"PARQUET:field_id": b"2147483545"}),
+                ]
+            ),
+        ),
+        pd_path,
+    )
+    pd_size = os.path.getsize(pd_path)
+
+    manifests: list[dict] = []
+    snapshots: list[dict] = []
+
+    def add_manifest(entries, *, content, seq, snap_id, v3):
+        mpath = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m{len(manifests)}.avro")
+        length = write_avro_file(
+            mpath,
+            _entry_schema([], v3=v3),
+            entries,
+            metadata={
+                "schema": json.dumps(_schema_json()),
+                "schema-id": "0",
+                "partition-spec": json.dumps([]),
+                "partition-spec-id": "0",
+                "format-version": "3" if v3 else "2",
+                "content": "data" if content == 0 else "deletes",
+            },
+        )
+        manifests.insert(
+            0,
+            {
+                "manifest_path": mpath,
+                "manifest_length": length,
+                "partition_spec_id": 0,
+                "content": content,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(e["data_file"]["record_count"] for e in entries),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "key_metadata": None,
+            },
+        )
+
+    def commit(seq, snap_id, op):
+        ml = os.path.join(meta_dir, f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro")
+        write_avro_file(ml, _MANIFEST_FILE_SCHEMA, list(manifests), metadata={"format-version": "3"})
+        snapshots.append(
+            {
+                "snapshot-id": snap_id,
+                "sequence-number": seq,
+                "timestamp-ms": 1700000000000 + seq * 60000,
+                "manifest-list": ml,
+                "schema-id": 0,
+                "summary": {"operation": op},
+            }
+        )
+
+    add_manifest(
+        [
+            _data_entry(cols, fp, sz, seq=None, snap_id=2001)
+            for fp, _sel, cols, sz in files
+        ],
+        content=0, seq=1, snap_id=2001, v3=True,
+    )
+    commit(1, 2001, "append")
+
+    add_manifest(
+        [
+            _data_entry(
+                {}, puffin, os.path.getsize(puffin), seq=None, snap_id=2002,
+                content=1, dv=(ref, off, size), n=card,
+            )
+            for ref, (off, size, card) in blob_info.items()
+        ]
+        + [
+            _data_entry(
+                {}, pd_path, pd_size, seq=None, snap_id=2002, content=1, n=3
+            )
+        ],
+        content=1, seq=2, snap_id=2002, v3=True,
+    )
+    commit(2, 2002, "delete")
+
+    doc = {
+        "format-version": 3,
+        "table-uuid": str(uuid.uuid4()),
+        "location": table_path,
+        "last-sequence-number": 2,
+        "last-updated-ms": 1700000000000 + 2 * 60000,
+        "last-column-id": 4,
+        "current-schema-id": 0,
+        "schemas": [_schema_json()],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.metadata.compression-codec": "none"},
+        "current-snapshot-id": 2002,
+        "refs": {"main": {"snapshot-id": 2002, "type": "branch"}},
+        "snapshots": snapshots,
+        "snapshot-log": [
+            {"snapshot-id": s["snapshot-id"], "timestamp-ms": s["timestamp-ms"]} for s in snapshots
+        ],
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(doc, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return {
+        "files": [fp for fp, _s, _c, _z in files],
+        "dv0_positions": dv0,
+        "dv1_positions": dv1,
+        "groups": [[r[0] for r in sel] for _fp, sel, _c, _z in files],
+        "n_rows": len(rows),
     }

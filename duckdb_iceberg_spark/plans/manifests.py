@@ -61,6 +61,13 @@ class ManifestEntry:
     file_size_in_bytes: int = 0
     raw_file_path: str = ""  # as stored in the manifest (pre-rebase)
     spec_id: int = 0  # partition spec of the manifest that listed this file
+    # Iceberg v3 deletion vectors (spec fields 143-145): a content=1
+    # entry whose file is a Puffin blob rather than a parquet delete
+    # table. content_offset is the discriminator (None = classic
+    # positional-delete parquet).
+    referenced_data_file: Optional[str] = None
+    content_offset: Optional[int] = None
+    content_size: Optional[int] = None
 
 
 def read_manifest_list(path: str, format_version: int) -> list[ManifestFile]:
@@ -109,6 +116,9 @@ def read_manifest_entries(path: str, format_version: int, manifest: Optional[Man
                 equality_ids=df.get("equality_ids"),
                 file_size_in_bytes=df.get("file_size_in_bytes", 0) or 0,
                 spec_id=(manifest.partition_spec_id if manifest is not None else 0),
+                referenced_data_file=df.get("referenced_data_file"),
+                content_offset=df.get("content_offset"),
+                content_size=df.get("content_size_in_bytes"),
             )
         )
     return out
@@ -204,6 +214,10 @@ def load_table_scan(
         for e in entries:
             e.raw_file_path = e.file_path
             e.file_path = rebase_path(e.file_path, table_path, allow_moved_paths)
+            if e.referenced_data_file:
+                e.referenced_data_file = rebase_path(
+                    e.referenced_data_file, table_path, allow_moved_paths
+                )
         return (mf, entries)
 
     if len(manifests) <= 1:

@@ -1,0 +1,71 @@
+"""Minimal Puffin file support (Iceberg's stats/DV container format,
+public spec "Puffin file format"): enough to WRITE deletion-vector-v1
+blobs for v3 tables and to READ any Puffin footer back.
+
+Layout: Magic, Blob_1..Blob_n, Footer; Footer = Magic, FooterPayload
+(UTF-8 JSON, optionally gzip per flag bit 0), PayloadSize (int32 LE),
+Flags (4 bytes), Magic.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import struct
+
+from .roaring import encode_dv_blob
+
+MAGIC = b"PFA1"
+
+
+def write_puffin_dv_file(path: str, dvs: dict[str, list], *, snapshot_id: int = 1, sequence_number: int = 1) -> dict[str, tuple[int, int, int]]:
+    """Write one Puffin file holding a `deletion-vector-v1` blob per
+    referenced data file. ``dvs``: {referenced_data_file: positions}.
+    Returns {referenced_data_file: (content_offset,
+    content_size_in_bytes, cardinality)} — exactly the three values a
+    v3 delete manifest entry records."""
+    out: dict[str, tuple[int, int, int]] = {}
+    blobs_meta = []
+    with open(path, "wb") as fh:
+        fh.write(MAGIC)
+        for ref, positions in dvs.items():
+            blob = encode_dv_blob(positions)
+            off = fh.tell()
+            fh.write(blob)
+            card = len(set(int(p) for p in positions))
+            out[ref] = (off, len(blob), card)
+            blobs_meta.append(
+                {
+                    "type": "deletion-vector-v1",
+                    "fields": [],
+                    "snapshot-id": snapshot_id,
+                    "sequence-number": sequence_number,
+                    "offset": off,
+                    "length": len(blob),
+                    "properties": {
+                        "referenced-data-file": ref,
+                        "cardinality": str(card),
+                    },
+                }
+            )
+        payload = json.dumps({"blobs": blobs_meta, "properties": {}}).encode("utf-8")
+        fh.write(MAGIC)
+        fh.write(payload)
+        fh.write(struct.pack("<i", len(payload)))
+        fh.write(b"\x00\x00\x00\x00")  # flags: footer payload uncompressed
+        fh.write(MAGIC)
+    return out
+
+
+def read_puffin_footer(path: str) -> dict:
+    """Parse a Puffin footer -> the payload JSON dict."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:4] != MAGIC or data[-4:] != MAGIC:
+        raise ValueError("not a Puffin file (magic mismatch)")
+    (size,) = struct.unpack_from("<i", data, len(data) - 12)
+    flags = data[len(data) - 8 : len(data) - 4]
+    payload = data[len(data) - 12 - size : len(data) - 12]
+    if flags[0] & 1:
+        payload = gzip.decompress(payload)
+    return json.loads(payload.decode("utf-8"))

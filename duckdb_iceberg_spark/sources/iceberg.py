@@ -287,12 +287,19 @@ def iceberg_scan(
     if stats_filter is not None:
         data_entries = _prune_by_stats(meta, data_entries, stats_filter)
     data_files = [e.file_path for e in data_entries]
-    pos_delete_files = [e.file_path for e in scan.positional_delete_files()]
+    pos_entries = scan.positional_delete_files()
+    # v3 deletion vectors: content=1 entries whose bytes live at an
+    # offset inside a Puffin file (content_offset discriminates them
+    # from classic positional-delete parquet)
+    dv_entries = [e for e in pos_entries if e.content_offset is not None]
+    pos_delete_files = [e.file_path for e in pos_entries if e.content_offset is None]
     eq_deletes = scan.equality_delete_files()
 
     if mode == "list_files":
+        dv_files = list(dict.fromkeys(e.file_path for e in dv_entries))
         rows = [(f, "data") for f in data_files] + [
-            (f, "delete") for f in pos_delete_files + [e.file_path for e in eq_deletes]
+            (f, "delete")
+            for f in pos_delete_files + dv_files + [e.file_path for e in eq_deletes]
         ]
         return spark.createDataFrame(rows, "file string, type string")
 
@@ -309,6 +316,8 @@ def iceberg_scan(
             raise ValueError(
                 "io='arrow' requires schema inference and does not expose position columns"
             )
+        if dv_entries:
+            raise ValueError("io='arrow' does not support v3 deletion vectors")
         from .arrow_scan import arrow_scan_df
 
         nm = meta.properties.get("schema.name-mapping.default")
@@ -319,7 +328,7 @@ def iceberg_scan(
             spark,
             schema,
             data_entries,
-            scan.positional_delete_files(),
+            [e for e in pos_entries if e.content_offset is None],
             allow_moved_paths,
             name_mapping=mapping,
             eq_entries=eq_deletes,
@@ -345,7 +354,7 @@ def iceberg_scan(
     # scan() call is a global side effect on concurrent queries).
     if spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false") != "true":
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    want_pos = bool(pos_delete_files or eq_deletes or _keep_position_columns)
+    want_pos = bool(pos_delete_files or dv_entries or eq_deletes or _keep_position_columns)
     pos_cols = [
         _decode_file_uri(F.col("_metadata.file_path")).alias("__file"),
         F.col("_metadata.row_index").alias("__pos"),
@@ -402,8 +411,18 @@ def iceberg_scan(
         if want_pos:
             df = df.select("*", *pos_cols)
 
-    if pos_delete_files:
-        deletes = spark.read.schema(_DELETE_SCHEMA).parquet(*pos_delete_files)
+    if pos_delete_files or dv_entries:
+        parts = []
+        if pos_delete_files:
+            parts.append(spark.read.schema(_DELETE_SCHEMA).parquet(*pos_delete_files))
+        if dv_entries:
+            # v3 deletion vectors decode executor-side into the SAME
+            # (file_path, pos) shape, so both delete kinds share one
+            # anti-join
+            parts.append(_dv_deletes_df(spark, dv_entries))
+        deletes = parts[0]
+        for p in parts[1:]:
+            deletes = deletes.unionByName(p)
         if allow_moved_paths:
             cond = (_tail(df["__file"]) == _tail(deletes["file_path"])) & (df["__pos"] == deletes["pos"])
         else:
@@ -418,7 +437,7 @@ def iceberg_scan(
     if eq_deletes:
         df = _apply_equality_deletes(spark, df, scan, schema, allow_moved_paths)
 
-    if (pos_delete_files or eq_deletes) and not _keep_position_columns:
+    if (pos_delete_files or dv_entries or eq_deletes) and not _keep_position_columns:
         df = df.drop("__file", "__pos")
 
     # initial-default for columns added after some files were written
@@ -758,6 +777,54 @@ def _prune_by_stats(meta: TableMetadata, entries, flt: dict):
         if keep:
             out.append(e)
     return out
+
+
+def _dv_deletes_df(spark: SparkSession, entries) -> DataFrame:
+    """Iceberg v3 deletion vectors -> a (file_path, pos) DataFrame.
+
+    Decode happens EXECUTOR-side: the driver ships only one
+    (puffin_path, offset, size, referenced_file) row per DV — one task
+    per blob — and each task seeks+reads its blob and explodes the
+    roaring bitmap to delete rows through Arrow
+    (plans/roaring.decode_dv_blob). No DV bytes or positions pass
+    through the driver, so a table with thousands of DVs scales like
+    any other scan. Local/posix paths only for now (object stores
+    would route through plans/fs like the metadata layer).
+
+    The reference has no v3 support at all (its scan mishandles even
+    v2 equality deletes, iceberg_scan.cpp:167-169) — this is part of
+    the deliberate extension; format per the public Iceberg v3 spec
+    ("Deletion Vectors") + Puffin spec.
+    """
+    rows = [
+        (
+            e.file_path,
+            int(e.content_offset),
+            int(e.content_size or 0),
+            e.referenced_data_file or "",
+        )
+        for e in entries
+    ]
+    src = spark.createDataFrame(rows, "puffin string, off long, size long, ref string")
+
+    def _decode(batches):
+        import pandas as pd
+
+        from ..plans.roaring import decode_dv_blob
+
+        for pdf in batches:
+            for puffin, off, size, ref in pdf.itertuples(index=False):
+                with open(puffin, "rb") as fh:
+                    fh.seek(off)
+                    blob = fh.read(size)
+                positions = decode_dv_blob(blob)
+                yield pd.DataFrame(
+                    {"file_path": ref, "pos": positions.astype("int64")}
+                )
+
+    return src.repartition(max(1, len(rows))).mapInPandas(
+        _decode, "file_path string, pos long"
+    )
 
 
 # Per-equality_ids-group broadcast cap for delete-side tables (compressed

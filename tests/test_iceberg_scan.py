@@ -389,3 +389,46 @@ def test_foreign_table_where_prunes_and_filters_exactly(spark, tmp_path):
     kept = _prune_by_stats(meta, entries, stats_f)
     kept = _prune_by_partition(meta, kept, part_f, strict=False)
     assert len(kept) < len(entries) // 4, (len(kept), len(entries))
+
+
+def test_v3_deletion_vectors_mixed_with_positional(spark, tmp_path):
+    """Iceberg v3 deletion vectors (Puffin roaring blobs, fields
+    143-145) applied together with a leftover v2 positional-delete
+    parquet — the state of an upgraded table. The DV positions decode
+    executor-side and feed the same (file_path, pos) anti-join as
+    classic deletes."""
+    import duckdb
+
+    from duckdb_iceberg_spark.plans.foreign_fixture import DELETE_SIZES, write_dv_table
+    from duckdb_iceberg_spark.plans.puffin import read_puffin_footer
+
+    src = "/root/testdata/sf0.001/part.parquet"
+    path = str(tmp_path / "dv")
+    info = write_dv_table(src, path)
+    g0, g1, g2 = info["groups"]
+    dead = (
+        {g0[i] for i in info["dv0_positions"]}
+        | {g1[i] for i in info["dv1_positions"]}
+        | set(g2[-3:])
+    )
+    df = iceberg_scan(spark, path)
+    got = sorted(r.p_partkey for r in df.collect())
+    want = sorted(k for ks in info["groups"] for k in ks if k not in dead)
+    assert got == want and 0 < len(got) < info["n_rows"]
+    # the file-0 DV targets exactly the p_size predicate rows
+    sizes = ",".join(map(str, DELETE_SIZES))
+    n_sized = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{src}') "
+        f"WHERE p_partkey % 3 = 0 AND p_size IN ({sizes})"
+    ).fetchone()[0]
+    assert len(info["dv0_positions"]) == n_sized > 0
+    # list_files exposes the puffin once + the parquet delete
+    lf = iceberg_scan(spark, path, mode="list_files").collect()
+    deletes = [r.file for r in lf if r.type == "delete"]
+    assert len(deletes) == 2 and sum(f.endswith(".puffin") for f in deletes) == 1
+    # the puffin footer itself parses and declares both DV blobs
+    foot = read_puffin_footer(next(f for f in deletes if f.endswith(".puffin")))
+    assert [b["type"] for b in foot["blobs"]] == ["deletion-vector-v1"] * 2
+    assert sorted(int(b["properties"]["cardinality"]) for b in foot["blobs"]) == sorted(
+        [len(info["dv0_positions"]), len(info["dv1_positions"])]
+    )
