@@ -28,6 +28,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineite
 
 def duckdb_con(sf_dir: str):
     con = duckdb.connect()
+    # Bound the oracle: at sf100 some list-heavy oracle queries
+    # (minhash shingle arrays over 5M docs) materialize past host RAM
+    # and the OOM killer takes the whole sweep process down. A memory
+    # limit + temp dir makes DuckDB spill instead. Override with
+    # SPARK_GRAFT_ORACLE_MEM (e.g. "8GB" for tests on a busy host).
+    mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "48GB")
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):

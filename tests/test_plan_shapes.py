@@ -322,7 +322,9 @@ def test_bigram_lm_small_model_no_instance_shuffle(spark):
     from duckdb_iceberg_spark.operators.lm import bigram_lm_score
 
     d = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = _plan(bigram_lm_score(d))
+    # the gate is opt-in since r9 (library default 0 keeps construction
+    # lazy); this test is ABOUT the gated path, so opt in explicitly
+    plan = _plan(bigram_lm_score(d, bigram_broadcast_limit=4_000_000))
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "Window" not in plan  # the windowed shape is the big-vocab fallback

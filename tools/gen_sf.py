@@ -294,10 +294,24 @@ def main() -> None:
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--out", default="/root/repo/.localdata/sf1")
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument(
+        "--tables",
+        default="all",
+        help="comma list of tables to generate (default all) — lets a "
+        "disk-bounded host validate one family (e.g. --tables "
+        "documents,embeddings for the sf100 text sweep) without the "
+        "~17 GB relational fixtures; RNG streams then differ from a "
+        "full-family run, which is fine because every check compares "
+        "against an oracle over the SAME parquet",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     sf = args.sf
+    want = None if args.tables == "all" else {t.strip() for t in args.tables.split(",")}
+
+    def on(name):
+        return want is None or name in want
 
     n_cust = int(150_000 * sf)
     n_supp = int(10_000 * sf)
@@ -308,16 +322,27 @@ def main() -> None:
     n_docs = int(50_000 * sf)
     n_vecs = int(20_000 * sf)
 
-    gen_region(args.out)
-    gen_nation(args.out, rng)
-    gen_customer(args.out, rng, n_cust)
-    gen_supplier(args.out, rng, n_supp)
-    gen_part(args.out, rng, n_part)
-    gen_orders(args.out, rng, n_orders, n_cust)
-    n_li = gen_lineitem(args.out, rng, n_orders, n_part, n_supp)
-    gen_events(args.out, rng, n_events, n_users)
-    gen_documents(args.out, rng, n_docs)
-    gen_embeddings(args.out, rng, n_vecs)
+    n_li = None
+    if on("region"):
+        gen_region(args.out)
+    if on("nation"):
+        gen_nation(args.out, rng)
+    if on("customer"):
+        gen_customer(args.out, rng, n_cust)
+    if on("supplier"):
+        gen_supplier(args.out, rng, n_supp)
+    if on("part"):
+        gen_part(args.out, rng, n_part)
+    if on("orders"):
+        gen_orders(args.out, rng, n_orders, n_cust)
+    if on("lineitem"):
+        n_li = gen_lineitem(args.out, rng, n_orders, n_part, n_supp)
+    if on("events"):
+        gen_events(args.out, rng, n_events, n_users)
+    if on("documents"):
+        gen_documents(args.out, rng, n_docs)
+    if on("embeddings"):
+        gen_embeddings(args.out, rng, n_vecs)
     print(json.dumps({"sf": sf, "out": args.out, "lineitem_rows": n_li}))
 
 
