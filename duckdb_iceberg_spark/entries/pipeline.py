@@ -483,12 +483,29 @@ def _text_entropy(spark, sf):
         F.col("ch") != ""
     )
     counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    # exact-integer policy (module docstring): each c*log2(c) term is
+    # rounded to a scaled LONG per element, so the per-doc sum is
+    # order-independent — a plain double sum differs between engines
+    # in the last ulp depending on hash-aggregation order, and at sf100
+    # one doc in 5M landed exactly on the FLOOR*10000 boundary
+    # (3.8749|3.875). log2(n) gets the same per-value snap so the final
+    # expression's inputs are bit-identical in both engines.
+    term = F.round(F.col("c") * F.log2("c") * F.lit(1e8)).cast("long")
     return (
         counts.groupBy("doc_id")
-        .agg(F.sum("c").alias("n"), F.sum(F.col("c") * F.log2("c")).alias("s"))
+        .agg(F.sum("c").alias("n"), F.sum(term).alias("s8"))
         .select(
             "doc_id",
-            (F.floor((F.log2("n") - F.col("s") / F.col("n")) * 10000) / 10000).alias("entropy"),
+            (
+                F.floor(
+                    (
+                        F.round(F.log2("n") * F.lit(1e8)).cast("long") / F.lit(1e8)
+                        - F.col("s8") / F.lit(1e8) / F.col("n")
+                    )
+                    * 10000
+                )
+                / 10000
+            ).alias("entropy"),
         )
     )
 
@@ -497,8 +514,13 @@ _TEXT_ENTROPY_SQL = """
 WITH chars AS (
   SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents),
 cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars WHERE ch <> '' GROUP BY doc_id, ch),
-agg AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n, SUM(c * log2(c)) AS s FROM cnt GROUP BY doc_id)
-SELECT doc_id, FLOOR((log2(n) - s / n) * 10000) / 10000 AS entropy FROM agg
+agg AS (SELECT doc_id, SUM(c) AS n,
+               SUM(CAST(ROUND(c * log2(c) * 1e8) AS BIGINT)) AS s8
+        FROM cnt GROUP BY doc_id)
+SELECT doc_id,
+  FLOOR((CAST(ROUND(log2(CAST(n AS DOUBLE)) * 1e8) AS BIGINT) / 1e8
+         - s8 / 1e8 / n) * 10000) / 10000 AS entropy
+FROM agg
 """
 
 

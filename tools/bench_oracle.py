@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))) +
 
 import duckdb
 
-from bench import BENCH_QUERIES, SF_DIR
+from bench import BENCH_QUERIES, SF_DIR, _selected_queries
 from oracle_harness import TABLES
 
 
@@ -61,8 +61,8 @@ def main() -> None:
     # (e.g. re-timing the suite without repaying text_repetition's
     # ~20-min cold pass; merge per-query mins across runs afterwards).
     skip = {s for s in os.environ.get("BENCH_ORACLE_SKIP", "").split(",") if s}
-    names = [q for q in BENCH_QUERIES if q in oracles and q not in skip]
-    skipped = [q for q in BENCH_QUERIES if q not in oracles]
+    names = [q for q in _selected_queries() if q in oracles and q not in skip]
+    skipped = [q for q in _selected_queries() if q not in oracles]
     timings: dict[str, float] = {}
     # Per-query budget (seconds): a query whose WARMUP already blows
     # the budget runs ONE more (warm) pass and records that, instead
