@@ -32,6 +32,11 @@ def main() -> None:
     oracles = E.oracle_sql()
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    # bound the engine so list-heavy queries (minhash sigs at sf100)
+    # spill instead of racing fetchall() for the whole host's RAM —
+    # the OOM killer took the 2nd sf100 oracle run at 130 GB RSS
+    con.execute(f"SET memory_limit='{os.environ.get('SPARK_GRAFT_ORACLE_MEM', '48GB')}'")
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     # BENCH_ORACLE_PREPPED=1: point each view at the engine's prepared
     # physical layout (the split/bucketed multi-file rewrites under
     # /tmp/spark_graft_bucketed) instead of the raw single-file parquet
