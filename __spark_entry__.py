@@ -65,75 +65,82 @@ def entry(spark: SparkSession) -> DataFrame:
 # ("a0".."a4" < "agg" byte-wise), steering that window. Rounds 1-7
 # certified the alphabetical agg/ann/array prefix; round 8 rotated the
 # window onto TPC-H Q1-22 + the iceberg scan family + windows +
-# streaming + the bucketed join (all green in CORRECTNESS_r08.json).
-# Round 9 rotates it onto the LLM-data-pipeline + multimodal family —
-# the one family with zero external rows so far (r8 VERDICT, "Next
-# round" #1). The canonical names stay registered — history, bench.py,
-# and SCALE.md references remain comparable — and an alias is a pure
-# second dict key for the SAME callable / SQL string, so there is
-# nothing new to drift. Displaced families (TPC-H, iceberg, windows,
-# streaming: CORRECTNESS_r08; agg/ann/array: r01-r07) keep their
-# external certification in those artifacts and stay covered by the
-# repo's full-registry strict sweeps (SCALE.md "External window
+# streaming + the bucketed join (CORRECTNESS_r08.json); round 9 onto
+# the LLM-data-pipeline + multimodal family (CORRECTNESS_r09.json,
+# 50/50). Round 10 rotates it onto the 26 entries that have never had
+# an external green row across r01-r09 (r9 VERDICT "Next round" #1):
+# the native Iceberg write/maintenance surface (history / refs /
+# partitions / zorder / rewrite_manifests / partition & overwrite
+# evolution / deletion vectors / scan_where), the REST catalog pair,
+# the remaining join strategies (colocated, salted), json/orc sinks,
+# exact kNN, lateral/map/math, balanced cluster sampling, the two
+# uncertified streaming entries, BPE internals, chunking UDTF — plus
+# 24 spot re-certifications of the r8 window (TPC-H Q1-22,
+# iceberg_scan_generated, window_running_sum) to prove that family
+# still holds at current HEAD. The canonical names stay registered —
+# history, bench.py, and SCALE.md references remain comparable — and
+# an alias is a pure second dict key for the SAME callable / SQL
+# string, so there is nothing new to drift
+# (test_core_aliases_are_pure_aliases). Displaced families keep their
+# external certification in the r08/r09 artifacts and stay covered by
+# the repo's full-registry strict sweeps (SCALE.md "External window
 # rotation").
 _CORE_ALIASES: dict[str, str] = {
-    # dedup family (exact / minhash / LSH / simhash / clusters /
-    # boilerplate / decontamination)
-    "a0_contamination": "contamination",
-    "a0_dedup_boilerplate": "dedup_boilerplate",
-    "a0_dedup_clusters": "dedup_clusters",
-    "a0_dedup_exact": "dedup_exact",
-    "a0_dedup_incremental": "dedup_incremental",
-    "a0_dedup_jaccard": "dedup_jaccard",
-    "a0_dedup_keep_best": "dedup_keep_best",
-    "a0_dedup_minhash_pairs": "dedup_minhash_pairs",
-    "a0_dedup_minhash_sig": "dedup_minhash_sig",
-    "a0_dedup_simhash_pairs": "dedup_simhash_pairs",
-    "a0_dedup_span_stats": "dedup_span_stats",
-    # text analysis family (tokens / quality / lang-ID / fingerprints /
-    # entropy / PII / BM25 / bigram LM / BPE)
-    "a1_text_bm25": "text_bm25",
-    "a1_text_bpe_tokens": "text_bpe_tokens",
-    "a1_text_entropy": "text_entropy",
-    "a1_text_fingerprint": "text_fingerprint",
-    "a1_text_langid": "text_langid",
-    "a1_text_lm_score": "text_lm_score",
-    "a1_text_lm_xcorpus": "text_lm_xcorpus",
-    "a1_text_pii_scrub": "text_pii_scrub",
-    "a1_text_quality": "text_quality",
-    "a1_text_repetition": "text_repetition",
-    "a1_text_rolling_hash": "text_rolling_hash",
-    "a1_text_tokens": "text_tokens",
-    "a1_text_vocab_topk": "text_vocab_topk",
-    # multimodal family (image/audio/video decode via Arrow mapInPandas)
-    "a2_mm_features": "mm_features",
-    "a2_mm_features_adpcm": "mm_features_adpcm",
-    "a2_mm_features_alaw": "mm_features_alaw",
-    "a2_mm_features_bmp": "mm_features_bmp",
-    "a2_mm_features_jpeg": "mm_features_jpeg",
-    "a2_mm_features_jpeg_prog": "mm_features_jpeg_prog",
-    "a2_mm_features_msadpcm": "mm_features_msadpcm",
-    "a2_mm_features_pcm_depths": "mm_features_pcm_depths",
-    "a2_mm_features_png": "mm_features_png",
-    "a2_mm_features_ulaw": "mm_features_ulaw",
-    "a2_mm_features_wav": "mm_features_wav",
-    "a2_mm_frame_sample": "mm_frame_sample",
-    "a2_mm_frame_sample_avi": "mm_frame_sample_avi",
-    "a2_mm_frame_sample_gif": "mm_frame_sample_gif",
-    # sampling / packing / deterministic shuffling
-    "a3_mixture_sample": "mixture_sample",
-    "a3_pack_sequences": "pack_sequences",
-    "a3_sample_stratified": "sample_stratified",
-    "a3_sample_token_budget": "sample_token_budget",
-    "a3_sample_weighted": "sample_weighted",
-    "a3_shuffle_deterministic": "shuffle_deterministic",
-    "a3_split_train_val_test": "split_train_val_test",
-    # similarity search + the end-to-end curation composite
-    "a4_curate_pipeline": "curate_pipeline",
-    "a4_knn_join": "knn_join",
-    "a4_sim_neardup": "sim_neardup",
-    "a4_sim_quantized": "sim_quantized",
-    "a4_sim_topk": "sim_topk",
+    # native Iceberg write/maintenance + metadata tables + REST catalog
+    "a0_iceberg_deletion_vectors": "iceberg_deletion_vectors",
+    "a0_iceberg_history": "iceberg_history",
+    "a0_iceberg_overwrite_partition": "iceberg_overwrite_partition",
+    "a0_iceberg_partition_evolution": "iceberg_partition_evolution",
+    "a0_iceberg_partitions": "iceberg_partitions",
+    "a0_iceberg_refs": "iceberg_refs",
+    "a0_iceberg_rewrite_manifests": "iceberg_rewrite_manifests",
+    "a0_iceberg_scan_where": "iceberg_scan_where",
+    "a0_iceberg_zorder": "iceberg_zorder",
+    "a0_rest_catalog_commit": "rest_catalog_commit",
+    "a0_rest_catalog_listing": "rest_catalog_listing",
+    # join strategies + format sinks + misc scalar/row ops
+    "a1_join_colocated_brand": "join_colocated_brand",
+    "a1_join_salted": "join_salted",
+    "a1_json_roundtrip": "json_roundtrip",
+    "a1_knn_join_exact": "knn_join_exact",
+    "a1_lateral_topn": "lateral_topn",
+    "a1_map_funcs": "map_funcs",
+    "a1_math_funcs": "math_funcs",
+    "a1_orc_roundtrip": "orc_roundtrip",
+    # sampling / streaming / BPE internals / chunking
+    "a2_sample_cluster_balanced": "sample_cluster_balanced",
+    "a2_streaming_dedup": "streaming_dedup",
+    "a2_streaming_hourly": "streaming_hourly",
+    "a2_text_bpe_pairs": "text_bpe_pairs",
+    "a2_text_bpe_vocab": "text_bpe_vocab",
+    "a2_text_chunks": "text_chunks",
+    "a2_udtf_chunks": "udtf_chunks",
+    # spot re-certification of the r8 window: TPC-H Q1-22 at current HEAD
+    "a3_q01_pricing_summary": "q1_pricing_summary",
+    "a3_q02_min_cost_supplier": "q2_min_cost_supplier",
+    "a3_q03_shipping_priority": "q3_shipping_priority",
+    "a3_q04_priority_exists": "q4_priority_exists",
+    "a3_q05_local_supplier": "q5_local_supplier",
+    "a3_q06_revenue": "q6_revenue",
+    "a3_q07_volume_shipping": "q7_volume_shipping",
+    "a3_q08_market_share": "q8_market_share",
+    "a3_q09_profit_by_nation": "q9_profit_by_nation",
+    "a3_q10_returned_items": "q10_returned_items",
+    "a3_q11_important_suppliers": "q11_important_suppliers",
+    "a3_q12_shipmode_counts": "q12_shipmode_counts",
+    "a3_q13_order_count_distribution": "q13_order_count_distribution",
+    "a3_q14_promo_revenue": "q14_promo_revenue",
+    "a3_q15_top_supplier": "q15_top_supplier",
+    "a3_q16_supplier_cnt": "q16_supplier_cnt",
+    "a3_q17_small_quantity": "q17_small_quantity",
+    "a3_q18_large_orders": "q18_large_orders",
+    "a3_q19_disjunctive": "q19_disjunctive",
+    "a3_q20_top_shippers": "q20_top_shippers",
+    "a3_q21_waiting_suppliers": "q21_waiting_suppliers",
+    "a3_q22_inactive_customers": "q22_inactive_customers",
+    # spot re-certification: reference-fixture scan + window family rep
+    "a4_iceberg_scan_generated": "iceberg_scan_generated",
+    "a4_window_running_sum": "window_running_sum",
 }
 
 
