@@ -431,3 +431,25 @@ def arrow_fs_path(path: str, conf: Optional[dict] = None):
         )
         return s3, path.split("://", 1)[1]
     raise ValueError(f"No pyarrow filesystem for scheme {scheme!r} (path {path!r})")
+
+
+def read_range(path: str, off: int, size: int, conf: Optional[dict] = None) -> bytes:
+    """Ranged byte read usable on EXECUTORS (deletion-vector Puffin
+    blobs decode task-side): local paths via seek+read, ``s3://`` /
+    ``s3a://`` via pyarrow's native S3 client with ``conf`` the
+    :func:`s3_env_conf` snapshot captured at PLAN time on the driver
+    (Python workers inherit the executor JVM's frozen env, so env
+    alone does not propagate endpoints set later), anything else via
+    :func:`get_fs` (driver-process schemes like ``memory://``)."""
+    scheme = scheme_of(path)
+    if scheme in ("", "file"):
+        local = path.split("://", 1)[1] if scheme else path
+        with open(local, "rb") as fh:
+            fh.seek(off)
+            return fh.read(size)
+    if scheme in ("s3", "s3a"):
+        afs, p = arrow_fs_path(path, conf)
+        with afs.open_input_file(p) as fh:
+            fh.seek(off)
+            return fh.read(size)
+    return get_fs(path).read_bytes(path)[off : off + size]

@@ -182,8 +182,19 @@ def encode_dv_blob(positions) -> bytes:
 
 
 def decode_dv_blob(blob: bytes) -> np.ndarray:
-    """Blob bytes (exactly content_size_in_bytes long) -> positions."""
+    """Blob bytes (exactly content_size_in_bytes long) -> positions.
+
+    Length-checked against the 4-byte BE length prefix + CRC framing
+    BEFORE unpacking, so a truncated/empty blob (e.g. a manifest entry
+    whose content_size_in_bytes was null and read 0 bytes) raises a
+    diagnosable ValueError instead of struct.error inside a task."""
+    if len(blob) < 4:
+        raise ValueError("deletion vector blob truncated (shorter than length prefix)")
     (plen,) = struct.unpack_from(">i", blob, 0)
+    if plen < 4 or len(blob) < 4 + plen + 4:
+        raise ValueError(
+            f"deletion vector blob truncated ({len(blob)} bytes for declared payload {plen})"
+        )
     payload = blob[4 : 4 + plen]
     if payload[:4] != DV_MAGIC:
         raise ValueError("deletion vector blob: bad magic")

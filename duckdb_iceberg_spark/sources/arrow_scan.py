@@ -58,13 +58,15 @@ def _tail(p: str) -> str:
 class _ArrowSlice(InputPartition):
     """One data file: (path, [(field_id, name, spark_type_json)],
     applicable positional-delete paths, applicable equality deletes
-    ([{path, cols}]), moved-path flag, S3 conf)."""
+    ([{path, cols}]), v3 deletion vectors ([[puffin, off, size]]),
+    moved-path flag, S3 conf)."""
 
-    def __init__(self, path, fields, deletes, eq_deletes, moved, fs_conf):
+    def __init__(self, path, fields, deletes, eq_deletes, dvs, moved, fs_conf):
         self.path = path
         self.fields = fields
         self.deletes = deletes
         self.eq_deletes = eq_deletes
+        self.dvs = dvs
         self.moved = moved
         self.fs_conf = fs_conf
 
@@ -133,6 +135,22 @@ def _delete_positions(partition: _ArrowSlice) -> set:
     return drop
 
 
+def _dv_positions(partition: _ArrowSlice) -> set:
+    """Row positions deleted from this file by its v3 deletion
+    vectors: each (puffin, offset, size) triple is ranged-read through
+    plans/fs.read_range and decoded with the portable-roaring codec —
+    the arrow-path twin of the default path's executor-side
+    _dv_deletes_df (sources/iceberg.py)."""
+    from ..plans.fs import read_range
+    from ..plans.roaring import decode_dv_blob
+
+    drop: set = set()
+    for puffin, off, size in partition.dvs:
+        blob = read_range(puffin, int(off), int(size), partition.fs_conf)
+        drop.update(int(p) for p in decode_dv_blob(blob))
+    return drop
+
+
 def _equality_mask(table, eq_deletes, fs_conf):
     """Boolean keep-mask over ``table`` rows for the applicable
     equality-delete files: a row is dropped when its tuple of key
@@ -174,6 +192,7 @@ class _IcebergArrowReader(DataSourceReader):
                 fields,
                 f.get("deletes") or [],
                 f.get("eq") or [],
+                f.get("dvs") or [],
                 p["moved"],
                 p.get("fs_conf"),
             )
@@ -184,8 +203,10 @@ class _IcebergArrowReader(DataSourceReader):
         import pyarrow as pa
 
         table = _read_aligned(partition)
-        if partition.deletes:
-            drop = _delete_positions(partition)
+        if partition.deletes or partition.dvs:
+            drop = _delete_positions(partition) if partition.deletes else set()
+            if partition.dvs:
+                drop |= _dv_positions(partition)
             if drop:
                 mask = pa.array([i not in drop for i in range(table.num_rows)])
                 table = table.filter(mask)
@@ -234,21 +255,26 @@ def arrow_scan_df(
     allow_moved_paths: bool,
     name_mapping: dict | None = None,
     eq_entries=None,
+    dv_entries=None,
 ):
     """DataFrame over the resolved scan plan, read through pyarrow.
 
     ``schema`` is the snapshot's IcebergSchema; ``data_entries`` /
-    ``pos_entries`` / ``eq_entries`` are the pruned ManifestEntry
-    lists (equality deletes carry ``equality_ids``);
-    ``name_mapping`` is the parsed schema.name-mapping.default
-    ({field_id: [names]}) for id-less imported files."""
+    ``pos_entries`` / ``eq_entries`` / ``dv_entries`` are the pruned
+    ManifestEntry lists (equality deletes carry ``equality_ids``; v3
+    deletion vectors carry referenced_data_file + content
+    offset/size); ``name_mapping`` is the parsed
+    schema.name-mapping.default ({field_id: [names]}) for id-less
+    imported files."""
     from ..plans.fs import s3_env_conf, scheme_of
 
     eq_entries = eq_entries or []
+    dv_entries = dv_entries or []
     paths = (
         [e.file_path for e in data_entries]
         + [e.file_path for e in pos_entries]
         + [e.file_path for e in eq_entries]
+        + [e.file_path for e in dv_entries]
     )
     fs_conf = (
         s3_env_conf() if any(scheme_of(p) in ("s3", "s3a") for p in paths) else None
@@ -263,6 +289,21 @@ def arrow_scan_df(
             if val:
                 creds[key] = val
     id_to_name = {c.field_id: c.name for c in schema.columns}
+    # v3 DVs keyed by their referenced data file (tail-matched when
+    # moved paths are in play, same rule as positional deletes)
+    dv_by_ref: dict = {}
+    for d in dv_entries:
+        if not d.content_size:
+            raise ValueError(
+                "deletion vector entry for "
+                f"{d.referenced_data_file!r} ({d.file_path}) has no "
+                "content_size_in_bytes"
+            )
+        ref = d.referenced_data_file or ""
+        key = _tail(ref) if allow_moved_paths else _norm(ref)
+        dv_by_ref.setdefault(key, []).append(
+            [d.file_path, int(d.content_offset), int(d.content_size)]
+        )
     files = []
     for e in data_entries:
         seq = e.sequence_number or 0
@@ -278,8 +319,14 @@ def arrow_scan_df(
             for d in eq_entries
             if (d.sequence_number or 0) > seq and (d.equality_ids or [])
         ]
+        fkey = _tail(e.file_path) if allow_moved_paths else _norm(e.file_path)
         files.append(
-            {"path": e.file_path, "deletes": dels, "eq": [x for x in eqs if x["cols"]]}
+            {
+                "path": e.file_path,
+                "deletes": dels,
+                "eq": [x for x in eqs if x["cols"]],
+                "dvs": dv_by_ref.get(fkey) or [],
+            }
         )
     st = schema.to_struct_type()
     plan = {

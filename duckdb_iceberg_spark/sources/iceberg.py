@@ -316,8 +316,6 @@ def iceberg_scan(
             raise ValueError(
                 "io='arrow' requires schema inference and does not expose position columns"
             )
-        if dv_entries:
-            raise ValueError("io='arrow' does not support v3 deletion vectors")
         from .arrow_scan import arrow_scan_df
 
         nm = meta.properties.get("schema.name-mapping.default")
@@ -332,6 +330,7 @@ def iceberg_scan(
             allow_moved_paths,
             name_mapping=mapping,
             eq_entries=eq_deletes,
+            dv_entries=dv_entries,
         )
         for c in schema.columns:
             if c.initial_default is not None:
@@ -788,36 +787,52 @@ def _dv_deletes_df(spark: SparkSession, entries) -> DataFrame:
     roaring bitmap to delete rows through Arrow
     (plans/roaring.decode_dv_blob). No DV bytes or positions pass
     through the driver, so a table with thousands of DVs scales like
-    any other scan. Local/posix paths only for now (object stores
-    would route through plans/fs like the metadata layer).
+    any other scan. Blob reads route through plans/fs.read_range —
+    posix seek+read locally, ranged GETs through pyarrow's native S3
+    client for object-store tables (connection snapshot captured at
+    plan time, same propagation as the arrow scan path).
 
     The reference has no v3 support at all (its scan mishandles even
     v2 equality deletes, iceberg_scan.cpp:167-169) — this is part of
     the deliberate extension; format per the public Iceberg v3 spec
     ("Deletion Vectors") + Puffin spec.
     """
+    from ..plans.fs import s3_env_conf, scheme_of
+
+    for e in entries:
+        # plan-time validation: a malformed entry fails HERE with the
+        # table context, not as an opaque unpack error inside a task
+        if not e.content_size:
+            raise ValueError(
+                "deletion vector entry for "
+                f"{e.referenced_data_file!r} ({e.file_path}) has no "
+                "content_size_in_bytes"
+            )
     rows = [
         (
             e.file_path,
             int(e.content_offset),
-            int(e.content_size or 0),
+            int(e.content_size),
             e.referenced_data_file or "",
         )
         for e in entries
     ]
+    conf = (
+        s3_env_conf()
+        if any(scheme_of(p) in ("s3", "s3a") for p, *_ in rows)
+        else None
+    )
     src = spark.createDataFrame(rows, "puffin string, off long, size long, ref string")
 
     def _decode(batches):
         import pandas as pd
 
+        from ..plans.fs import read_range
         from ..plans.roaring import decode_dv_blob
 
         for pdf in batches:
             for puffin, off, size, ref in pdf.itertuples(index=False):
-                with open(puffin, "rb") as fh:
-                    fh.seek(off)
-                    blob = fh.read(size)
-                positions = decode_dv_blob(blob)
+                positions = decode_dv_blob(read_range(puffin, off, size, conf))
                 yield pd.DataFrame(
                     {"file_path": ref, "pos": positions.astype("int64")}
                 )

@@ -171,3 +171,37 @@ def test_s3_full_table_streams(spark, s3_server, tmp_path):
     finally:
         q.stop()
     assert got == {r.n_nationkey for r in n.collect()}
+
+
+def test_s3_deletion_vector_scan(spark, s3_server, tmp_path):
+    """A v3 table WITH deletion vectors living entirely on (emulated)
+    S3: metadata through S3FS, data files through pyarrow-on-executors
+    (io='arrow'), and the DV Puffin blobs through plans/fs.read_range
+    ranged GETs — closing the r9 gap where _dv_deletes_df was
+    posix-only (open())."""
+    import boto3
+
+    from duckdb_iceberg_spark import iceberg_scan
+    from duckdb_iceberg_spark.plans.foreign_fixture import write_dv_table
+
+    local = str(tmp_path / "dvt")
+    info = write_dv_table(f"{SF}/part.parquet", local)
+
+    c = boto3.client("s3", endpoint_url=s3_server, region_name="us-east-1")
+    c.create_bucket(Bucket="dvlake")
+    for p in Path(local).rglob("*"):
+        if p.is_file():
+            c.upload_file(str(p), "dvlake", f"t/{p.relative_to(local)}")
+
+    df = iceberg_scan(
+        spark, "s3://dvlake/t", allow_moved_paths=True, io="arrow"
+    )
+    got = sorted(r.p_partkey for r in df.collect())
+    g0, g1, g2 = info["groups"]
+    dead = (
+        {g0[i] for i in info["dv0_positions"]}
+        | {g1[i] for i in info["dv1_positions"]}
+        | set(g2[-3:])
+    )
+    want = sorted(k for ks in info["groups"] for k in ks if k not in dead)
+    assert got == want and 0 < len(got) < info["n_rows"]

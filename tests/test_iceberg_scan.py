@@ -432,3 +432,19 @@ def test_v3_deletion_vectors_mixed_with_positional(spark, tmp_path):
     assert sorted(int(b["properties"]["cardinality"]) for b in foot["blobs"]) == sorted(
         [len(info["dv0_positions"]), len(info["dv1_positions"])]
     )
+
+
+def test_v3_deletion_vectors_arrow_path(spark, tmp_path):
+    """io='arrow' applies v3 deletion vectors in-reader (decode via
+    plans/fs.read_range + the portable-roaring codec, merged with any
+    classic positional deletes for the same file) — byte-identical
+    rows to the default JVM path on the mixed DV + positional-delete
+    fixture."""
+    from duckdb_iceberg_spark.plans.foreign_fixture import write_dv_table
+
+    path = str(tmp_path / "dv_arrow")
+    write_dv_table("/root/testdata/sf0.001/part.parquet", path)
+    cols = ["p_partkey", "p_brand", "p_size", "p_retailprice"]
+    jvm = sorted(map(tuple, iceberg_scan(spark, path).select(cols).collect()))
+    arw = sorted(map(tuple, iceberg_scan(spark, path, io="arrow").select(cols).collect()))
+    assert jvm == arw and len(jvm) > 0

@@ -72,3 +72,15 @@ def test_puffin_footer_roundtrip(tmp_path):
         with open(p, "rb") as fh:
             fh.seek(off)
             assert decode_dv_blob(fh.read(size)).size == card
+
+
+def test_dv_blob_rejects_truncation():
+    """Truncated/empty blobs (e.g. a null content_size_in_bytes read 0
+    bytes) must raise a diagnosable ValueError, not struct.error."""
+    with pytest.raises(ValueError, match="truncated"):
+        decode_dv_blob(b"")
+    whole = encode_dv_blob([1, 2, 3])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_dv_blob(whole[: len(whole) - 2])  # CRC cut off
+    with pytest.raises(ValueError, match="truncated"):
+        decode_dv_blob(whole[:6])  # mid-payload
