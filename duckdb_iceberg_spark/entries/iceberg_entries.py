@@ -643,6 +643,46 @@ ORDER BY p_partkey
 """
 
 
+def _iceberg_dv_roundtrip(spark, sf):
+    """Native v3 WRITE round-trip: create a format_version=3 table,
+    append supplier, DELETE (s_suppkey % 7 = 0) then UPDATE
+    (s_suppkey % 7 = 3 -> s_acctbal = -999.99) — both mutations emit
+    Puffin DELETION VECTORS (merge rule applied, zero position-delete
+    parquet) via writer._write_position_deletes — and read the result
+    back through the executor-side DV decode path. The reference
+    cannot write OR read v3 tables at all."""
+    import tempfile
+
+    from duckdb_iceberg_spark.writer import IcebergTable
+
+    s = spark.read.parquet(os.path.join(sf, "supplier.parquet"))
+    path = tempfile.mkdtemp(prefix="ice_dvw_") + "/t"
+    t = IcebergTable.create(spark, path, s.limit(0), format_version=3)
+    t.append(s)
+    t = IcebergTable(spark, path)
+    t.delete_where("s_suppkey % 7 = 0")
+    t = IcebergTable(spark, path)
+    t.update_where("s_suppkey % 7 = 3", {"s_acctbal": "CAST(-999.99 AS DOUBLE)"})
+    return (
+        iceberg_scan(spark, path)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("s_acctbal"), 2).alias("acctbal"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_ICEBERG_DV_RT_SQL = """
+SELECT s_suppkey, s_name,
+       ROUND(CASE WHEN s_suppkey % 7 = 3 THEN -999.99 ELSE s_acctbal END, 2) AS acctbal
+FROM supplier
+WHERE s_suppkey % 7 <> 0
+ORDER BY s_suppkey
+"""
+
+
 _SALT_TUNE: dict[str, int] = {}
 
 

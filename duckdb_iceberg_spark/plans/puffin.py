@@ -57,10 +57,47 @@ def write_puffin_dv_file(path: str, dvs: dict[str, list], *, snapshot_id: int = 
     return out
 
 
+def write_puffin_blobs(path: str, blobs: list[tuple[str, bytes, int]], *, snapshot_id: int = 1, sequence_number: int = 1) -> dict[str, tuple[int, int, int]]:
+    """Write one Puffin file from PRE-ENCODED deletion-vector blobs
+    (``[(referenced_data_file, blob_bytes, cardinality), ...]`` —
+    encoding happened executor-side). Assembled in memory and written
+    through plans/fs (write_atomic), so v3 tables on object stores get
+    their DV files too. Returns {referenced_data_file:
+    (content_offset, content_size_in_bytes, cardinality)}."""
+    from .fs import get_fs
+
+    out: dict[str, tuple[int, int, int]] = {}
+    blobs_meta = []
+    buf = bytearray(MAGIC)
+    for ref, blob, card in blobs:
+        off = len(buf)
+        buf += blob
+        out[ref] = (off, len(blob), card)
+        blobs_meta.append(
+            {
+                "type": "deletion-vector-v1",
+                "fields": [],
+                "snapshot-id": snapshot_id,
+                "sequence-number": sequence_number,
+                "offset": off,
+                "length": len(blob),
+                "properties": {
+                    "referenced-data-file": ref,
+                    "cardinality": str(card),
+                },
+            }
+        )
+    payload = json.dumps({"blobs": blobs_meta, "properties": {}}).encode("utf-8")
+    buf += MAGIC + payload + struct.pack("<i", len(payload)) + b"\x00\x00\x00\x00" + MAGIC
+    get_fs(path).write_atomic(path, bytes(buf))
+    return out
+
+
 def read_puffin_footer(path: str) -> dict:
     """Parse a Puffin footer -> the payload JSON dict."""
-    with open(path, "rb") as fh:
-        data = fh.read()
+    from .fs import get_fs
+
+    data = get_fs(path).read_bytes(path)
     if data[:4] != MAGIC or data[-4:] != MAGIC:
         raise ValueError("not a Puffin file (magic mismatch)")
     (size,) = struct.unpack_from("<i", data, len(data) - 12)

@@ -262,6 +262,25 @@ _MANIFEST_ENTRY_SCHEMA = {
                         "default": None,
                         "field-id": 135,
                     },
+                    # Iceberg v3 deletion vectors (spec fields 143-145)
+                    {
+                        "name": "referenced_data_file",
+                        "type": ["null", "string"],
+                        "default": None,
+                        "field-id": 143,
+                    },
+                    {
+                        "name": "content_offset",
+                        "type": ["null", "long"],
+                        "default": None,
+                        "field-id": 144,
+                    },
+                    {
+                        "name": "content_size_in_bytes",
+                        "type": ["null", "long"],
+                        "default": None,
+                        "field-id": 145,
+                    },
                 ],
             },
         },
@@ -424,12 +443,20 @@ class IcebergTable:
         partition_by: Optional[list] = None,
         properties: Optional[dict] = None,
         metadata_compression_codec: str = "none",
+        format_version: int = 2,
     ) -> "IcebergTable":
         """CTAS. ``partition_by`` entries: ``"col"`` (identity),
         ``("days"|"months"|"years"|"hours", col)``, or
         ``("bucket"|"truncate", N, col)`` — Iceberg hidden partitioning
         (the reference's own provisioner uses ``days(dt)``,
-        reference scripts/provision.py:92)."""
+        reference scripts/provision.py:92).
+
+        ``format_version=3`` writes an Iceberg v3 table: DELETE /
+        UPDATE / MERGE emit Puffin deletion vectors instead of
+        position-delete parquet (beyond the reference, which has no v3
+        support at all)."""
+        if format_version not in (2, 3):
+            raise ValueError(f"format_version must be 2 or 3, got {format_version}")
         from .plans.fs import abspath, get_fs
 
         path = abspath(path)
@@ -453,7 +480,7 @@ class IcebergTable:
                 }
             )
         doc = {
-            "format-version": 2,
+            "format-version": format_version,
             "table-uuid": str(uuid.uuid4()),
             "location": path,
             "last-sequence-number": 0,
@@ -627,7 +654,118 @@ class IcebergTable:
     def schema(self) -> IcebergSchema:
         return self.meta.schemas[self.meta.current_schema_id]
 
+    @property
+    def format_version(self) -> int:
+        return int(self.meta.raw.get("format-version", 2))
+
     # -- low-level writers ------------------------------------------------
+
+    def _write_position_deletes(self, matched: DataFrame) -> list[dict]:
+        """Position deletes for ``matched`` rows (must carry the scan's
+        ``__file``/``__pos`` metadata columns), in the table's
+        format-version dialect: v2 writes position-delete parquet
+        (spec field ids 2147483546/2147483545); v3 writes Puffin
+        DELETION VECTORS — one roaring bitmap per affected data file,
+        encoded EXECUTOR-side (applyInPandas over file_path groups) so
+        only the compressed blobs return to the driver (the same
+        per-file bound every Iceberg DV writer holds in memory), then
+        assembled into a single Puffin file through plans/fs.
+
+        v3 merge rule: the spec forbids adding a second DV for a data
+        file without merging, so existing DV positions for the
+        affected files are unioned in before encoding. The superseded
+        entry remains in older manifests (this writer appends
+        manifests rather than rewriting history); readers that union
+        all DVs (this engine) and readers that take only the newest
+        (the merged superset) both see the same rows."""
+        dels = (
+            matched.select(
+                F.regexp_replace(F.col("__file"), r"^file:/+", "/").alias("file_path"),
+                F.col("__pos").cast("long").alias("pos"),
+            )
+            .dropDuplicates()
+            .repartition("file_path")
+            .sortWithinPartitions("file_path", "pos")
+        )
+        if self.format_version < 3:
+            dels = dels.select(
+                F.col("file_path").alias("file_path", metadata={"parquet.field.id": 2147483546}),
+                F.col("pos").alias("pos", metadata={"parquet.field.id": 2147483545}),
+            )
+            files = self._write_parquet_files(dels)
+            for f in files:
+                f["content"] = 1
+            return files
+        return self._write_deletion_vectors(dels)
+
+    def _write_deletion_vectors(self, dels: DataFrame) -> list[dict]:
+        """v3 path of :meth:`_write_position_deletes`: ``dels`` is a
+        deduplicated (file_path, pos) frame."""
+        from .plans.manifests import load_table_scan
+        from .plans.puffin import write_puffin_blobs
+        from .sources.iceberg import _dv_deletes_df
+
+        snap = self.meta.latest_snapshot()
+        if snap is not None:
+            scan = load_table_scan(self.meta, snap, self.path, False)
+            prior = [
+                e
+                for e in scan.positional_delete_files()
+                if e.content_offset is not None
+            ]
+            if prior:
+                affected = dels.select("file_path").distinct()
+                dels = dels.unionByName(
+                    _dv_deletes_df(self.spark, prior).join(
+                        F.broadcast(affected), "file_path", "left_semi"
+                    )
+                ).dropDuplicates()
+
+        def _encode(pdf):
+            import pandas as pd
+
+            from .plans.roaring import encode_dv_blob
+
+            positions = pdf["pos"].to_numpy()
+            blob = encode_dv_blob(sorted(set(int(p) for p in positions)))
+            return pd.DataFrame(
+                {
+                    "file_path": [pdf["file_path"].iloc[0]],
+                    "blob": [blob],
+                    "cardinality": [len(set(positions))],
+                }
+            )
+
+        encoded = (
+            dels.groupBy("file_path")
+            .applyInPandas(_encode, "file_path string, blob binary, cardinality long")
+            .collect()
+        )
+        if not encoded:
+            return []
+        puffin = os.path.join(
+            self.path, "data", f"{uuid.uuid4().hex}-deletes.puffin"
+        )
+        seq = self.meta.raw.get("last-sequence-number", 0) + 1
+        info = write_puffin_blobs(
+            puffin,
+            [(r.file_path, bytes(r.blob), r.cardinality) for r in encoded],
+            sequence_number=seq,
+        )
+        total = sum(s for _o, s, _c in info.values())
+        return [
+            {
+                "file_path": puffin,
+                "file_format": "PUFFIN",
+                "content": 1,
+                "record_count": card,
+                "file_size_in_bytes": total,
+                "referenced_data_file": ref,
+                "content_offset": off,
+                "content_size_in_bytes": sz,
+            }
+            for ref, (off, sz, card) in info.items()
+        ]
 
     def _column_bounds(self, pqmeta) -> tuple[dict, dict, dict]:
         """Per-file lower/upper bounds and null counts keyed by field
@@ -863,6 +1001,9 @@ class IcebergTable:
                         "lower_bounds": kv_bounds(f.get("lower_bounds")),
                         "upper_bounds": kv_bounds(f.get("upper_bounds")),
                         "equality_ids": f.get("equality_ids"),
+                        "referenced_data_file": f.get("referenced_data_file"),
+                        "content_offset": f.get("content_offset"),
+                        "content_size_in_bytes": f.get("content_size_in_bytes"),
                     },
                 }
                 for f in files
@@ -875,7 +1016,7 @@ class IcebergTable:
                     "schema": json.dumps(_schema_to_json(self.schema)),
                     "partition-spec": "[]",
                     "partition-spec-id": str(spec_id),
-                    "format-version": "2",
+                    "format-version": str(self.format_version),
                     "content": "data" if content == 0 else "deletes",
                 },
             )
@@ -906,7 +1047,11 @@ class IcebergTable:
             ml_path,
             _MANIFEST_FILE_SCHEMA,
             manifests,
-            metadata={"format-version": "2", "snapshot-id": str(snap_id), "sequence-number": str(seq)},
+            metadata={
+                "format-version": str(self.format_version),
+                "snapshot-id": str(snap_id),
+                "sequence-number": str(seq),
+            },
         )
 
         summary = {"operation": operation}
@@ -1131,21 +1276,7 @@ class IcebergTable:
         rows (no data-file rewrite). `condition` is a Column or SQL string."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         matched = self._scan_with_pos().filter(cond)
-        dels = (
-            matched.select(
-                F.regexp_replace(F.col("__file"), r"^file:/+", "/").alias("file_path"),
-                F.col("__pos").alias("pos"),
-            )
-            .repartition("file_path")
-            .sortWithinPartitions("file_path", "pos")
-        )
-        dels = dels.select(
-            F.col("file_path").alias("file_path", metadata={"parquet.field.id": 2147483546}),
-            F.col("pos").alias("pos", metadata={"parquet.field.id": 2147483545}),
-        )
-        files = self._write_parquet_files(dels)
-        for f in files:
-            f["content"] = 1
+        files = self._write_position_deletes(matched)
         if not files:
             return
         n = sum(f["record_count"] for f in files)
@@ -1167,21 +1298,7 @@ class IcebergTable:
             updated = updated.withColumn(col, expr)
         updated = updated.drop("__file", "__pos")
         new_files = self._write_parquet_files(self._aligned(updated), partitioned=True)
-        dels = (
-            matched.select(
-                F.regexp_replace(F.col("__file"), r"^file:/+", "/").alias("file_path"),
-                F.col("__pos").alias("pos"),
-            )
-            .repartition("file_path")
-            .sortWithinPartitions("file_path", "pos")
-        )
-        dels = dels.select(
-            F.col("file_path").alias("file_path", metadata={"parquet.field.id": 2147483546}),
-            F.col("pos").cast("long").alias("pos", metadata={"parquet.field.id": 2147483545}),
-        )
-        del_files = self._write_parquet_files(dels)
-        for f in del_files:
-            f["content"] = 1
+        del_files = self._write_position_deletes(matched)
         if not del_files and not new_files:
             return
         n = sum(f["record_count"] for f in del_files)
@@ -1230,22 +1347,7 @@ class IcebergTable:
         del_files: list[dict] = []
         new_files: list[dict] = []
         if when_matched_update or when_matched_delete:
-            dels = (
-                matched.select(
-                    F.regexp_replace(F.col("__file"), r"^file:/+", "/").alias("file_path"),
-                    F.col("__pos").alias("pos"),
-                )
-                .dropDuplicates()
-                .repartition("file_path")
-                .sortWithinPartitions("file_path", "pos")
-            )
-            dels = dels.select(
-                F.col("file_path").alias("file_path", metadata={"parquet.field.id": 2147483546}),
-                F.col("pos").cast("long").alias("pos", metadata={"parquet.field.id": 2147483545}),
-            )
-            del_files = self._write_parquet_files(dels)
-            for f in del_files:
-                f["content"] = 1
+            del_files = self._write_position_deletes(matched)
         if when_matched_update:
             sel = []
             for c in (cc.name for cc in self.schema.columns):

@@ -695,3 +695,56 @@ def test_memory_fs_scan_write_commit_cas(spark, tmp_path):
     with pytest.raises(CommitConflictError):
         t.add_column("clash", "int")  # stale handle: version already taken
     MemoryFS.clear()
+
+
+def test_v3_deletion_vector_writes(spark, tmp_path):
+    """format_version=3 tables write Puffin deletion vectors instead
+    of position-delete parquet: delete_where/update_where/merge all
+    route through _write_position_deletes, a second delete on the same
+    files MERGES (v3 spec: never two unmerged DVs for one data file —
+    the newest must be a superset), and both scan paths agree."""
+    from duckdb_iceberg_spark import iceberg_scan
+    from duckdb_iceberg_spark.writer import IcebergTable
+    from duckdb_iceberg_spark.plans.fs import read_range
+    from duckdb_iceberg_spark.plans.manifests import load_table_scan
+    from duckdb_iceberg_spark.plans.roaring import decode_dv_blob
+    from duckdb_iceberg_spark.plans.table_metadata import load_table_metadata
+
+    n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    path = str(tmp_path / "t")
+    t = IcebergTable.create(spark, path, n.limit(0), format_version=3)
+    t.append(n)
+    t = IcebergTable(spark, path)
+    t.delete_where("n_nationkey % 5 = 0")
+    got = sorted(r.n_nationkey for r in iceberg_scan(spark, path).collect())
+    want = sorted(r.n_nationkey for r in n.collect() if r.n_nationkey % 5 != 0)
+    assert got == want
+    # every delete file is a Puffin DV, no parquet deletes
+    lf = iceberg_scan(spark, path, mode="list_files").collect()
+    dels = [r.file for r in lf if r.type == "delete"]
+    assert dels and all(f.endswith(".puffin") for f in dels)
+    # second delete -> merge rule: newest DV per file supersets older
+    t = IcebergTable(spark, path)
+    t.delete_where("n_nationkey % 5 = 1")
+    got2 = sorted(r.n_nationkey for r in iceberg_scan(spark, path).collect())
+    assert got2 == sorted(k for k in want if k % 5 != 1)
+    assert got2 == sorted(
+        r.n_nationkey for r in iceberg_scan(spark, path, io="arrow").collect()
+    )
+    meta = load_table_metadata(path)
+    scan = load_table_scan(meta, meta.latest_snapshot(), path, False)
+    by_ref: dict = {}
+    for e in scan.positional_delete_files():
+        assert e.content_offset is not None  # v3: DVs only
+        pos = set(
+            decode_dv_blob(
+                read_range(e.file_path, e.content_offset, e.content_size)
+            ).tolist()
+        )
+        by_ref.setdefault(e.referenced_data_file, []).append(
+            (e.sequence_number, pos)
+        )
+    for lst in by_ref.values():
+        lst.sort(key=lambda x: x[0])
+        for older, newer in zip(lst, lst[1:]):
+            assert older[1] <= newer[1]
