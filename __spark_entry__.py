@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_pruned_scan": _iceberg_pruned_scan,
         "iceberg_write_pipeline": _iceberg_write_pipeline,
         "rest_catalog_commit": _rest_catalog_commit,
+        "rest_mutation_pipeline": _rest_mutation_pipeline,
         "rest_catalog_listing": _rest_catalog_listing,
         "iceberg_merge_upsert": _iceberg_merge_upsert,
         "iceberg_changelog": _iceberg_changelog,
@@ -476,6 +477,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_metadata_entries": _ICEBERG_MD_SQL,
         "iceberg_write_pipeline": _ICEBERG_WP_SQL,
         "rest_catalog_commit": _REST_COMMIT_SQL,
+        "rest_mutation_pipeline": _ICEBERG_WP_SQL,
         "rest_catalog_listing": _REST_LISTING_SQL,
         "iceberg_wap_branch": _ICEBERG_WAP_SQL,
         "streaming_from_iceberg": _ICEBERG_SRC_SQL,

@@ -497,6 +497,49 @@ FROM del
 """
 
 
+def _rest_mutation_pipeline(spark, sf):
+    """REST-catalog twin of iceberg_write_pipeline (reference
+    updates_v2/q01-q08 shapes): every mutation step commits THROUGH
+    the catalog — the client diffs table metadata before/after and
+    POSTs spec update types (add-schema + set-current-schema for the
+    DDL steps, add-snapshot + set-snapshot-ref for the DML, with
+    assert-ref-snapshot-id / assert-current-schema-id requirements) —
+    and the final scan resolves the metadata-location FROM the
+    catalog, so the result validates the SERVER-side apply logic, not
+    just the local writer. The reference only ever loads through REST
+    (scripts/start-rest-catalog.sh:14-27); committing through it is a
+    deliberate extension."""
+    import tempfile
+
+    from duckdb_iceberg_spark.sources.rest_catalog import RestCatalog
+    from duckdb_iceberg_spark.sources.rest_server import LocalRestCatalogServer
+
+    srv = LocalRestCatalogServer()
+    srv.start()
+    try:
+        cat = RestCatalog(srv.uri)
+        df = _t(spark, sf, "supplier").select(
+            "s_suppkey", "s_name", "s_nationkey", F.col("s_acctbal").cast("double").alias("s_acctbal")
+        )
+        loc = tempfile.mkdtemp(prefix="ice_rmp_") + "/t"
+        cat.create_table(spark, "default", "sup", df, loc)
+        steps = [
+            lambda t: t.update_where("s_suppkey % 7 = 0", {"s_acctbal": F.lit(None).cast("double")}),
+            lambda t: t.insert_sql("SELECT * FROM t WHERE s_suppkey % 13 = 0"),
+            lambda t: t.delete_where("s_suppkey % 11 = 0"),
+            lambda t: t.add_column("evolved", "int", default=42),
+            lambda t: t.update_where("s_suppkey % 5 = 0", {"evolved": "CAST(s_suppkey AS INT)"}),
+            lambda t: t.alter_column_type("evolved", "long"),
+        ]
+        for step in steps:
+            cat.commit(spark, "default", "sup", step)
+        return cat.scan(spark, "default", "sup").select(
+            "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("s_acctbal"), "evolved"
+        )
+    finally:
+        srv.stop()
+
+
 def _iceberg_wap_branch(spark, sf):
     """Write-audit-publish: stage two appends on an 'audit' branch
     (invisible to plain reads — asserted), then fast_forward publishes

@@ -488,8 +488,12 @@ def _text_entropy(spark, sf):
     # order-independent — a plain double sum differs between engines
     # in the last ulp depending on hash-aggregation order, and at sf100
     # one doc in 5M landed exactly on the FLOOR*10000 boundary
-    # (3.8749|3.875). log2(n) gets the same per-value snap so the final
-    # expression's inputs are bit-identical in both engines.
+    # (3.8749|3.875). log2(n) gets the same per-value snap. Rounding
+    # removes the ORDER dependence, not cross-engine libm/JVM log2 ulp
+    # drift: a term landing within half an ulp of a .5*1e-8 boundary
+    # could still round apart. That residual class is guarded by the
+    # sf100 strict sweep; if a boundary hit ever recurs, switch to a
+    # shared rational log2 approximation.
     term = F.round(F.col("c") * F.log2("c") * F.lit(1e8)).cast("long")
     return (
         counts.groupBy("doc_id")

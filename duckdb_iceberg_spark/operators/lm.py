@@ -123,6 +123,12 @@ def bigram_lm_score(
     call that silently runs jobs before ``.count()``/``.write`` is a
     surprise (r8 ADVICE); the entry layer passes 4M when the corpus
     size gate says the broadcast floors pay off.
+
+    .. versionchanged:: round 9
+       The default changed from ``4_000_000`` to ``0``: the broadcast
+       specialization is now opt-in. External callers relying on the
+       old eager default must pass ``bigram_broadcast_limit=4_000_000``
+       explicitly to restore the previous plan shape.
     """
     from pyspark.sql import Window
 

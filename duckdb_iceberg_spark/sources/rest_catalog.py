@@ -287,16 +287,28 @@ class RestCatalog:
         return t
 
     def commit_append(self, spark: SparkSession, namespace: str, table: str, df: DataFrame) -> str:
-        """Append THROUGH the catalog: write data files + manifests with
-        the native writer, then ``POST /v1/namespaces/{ns}/tables/{t}``
-        with the spec's optimistic-concurrency commit body —
-        ``requirements`` (assert-ref-snapshot-id on main, pinned to the
-        base snapshot read from the catalog) and ``updates``
-        (add-snapshot + set-snapshot-ref). The catalog validates the
-        requirement against ITS current state (a raced commit returns
-        409 -> CommitConflictError; reload and retry), applies the
-        updates to the authoritative metadata, and returns the new
-        metadata-location, which this method returns.
+        """Append THROUGH the catalog — :meth:`commit` with
+        ``t.append(df)`` as the mutation."""
+        return self.commit(spark, namespace, table, lambda t: t.append(df))
+
+    def commit(self, spark: SparkSession, namespace: str, table: str, mutate) -> str:
+        """Run ``mutate(IcebergTable)`` — any native-writer operation:
+        append / delete_where / update_where / merge / add_column /
+        alter_column_type / expire_snapshots — then POST the metadata
+        DELTA to the catalog as the spec's optimistic-concurrency
+        commit body and return the new authoritative
+        metadata-location.
+
+        The delta is computed by diffing the table metadata before and
+        after the mutation and emitted as spec update types:
+        ``add-schema`` + ``set-current-schema`` (DDL), ``add-snapshot``
+        per new snapshot + ``set-snapshot-ref`` (DML),
+        ``set-properties`` / ``remove-properties``, and
+        ``remove-snapshots`` (expiration). Requirements pin
+        ``assert-ref-snapshot-id`` on main to the base snapshot and —
+        when the commit changes the schema —
+        ``assert-current-schema-id`` to the base schema id; a raced
+        commit gets 409 -> CommitConflictError (reload and retry).
 
         All catalog traffic is KB-scale JSON on the driver; the data
         path (parquet + avro manifests) is written by executors exactly
@@ -308,33 +320,74 @@ class RestCatalog:
 
         tpath = _os.path.dirname(_os.path.dirname(mloc))
         t = IcebergTable(spark, tpath)
-        base_snap = t.meta.raw.get("current-snapshot-id", -1)
-        t.append(df)
+        base = t.meta.raw
+        base_snap = base.get("current-snapshot-id", -1)
+        base_schema_id = base.get("current-schema-id", 0)
+        base_snap_ids = {s["snapshot-id"] for s in base.get("snapshots", [])}
+        base_schema_ids = {s.get("schema-id") for s in base.get("schemas", [])}
+        base_props = dict(base.get("properties", {}))
+        mutate(t)
         doc = t.meta.raw
-        new_snap_id = doc["current-snapshot-id"]
-        snapshot = next(s for s in doc["snapshots"] if s["snapshot-id"] == new_snap_id)
+
+        updates: list[dict] = []
+        requirements: list[dict] = [
+            {
+                "type": "assert-ref-snapshot-id",
+                "ref": "main",
+                "snapshot-id": None if base_snap == -1 else base_snap,
+            }
+        ]
+        for s in doc.get("schemas", []):
+            if s.get("schema-id") not in base_schema_ids:
+                updates.append(
+                    {
+                        "action": "add-schema",
+                        "schema": s,
+                        "last-column-id": doc.get("last-column-id", 0),
+                    }
+                )
+        if doc.get("current-schema-id", 0) != base_schema_id:
+            requirements.append(
+                {"type": "assert-current-schema-id", "current-schema-id": base_schema_id}
+            )
+            updates.append(
+                {"action": "set-current-schema", "schema-id": doc["current-schema-id"]}
+            )
+        new_snaps = [
+            s for s in doc.get("snapshots", []) if s["snapshot-id"] not in base_snap_ids
+        ]
+        new_snaps.sort(key=lambda s: s.get("sequence-number", 0))
+        for s in new_snaps:
+            updates.append({"action": "add-snapshot", "snapshot": s})
+        removed = base_snap_ids - {s["snapshot-id"] for s in doc.get("snapshots", [])}
+        if removed:
+            updates.append({"action": "remove-snapshots", "snapshot-ids": sorted(removed)})
+        new_head = doc.get("current-snapshot-id", -1)
+        if new_head != base_snap and new_head != -1:
+            updates.append(
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "main",
+                    "type": "branch",
+                    "snapshot-id": new_head,
+                }
+            )
+        props = dict(doc.get("properties", {}))
+        changed = {k: v for k, v in props.items() if base_props.get(k) != v}
+        if changed:
+            updates.append({"action": "set-properties", "updates": changed})
+        gone = [k for k in base_props if k not in props]
+        if gone:
+            updates.append({"action": "remove-properties", "removals": sorted(gone)})
+
         ns = urllib.parse.quote(namespace)
         resp = self._request(
             "POST",
             f"/v1/namespaces/{ns}/tables/{urllib.parse.quote(table)}",
             {
                 "identifier": {"namespace": namespace.split("."), "name": table},
-                "requirements": [
-                    {
-                        "type": "assert-ref-snapshot-id",
-                        "ref": "main",
-                        "snapshot-id": None if base_snap == -1 else base_snap,
-                    }
-                ],
-                "updates": [
-                    {"action": "add-snapshot", "snapshot": snapshot},
-                    {
-                        "action": "set-snapshot-ref",
-                        "ref-name": "main",
-                        "type": "branch",
-                        "snapshot-id": new_snap_id,
-                    },
-                ],
+                "requirements": requirements,
+                "updates": updates,
             },
         )
         loc = resp.get("metadata-location")

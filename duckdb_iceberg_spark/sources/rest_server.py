@@ -31,6 +31,10 @@ import uuid
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
 
+class _BadRequest(ValueError):
+    """Malformed client input -> HTTP 400."""
+
+
 def _read_metadata(path: str) -> dict:
     with open(path, "rb") as f:
         raw = f.read()
@@ -61,12 +65,20 @@ class LocalRestCatalogServer:
         doc = _read_metadata(mloc)
         cur = doc.get("current-snapshot-id", -1)
         for req in body.get("requirements", []):
-            if req.get("type") == "assert-ref-snapshot-id" and req.get("ref") == "main":
+            rtype = req.get("type")
+            if rtype == "assert-ref-snapshot-id" and req.get("ref") == "main":
                 want = req.get("snapshot-id")
                 have = None if cur == -1 else cur
                 if want != have:
                     raise ValueError(
                         f"requirement failed: ref main is at {have}, commit asserts {want}"
+                    )
+            elif rtype == "assert-current-schema-id":
+                want = req.get("current-schema-id")
+                have = doc.get("current-schema-id", 0)
+                if want != have:
+                    raise ValueError(
+                        f"requirement failed: current schema is {have}, commit asserts {want}"
                     )
         for upd in body.get("updates", []):
             action = upd.get("action")
@@ -96,6 +108,38 @@ class LocalRestCatalogServer:
                 props = dict(doc.get("properties", {}))
                 props.update(upd.get("updates", {}))
                 doc["properties"] = props
+            elif action == "remove-properties":
+                props = dict(doc.get("properties", {}))
+                for k in upd.get("removals", []):
+                    props.pop(k, None)
+                doc["properties"] = props
+            elif action == "add-schema":
+                schema = upd["schema"]
+                schemas = [
+                    s for s in doc.get("schemas", []) if s.get("schema-id") != schema.get("schema-id")
+                ]
+                doc["schemas"] = schemas + [schema]
+                field_ids = [f.get("id", 0) for f in schema.get("fields", [])]
+                doc["last-column-id"] = max(
+                    doc.get("last-column-id", 0),
+                    upd.get("last-column-id", 0),
+                    max(field_ids or [0]),
+                )
+            elif action == "set-current-schema":
+                sid = upd["schema-id"]
+                if sid == -1:  # spec: -1 = the schema added in this commit
+                    sid = doc["schemas"][-1]["schema-id"]
+                if not any(s.get("schema-id") == sid for s in doc.get("schemas", [])):
+                    raise KeyError(f"schema {sid} not in table metadata")
+                doc["current-schema-id"] = sid
+            elif action == "remove-snapshots":
+                gone = set(upd.get("snapshot-ids", []))
+                doc["snapshots"] = [
+                    s for s in doc.get("snapshots", []) if s["snapshot-id"] not in gone
+                ]
+                doc["snapshot-log"] = [
+                    e for e in doc.get("snapshot-log", []) if e["snapshot-id"] not in gone
+                ]
             else:
                 raise ValueError(f"unsupported update action {action!r}")
         doc["metadata-log"] = doc.get("metadata-log", []) + [
@@ -129,18 +173,31 @@ class LocalRestCatalogServer:
                 """Iceberg REST list pagination: pageToken is the
                 offset into the (stable-sorted) full listing; emit
                 next-page-token while more remain. Real catalogs cap
-                pageSize server-side the same way (here: 1000)."""
+                pageSize server-side the same way (here: 1000).
+                Garbage pageToken/pageSize raises _BadRequest -> 400
+                (not a dropped connection)."""
                 import urllib.parse as _up
 
                 q = _up.parse_qs(_up.urlsplit(self.path).query)
-                size = min(int(q.get("pageSize", ["1000"])[0]), 1000)
-                off = int(q.get("pageToken", ["0"])[0])
+                try:
+                    size = min(int(q.get("pageSize", ["1000"])[0]), 1000)
+                    off = int(q.get("pageToken", ["0"])[0])
+                except ValueError:
+                    raise _BadRequest("invalid pageToken/pageSize") from None
+                if size < 0 or off < 0:
+                    raise _BadRequest("invalid pageToken/pageSize")
                 doc = {key: items[off : off + size]}
                 if off + size < len(items):
                     doc["next-page-token"] = str(off + size)
                 return doc
 
             def do_GET(self):
+                try:
+                    return self._do_get()
+                except _BadRequest as e:
+                    return self._send(400, {"error": {"message": str(e)}})
+
+            def _do_get(self):
                 path = self.path.split("?")[0]
                 if not self._authed():
                     return self._send(401, {"error": {"message": "unauthorized"}})
@@ -164,7 +221,10 @@ class LocalRestCatalogServer:
                             }
                         )
                     else:
-                        out = levels
+                        # spec: no parent -> FIRST-LEVEL namespaces only
+                        # (a client recursing with parent= must not see
+                        # children twice)
+                        out = sorted({n.split(".")[0] for n in levels})
                     return self._send(
                         200, self._page([n.split(".") for n in out], "namespaces")
                     )

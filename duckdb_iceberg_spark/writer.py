@@ -1532,6 +1532,25 @@ class IcebergTable:
         doc["last-updated-ms"] = _now_ms()
         self._write_metadata(doc)
 
+    def set_properties(self, props: dict) -> None:
+        """ALTER TABLE SET TBLPROPERTIES — metadata-only version bump."""
+        doc = dict(self.meta.raw)
+        merged = dict(doc.get("properties", {}))
+        merged.update({str(k): str(v) for k, v in props.items()})
+        doc["properties"] = merged
+        doc["last-updated-ms"] = _now_ms()
+        self._write_metadata(doc)
+
+    def remove_properties(self, keys: list[str]) -> None:
+        """ALTER TABLE UNSET TBLPROPERTIES."""
+        doc = dict(self.meta.raw)
+        props = dict(doc.get("properties", {}))
+        for k in keys:
+            props.pop(k, None)
+        doc["properties"] = props
+        doc["last-updated-ms"] = _now_ms()
+        self._write_metadata(doc)
+
     # -- maintenance ------------------------------------------------------
 
     def rewrite_data_files(

@@ -324,3 +324,74 @@ def test_rest_require_auth_401_and_oauth_path():
         assert cat.list_tables("default") == ["t"]
     finally:
         srv.stop()
+
+
+def test_rest_toplevel_listing_excludes_nested():
+    """GET /v1/namespaces WITHOUT parent returns first-level
+    namespaces only (Iceberg REST spec) — a client recursing with
+    parent= must not see ns_a.child alongside ns_a. Garbage
+    pageToken/pageSize gets a 400, not a dropped connection."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from duckdb_iceberg_spark.sources.rest_catalog import RestCatalog
+    from duckdb_iceberg_spark.sources.rest_server import LocalRestCatalogServer
+
+    srv = LocalRestCatalogServer()
+    srv.start()
+    try:
+        cat = RestCatalog(srv.uri)
+        cat.register_table("ns_a", "t", "/tmp/x/t.metadata.json")
+        cat.register_table("ns_a.child1", "c", "/tmp/x/c.metadata.json")
+        cat.register_table("ns_b", "s", "/tmp/x/s.metadata.json")
+        assert cat.list_namespaces() == [("ns_a",), ("ns_b",)]
+        with urllib.request.urlopen(f"{srv.uri}/v1/namespaces?pageToken=bogus") as r:
+            raise AssertionError(f"expected 400, got {r.status}")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "pageToken" in _json.loads(e.read())["error"]["message"]
+    finally:
+        srv.stop()
+
+
+def test_rest_commit_ddl_and_expiration(spark, tmp_path):
+    """The generic RestCatalog.commit diffs metadata before/after a
+    native-writer mutation and POSTs spec update types; the SERVER
+    applies add-schema / set-current-schema / remove-snapshots /
+    set-properties / remove-properties to ITS authoritative copy, and
+    the catalog-resolved scan reflects each one."""
+    from duckdb_iceberg_spark.plans.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.rest_catalog import RestCatalog
+    from duckdb_iceberg_spark.sources.rest_server import LocalRestCatalogServer
+
+    srv = LocalRestCatalogServer()
+    srv.start()
+    try:
+        cat = RestCatalog(srv.uri)
+        n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+        cat.create_table(spark, "default", "nat", n, str(tmp_path / "t"))
+        # DML through the catalog
+        cat.commit(spark, "default", "nat", lambda t: t.delete_where("n_nationkey >= 20"))
+        # DDL: new schema must reach the catalog copy
+        cat.commit(spark, "default", "nat", lambda t: t.add_column("flag", "int", default=7))
+        df = cat.scan(spark, "default", "nat")
+        assert "flag" in df.columns
+        rows = df.collect()
+        assert {r.n_nationkey for r in rows} == {
+            r.n_nationkey for r in n.collect() if r.n_nationkey < 20
+        }
+        assert {r.flag for r in rows} == {7}
+        # properties + snapshot expiration
+        cat.commit(spark, "default", "nat", lambda t: t.set_properties({"owner": "pipeline"}))
+        mdoc = load_table_metadata(cat.metadata_location("default", "nat")).raw
+        assert mdoc["properties"]["owner"] == "pipeline"
+        before = len(mdoc["snapshots"])
+        cat.commit(spark, "default", "nat", lambda t: t.expire_snapshots(keep_last=1))
+        mdoc = load_table_metadata(cat.metadata_location("default", "nat")).raw
+        assert len(mdoc["snapshots"]) < before
+        # the catalog copy still scans to the same rows
+        rows2 = cat.scan(spark, "default", "nat").collect()
+        assert {r.n_nationkey for r in rows2} == {r.n_nationkey for r in rows}
+    finally:
+        srv.stop()
