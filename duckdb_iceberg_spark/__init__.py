@@ -11,10 +11,12 @@ Public API (SURVEY.md §7.1):
 from .session import get_spark
 from .sources.iceberg import (
     iceberg_history,
+    iceberg_join,
     iceberg_metadata,
     iceberg_partitions,
     iceberg_scan,
     iceberg_snapshots,
+    iceberg_table_statistics,
     register_sql_views,
 )
 from .sources.rest_catalog import RestCatalog
@@ -27,6 +29,8 @@ __all__ = [
     "iceberg_metadata",
     "iceberg_history",
     "iceberg_partitions",
+    "iceberg_table_statistics",
+    "iceberg_join",
     "register_sql_views",
     "IcebergTable",
     "RestCatalog",

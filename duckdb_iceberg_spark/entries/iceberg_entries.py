@@ -497,6 +497,42 @@ FROM del
 """
 
 
+def _iceberg_table_stats(spark, sf):
+    """Puffin TABLE STATISTICS round-trip: compaction writes one
+    exact-NDV blob per column into a stats Puffin file registered in
+    metadata.json `statistics` (Iceberg spec "Table statistics"); the
+    metadata table reads the ndv back — payload-verified against the
+    blob property — all driver-side KB-scale I/O. These are the
+    numbers iceberg_join's broadcast decision consumes. The reference
+    neither writes nor reads statistics."""
+    import tempfile
+
+    from duckdb_iceberg_spark import iceberg_table_statistics
+    from duckdb_iceberg_spark.writer import IcebergTable
+
+    p = _t(spark, sf, "part")
+    path = tempfile.mkdtemp(prefix="ice_stats_") + "/t"
+    t = IcebergTable.create(spark, path, p)
+    t.rewrite_data_files(collect_statistics=True)
+    return (
+        iceberg_table_statistics(spark, path, verify_payload=True)
+        .select(F.col("column").alias("col_name"), "ndv")
+        .orderBy("col_name")
+    )
+
+
+_ICEBERG_STATS_SQL = """
+SELECT col_name, ndv FROM (
+  SELECT 'p_partkey' AS col_name, COUNT(DISTINCT p_partkey) AS ndv FROM part
+  UNION ALL SELECT 'p_name', COUNT(DISTINCT p_name) FROM part
+  UNION ALL SELECT 'p_brand', COUNT(DISTINCT p_brand) FROM part
+  UNION ALL SELECT 'p_type', COUNT(DISTINCT p_type) FROM part
+  UNION ALL SELECT 'p_size', COUNT(DISTINCT p_size) FROM part
+  UNION ALL SELECT 'p_retailprice', COUNT(DISTINCT p_retailprice) FROM part
+) ORDER BY col_name
+"""
+
+
 def _rest_mutation_pipeline(spark, sf):
     """REST-catalog twin of iceberg_write_pipeline (reference
     updates_v2/q01-q08 shapes): every mutation step commits THROUGH

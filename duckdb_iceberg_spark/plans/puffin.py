@@ -93,6 +93,46 @@ def write_puffin_blobs(path: str, blobs: list[tuple[str, bytes, int]], *, snapsh
     return out
 
 
+def write_puffin_stats_file(path: str, blobs: list[dict], *, snapshot_id: int, sequence_number: int) -> dict:
+    """Write a Puffin TABLE-STATISTICS file (Iceberg spec "Table
+    statistics"): ``blobs`` entries are ``{"type": str, "fields":
+    [field_id, ...], "properties": {str: str}, "payload": bytes}``.
+    Returns the metadata.json ``statistics`` list entry for this file
+    (statistics-path / file-size-in-bytes / file-footer-size-in-bytes
+    / blob-metadata), which interoperable planners read to get e.g.
+    each column's ``ndv`` property without touching the payloads."""
+    from .fs import get_fs
+
+    blobs_meta = []
+    buf = bytearray(MAGIC)
+    for b in blobs:
+        payload = b["payload"]
+        off = len(buf)
+        buf += payload
+        blobs_meta.append(
+            {
+                "type": b["type"],
+                "fields": list(b.get("fields", [])),
+                "snapshot-id": snapshot_id,
+                "sequence-number": sequence_number,
+                "offset": off,
+                "length": len(payload),
+                "properties": dict(b.get("properties", {})),
+            }
+        )
+    fpayload = json.dumps({"blobs": blobs_meta, "properties": {}}).encode("utf-8")
+    footer = MAGIC + fpayload + struct.pack("<i", len(fpayload)) + b"\x00\x00\x00\x00" + MAGIC
+    buf += footer
+    get_fs(path).write_atomic(path, bytes(buf))
+    return {
+        "snapshot-id": snapshot_id,
+        "statistics-path": path,
+        "file-size-in-bytes": len(buf),
+        "file-footer-size-in-bytes": len(footer),
+        "blob-metadata": blobs_meta,
+    }
+
+
 def read_puffin_footer(path: str) -> dict:
     """Parse a Puffin footer -> the payload JSON dict."""
     from .fs import get_fs

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import datetime
 import json
+import math
 import os
 from typing import Any, Optional
 
@@ -1105,6 +1106,114 @@ def iceberg_metadata(
                 )
             )
     return spark.createDataFrame(rows, _METADATA_SCHEMA)
+
+
+def iceberg_table_statistics(
+    spark: SparkSession,
+    path: str,
+    *,
+    metadata_compression_codec: str = "none",
+    verify_payload: bool = False,
+) -> DataFrame:
+    """Table-statistics metadata table: one row per statistics blob —
+    ``(snapshot_id, column, blob_type, ndv)`` — from metadata.json's
+    ``statistics`` list (Iceberg spec "Table statistics", written by
+    :meth:`IcebergTable.compute_statistics`). Pure driver-side
+    metadata: the blob ``ndv`` PROPERTY carries the number (the part
+    Trino/Spark planners consume); ``verify_payload=True``
+    additionally cross-checks each ndv-long-v1 payload through
+    plans/fs.read_range. The reference has no statistics support."""
+    import struct as _struct
+
+    from ..plans.fs import read_range
+
+    meta = _load(
+        path,
+        version=None,
+        version_name_format=DEFAULT_TABLE_VERSION_FORMAT,
+        metadata_compression_codec=metadata_compression_codec,
+        unsafe_enable_version_guessing=False,
+    )
+    schema = meta.schemas[meta.current_schema_id]
+    id_to_name = {c.field_id: c.name for c in schema.columns}
+    rows = []
+    for s in meta.raw.get("statistics", []):
+        for b in s.get("blob-metadata", []):
+            fields = b.get("fields") or []
+            col = id_to_name.get(fields[0]) if len(fields) == 1 else None
+            ndv = b.get("properties", {}).get("ndv")
+            ndv = int(ndv) if ndv is not None else None
+            if verify_payload and b.get("type") == "ndv-long-v1":
+                raw = read_range(s["statistics-path"], b["offset"], b["length"])
+                (payload_ndv,) = _struct.unpack("<q", raw)
+                if payload_ndv != ndv:
+                    raise ValueError(
+                        f"statistics blob payload/property mismatch for {col}: "
+                        f"{payload_ndv} != {ndv}"
+                    )
+            rows.append((s.get("snapshot-id"), col, b.get("type"), ndv))
+    return spark.createDataFrame(
+        rows, "snapshot_id long, column string, blob_type string, ndv long"
+    )
+
+
+def iceberg_join(
+    spark: SparkSession,
+    fact: DataFrame,
+    dim_path: str,
+    on: str | list[str],
+    *,
+    how: str = "inner",
+    broadcast_threshold_bytes: int = 32 * 1024 * 1024,
+    **scan_opts,
+) -> DataFrame:
+    """Statistics-informed join of ``fact`` against an Iceberg dim
+    table: the broadcast decision comes from TABLE METADATA — total
+    live data-file bytes from the manifests, de-rated by the join
+    keys' ndv when statistics say the keys are heavily duplicated
+    (a dim whose on-disk size fits the threshold but whose key ndv is
+    tiny still broadcasts fine; a giant dim never does). No data is
+    read to plan: at 100 TB the decision costs two KB-scale metadata
+    reads. Falls back to a plain join (AQE decides) above threshold."""
+    from ..plans.manifests import load_table_scan
+
+    keys = [on] if isinstance(on, str) else list(on)
+    meta = _load(
+        dim_path,
+        version=None,
+        version_name_format=DEFAULT_TABLE_VERSION_FORMAT,
+        metadata_compression_codec=scan_opts.get("metadata_compression_codec", "none"),
+        unsafe_enable_version_guessing=False,
+    )
+    snap = meta.latest_snapshot()
+    dim = iceberg_scan(spark, dim_path, **scan_opts)
+    if snap is None:
+        return fact.join(dim, keys, how)
+    scan = load_table_scan(meta, snap, _table_root(dim_path), False)
+    total_bytes = sum(e.file_size_in_bytes for e in scan.data_files())
+    total_rows = sum(e.record_count for e in scan.data_files()) or 1
+    # ndv of the (first) join key, when statistics were collected: if
+    # every key value repeats r times on the dim, the broadcast hash
+    # relation stores ~total_bytes but probes like ndv rows — size
+    # stays the gate; ndv only ever RELAXES it for near-empty-key dims
+    schema = meta.schemas[meta.current_schema_id]
+    name_to_id = {c.name: c.field_id for c in schema.columns}
+    ndv = None
+    for s in meta.raw.get("statistics", []):
+        if s.get("snapshot-id") != snap.snapshot_id:
+            continue
+        for b in s.get("blob-metadata", []):
+            if b.get("fields") == [name_to_id.get(keys[0])]:
+                v = b.get("properties", {}).get("ndv")
+                ndv = int(v) if v is not None else None
+    est = total_bytes
+    if ndv is not None and total_rows:
+        # distinct-key projection of the build side: the hash relation
+        # after de-dup by key can't exceed ndv/rows of the raw bytes
+        est = min(est, math.ceil(total_bytes * (ndv / total_rows)) )
+    if est <= broadcast_threshold_bytes:
+        return fact.join(F.broadcast(dim), keys, how)
+    return fact.join(dim, keys, how)
 
 
 def register_sql_views(spark, path: str, name: str, **opts) -> list[str]:

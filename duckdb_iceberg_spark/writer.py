@@ -1553,11 +1553,70 @@ class IcebergTable:
 
     # -- maintenance ------------------------------------------------------
 
+    def compute_statistics(self, columns: Optional[list[str]] = None, *, exact: bool = True) -> dict:
+        """Write a Puffin TABLE-STATISTICS file with one NDV blob per
+        column and register it under metadata.json ``statistics``
+        (Iceberg spec "Table statistics" — the reference reads no
+        stats at all; Trino/Spark planners use the blob ``ndv``
+        property for join sizing, and so does this engine's
+        :func:`~.sources.iceberg.iceberg_join`).
+
+        ``exact=True`` computes COUNT(DISTINCT col) — one aggregation
+        pass over the live rows, oracle-comparable, the
+        'exact-from-distincts-projection' option; ``exact=False`` uses
+        approx_count_distinct (HLL, single no-shuffle-heavy pass), the
+        100 TB path where a 2% ndv error is irrelevant to a broadcast
+        decision. The blob payload is the 8-byte LE ndv
+        (``ndv-long-v1``, an engine extension type — a
+        spec-conformant reader that only understands theta sketches
+        still gets the number from the ``ndv`` property, which is the
+        part the ecosystem actually consumes)."""
+        import struct as _struct
+
+        from .plans.puffin import write_puffin_stats_file
+
+        atomic = [
+            c
+            for c in self.schema.columns
+            if not str(c.spark_type).startswith(("ArrayType", "MapType", "StructType"))
+        ]
+        cols = [c for c in atomic if columns is None or c.name in set(columns)]
+        if not cols:
+            raise ValueError("no eligible columns for statistics")
+        fn = F.countDistinct if exact else F.approx_count_distinct
+        row = self.scan().agg(*[fn(c.name).alias(c.name) for c in cols]).first()
+        snap = self.meta.latest_snapshot()
+        snap_id = snap.snapshot_id if snap is not None else -1
+        seq = self.meta.raw.get("last-sequence-number", 0)
+        path = os.path.join(
+            self.path, "metadata", f"{uuid.uuid4().hex}-stats.puffin"
+        )
+        blobs = [
+            {
+                "type": "ndv-long-v1",
+                "fields": [c.field_id],
+                "properties": {"ndv": str(int(row[c.name] or 0))},
+                "payload": _struct.pack("<q", int(row[c.name] or 0)),
+            }
+            for c in cols
+        ]
+        entry = write_puffin_stats_file(
+            path, blobs, snapshot_id=snap_id, sequence_number=seq
+        )
+        doc = dict(self.meta.raw)
+        doc["statistics"] = [
+            s for s in doc.get("statistics", []) if s.get("snapshot-id") != snap_id
+        ] + [entry]
+        doc["last-updated-ms"] = _now_ms()
+        self._write_metadata(doc)
+        return entry
+
     def rewrite_data_files(
         self,
         target_file_size_bytes: int = 128 * 1024 * 1024,
         sort_by: Optional[list[str]] = None,
         zorder_by: Optional[list[str]] = None,
+        collect_statistics: bool = False,
     ) -> None:
         """Compaction: materialize current live rows (deletes applied),
         write right-sized data files, commit a `replace` snapshot that
@@ -1645,6 +1704,11 @@ class IcebergTable:
             extra_summary={"total-position-deletes": "0", "rewritten-to-files": str(len(files))},
             doc_updates=doc_updates,
         )
+        if collect_statistics:
+            # compaction just rewrote every live row — the cheapest
+            # moment to refresh table statistics (Spark's
+            # rewrite_data_files offers the same coupling)
+            self.compute_statistics()
 
     def rewrite_manifests(self) -> None:
         """Consolidate the manifest tree: merge all live manifest

@@ -328,3 +328,36 @@ def test_bigram_lm_small_model_no_instance_shuffle(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "Window" not in plan  # the windowed shape is the big-vocab fallback
+
+
+def test_stats_informed_broadcast_choice(spark, tmp_path):
+    """iceberg_join decides broadcast-vs-shuffle from TABLE METADATA
+    (manifest byte totals + Puffin statistics ndv), without reading
+    data: a small dim broadcasts; the same dim with the threshold
+    forced to 0 does not."""
+    from duckdb_iceberg_spark import IcebergTable, iceberg_join, iceberg_table_statistics
+
+    n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    path = str(tmp_path / "dim")
+    t = IcebergTable.create(spark, path, n)
+    t.rewrite_data_files(collect_statistics=True)
+    # the stats round-trip: ndv rows present, payload == property
+    stats = {
+        r.column: r.ndv
+        for r in iceberg_table_statistics(spark, path, verify_payload=True).collect()
+    }
+    assert stats["n_nationkey"] == n.count()  # key column is unique
+    fact = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").withColumnRenamed(
+        "c_nationkey", "n_nationkey"
+    )
+    joined = iceberg_join(spark, fact, path, "n_nationkey")
+    assert "BroadcastHashJoin" in _plan(joined)
+    # the decision is OURS, not AQE's: the broadcast hint is in the
+    # optimized logical plan when stats say yes, absent when the
+    # threshold forbids it (AQE may still convert the tiny join at
+    # runtime — that is its job — but the planner hint must differ)
+    assert "strategy=broadcast" in joined._jdf.queryExecution().optimizedPlan().toString()
+    assert joined.count() == fact.count()
+    forced = iceberg_join(spark, fact, path, "n_nationkey", broadcast_threshold_bytes=0)
+    assert "strategy=broadcast" not in forced._jdf.queryExecution().optimizedPlan().toString()
+    assert forced.count() == fact.count()
