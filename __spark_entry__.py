@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_deletion_vectors": _iceberg_deletion_vectors,
         "iceberg_dv_roundtrip": _iceberg_dv_roundtrip,
         "iceberg_table_stats": _iceberg_table_stats,
+        "iceberg_row_lineage": _iceberg_row_lineage,
         # skew-resilient join
         "join_salted": _join_salted,
         # co-located (bucketed) join
@@ -495,6 +496,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_deletion_vectors": _ICEBERG_DV_SQL,
         "iceberg_dv_roundtrip": _ICEBERG_DV_RT_SQL,
         "iceberg_table_stats": _ICEBERG_STATS_SQL,
+        "iceberg_row_lineage": _ICEBERG_LINEAGE_SQL,
         "iceberg_merge_upsert": _ICEBERG_MERGE_SQL,
         "join_salted": _JOIN_SALTED_SQL,
         "join_bucketed": _JOIN_BUCKETED_SQL,

@@ -497,6 +497,51 @@ FROM del
 """
 
 
+def _iceberg_row_lineage(spark, sf):
+    """Iceberg v3 ROW LINEAGE: every committed data file gets the
+    _row_id of its first row (spec field 142, chained off the table's
+    next-row-id); the scan inherits per-row ids from a broadcast
+    per-file map (zero shuffle) and exposes _row_id /
+    _last_updated_sequence_number virtual columns. Built: two appends
+    (nation split at key 10) then a DV delete — ids must be unique,
+    stable under the delete, and grouped by committing snapshot.
+    The reference has no v3 support at all."""
+    import tempfile
+
+    from duckdb_iceberg_spark.writer import IcebergTable
+
+    n = _t(spark, sf, "nation")
+    path = tempfile.mkdtemp(prefix="ice_lin_") + "/t"
+    t = IcebergTable.create(spark, path, n.limit(0), format_version=3)
+    t.append(n.filter("n_nationkey < 10").orderBy("n_nationkey").coalesce(1))
+    t = IcebergTable(spark, path)
+    t.append(n.filter("n_nationkey >= 10").orderBy("n_nationkey").coalesce(1))
+    t = IcebergTable(spark, path)
+    t.delete_where("n_nationkey % 4 = 0")
+    df = iceberg_scan(spark, path, row_lineage=True)
+    return df.select(
+        "_row_id",
+        F.dense_rank()
+        .over(Window.orderBy("_last_updated_sequence_number"))
+        .alias("commit_no"),
+        "n_nationkey",
+    ).orderBy("_row_id")
+
+
+_ICEBERG_LINEAGE_SQL = """
+WITH base AS (
+  SELECT n_nationkey, CASE WHEN n_nationkey < 10 THEN 1 ELSE 2 END AS grp FROM nation),
+ids AS (
+  SELECT n_nationkey, grp,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY n_nationkey) - 1
+         + CASE WHEN grp = 1 THEN 0
+                ELSE (SELECT COUNT(*) FROM base WHERE grp = 1) END AS _row_id
+  FROM base)
+SELECT _row_id, CAST(grp AS INT) AS commit_no, n_nationkey FROM ids
+WHERE n_nationkey % 4 <> 0 ORDER BY _row_id
+"""
+
+
 def _iceberg_table_stats(spark, sf):
     """Puffin TABLE STATISTICS round-trip: compaction writes one
     exact-NDV blob per column into a stats Puffin file registered in

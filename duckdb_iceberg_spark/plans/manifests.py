@@ -68,6 +68,10 @@ class ManifestEntry:
     referenced_data_file: Optional[str] = None
     content_offset: Optional[int] = None
     content_size: Optional[int] = None
+    # Iceberg v3 row lineage (spec field 142): the _row_id of this
+    # data file's first row; row N in the file has _row_id
+    # first_row_id + N. None = lineage not tracked (v1/v2 files).
+    first_row_id: Optional[int] = None
 
 
 def read_manifest_list(path: str, format_version: int) -> list[ManifestFile]:
@@ -119,6 +123,7 @@ def read_manifest_entries(path: str, format_version: int, manifest: Optional[Man
                 referenced_data_file=df.get("referenced_data_file"),
                 content_offset=df.get("content_offset"),
                 content_size=df.get("content_size_in_bytes"),
+                first_row_id=df.get("first_row_id"),
             )
         )
     return out

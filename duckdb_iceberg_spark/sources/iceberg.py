@@ -216,6 +216,7 @@ def iceberg_scan(
     ref: Optional[str] = None,
     time_as_string: bool = False,
     io: str = "spark",
+    row_lineage: bool = False,
     _keep_position_columns: bool = False,
 ) -> DataFrame:
     """Read an Iceberg table at a snapshot, applying delete files.
@@ -245,6 +246,16 @@ def iceberg_scan(
     translated into stats_filter ranges (and partition equality) so
     non-matching files are skipped entirely. Anything unparseable
     still filters correctly, it just prunes less.
+
+    ``row_lineage`` (v3 tables) appends the two Iceberg row-lineage
+    virtual columns: ``_row_id`` (the data file's ``first_row_id``,
+    spec field 142, plus the row's position — inherited executor-side
+    from a broadcast per-file map, no shuffle) and
+    ``_last_updated_sequence_number`` (the file's data sequence
+    number). Files written without lineage (v1/v2 history) yield NULL
+    ids, per spec inheritance. Known divergence: this writer's MoR
+    UPDATE gives rewritten rows FRESH ids (delete+insert lineage)
+    instead of carrying the old ``_row_id`` forward.
 
     ``time_as_string`` renders Iceberg ``time`` columns (physically
     micros-since-midnight LONGs — Spark has no TIME type) as
@@ -317,6 +328,8 @@ def iceberg_scan(
             raise ValueError(
                 "io='arrow' requires schema inference and does not expose position columns"
             )
+        if row_lineage:
+            raise ValueError("row_lineage requires the default io='spark' path")
         from .arrow_scan import arrow_scan_df
 
         nm = meta.properties.get("schema.name-mapping.default")
@@ -354,7 +367,9 @@ def iceberg_scan(
     # scan() call is a global side effect on concurrent queries).
     if spark.conf.get("spark.sql.parquet.fieldId.read.enabled", "false") != "true":
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    want_pos = bool(pos_delete_files or dv_entries or eq_deletes or _keep_position_columns)
+    want_pos = bool(
+        pos_delete_files or dv_entries or eq_deletes or _keep_position_columns or row_lineage
+    )
     pos_cols = [
         _decode_file_uri(F.col("_metadata.file_path")).alias("__file"),
         F.col("_metadata.row_index").alias("__pos"),
@@ -437,7 +452,32 @@ def iceberg_scan(
     if eq_deletes:
         df = _apply_equality_deletes(spark, df, scan, schema, allow_moved_paths)
 
-    if (pos_delete_files or dv_entries or eq_deletes) and not _keep_position_columns:
+    if row_lineage:
+        # inherit _row_id / _last_updated_sequence_number from a
+        # broadcast (file -> first_row_id, seq) map: O(#files) driver
+        # rows, zero shuffle — matches how every v3 reader assigns
+        # lineage at scan time
+        lrows = [
+            (
+                e.file_path,
+                e.first_row_id if e.first_row_id is not None else None,
+                int(e.sequence_number or 0),
+            )
+            for e in data_entries
+        ]
+        ldf = spark.createDataFrame(lrows, "lfile string, lfirst long, lseq long")
+        if allow_moved_paths:
+            lcond = _tail(df["__file"]) == _tail(ldf["lfile"])
+        else:
+            lcond = _norm_path(df["__file"]) == _norm_path(ldf["lfile"])
+        df = (
+            df.join(F.broadcast(ldf), lcond, "left")
+            .withColumn("_row_id", F.col("lfirst") + F.col("__pos"))
+            .withColumn("_last_updated_sequence_number", F.col("lseq"))
+            .drop("lfile", "lfirst", "lseq")
+        )
+
+    if want_pos and not _keep_position_columns:
         df = df.drop("__file", "__pos")
 
     # initial-default for columns added after some files were written

@@ -262,6 +262,13 @@ _MANIFEST_ENTRY_SCHEMA = {
                         "default": None,
                         "field-id": 135,
                     },
+                    # Iceberg v3 row lineage (spec field 142)
+                    {
+                        "name": "first_row_id",
+                        "type": ["null", "long"],
+                        "default": None,
+                        "field-id": 142,
+                    },
                     # Iceberg v3 deletion vectors (spec fields 143-145)
                     {
                         "name": "referenced_data_file",
@@ -1001,6 +1008,7 @@ class IcebergTable:
                         "lower_bounds": kv_bounds(f.get("lower_bounds")),
                         "upper_bounds": kv_bounds(f.get("upper_bounds")),
                         "equality_ids": f.get("equality_ids"),
+                        "first_row_id": f.get("first_row_id"),
                         "referenced_data_file": f.get("referenced_data_file"),
                         "content_offset": f.get("content_offset"),
                         "content_size_in_bytes": f.get("content_size_in_bytes"),
@@ -1037,6 +1045,27 @@ class IcebergTable:
                 "deleted_rows_count": 0,
             }
 
+        # Iceberg v3 row lineage: every new data file gets the _row_id
+        # of its first row, chained off the table's next-row-id cursor
+        # (spec field 142 + "next-row-id"); row N of the file is
+        # first_row_id + N on read. Delete files never consume ids.
+        # Known divergence: MoR UPDATE rewrites assign FRESH ids to the
+        # rewritten rows (delete+insert lineage) rather than carrying
+        # the old _row_id through — documented in iceberg_scan's
+        # row_lineage doc.
+        first_row_id_base = None
+        if self.format_version >= 3 and new_data_files:
+            cursor = int(doc.get("next-row-id", 0))
+            assigned = False
+            for f in new_data_files:
+                # carried entries (overwrite keep-list) keep their ids
+                if f.get("first_row_id") is None:
+                    if not assigned:
+                        first_row_id_base = cursor
+                        assigned = True
+                    f["first_row_id"] = cursor
+                    cursor += int(f["record_count"])
+            doc["next-row-id"] = cursor
         if new_data_files:
             manifests = manifests + [write_manifest(new_data_files, 0)]
         if new_delete_files:
@@ -1061,6 +1090,7 @@ class IcebergTable:
             "sequence-number": seq,
             "timestamp-ms": ts,
             "manifest-list": ml_path,
+            **({"first-row-id": first_row_id_base} if first_row_id_base is not None else {}),
             "schema-id": current_schema_id if current_schema_id is not None else doc.get("current-schema-id", 0),
             "summary": summary,
         }
@@ -1256,6 +1286,8 @@ class IcebergTable:
                             "lower_bounds": e.lower_bounds,
                             "upper_bounds": e.upper_bounds,
                             "null_value_counts": e.null_value_counts,
+                            # v3 row lineage: carried files keep their ids
+                            "first_row_id": e.first_row_id,
                         }
                     )
         else:

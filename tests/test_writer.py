@@ -748,3 +748,47 @@ def test_v3_deletion_vector_writes(spark, tmp_path):
         lst.sort(key=lambda x: x[0])
         for older, newer in zip(lst, lst[1:]):
             assert older[1] <= newer[1]
+
+
+def test_v3_row_lineage(spark, tmp_path):
+    """v3 row lineage: first_row_id chains across commits off
+    next-row-id, ids survive deletes, and overwrite_partitions CARRIES
+    untouched files' ids while giving replaced partitions fresh ones."""
+    from duckdb_iceberg_spark import iceberg_scan
+    from duckdb_iceberg_spark.writer import IcebergTable
+
+    n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    path = str(tmp_path / "t")
+    t = IcebergTable.create(spark, path, n.limit(0), format_version=3)
+    t.append(n.filter("n_nationkey < 10").orderBy("n_nationkey").coalesce(1))
+    t = IcebergTable(spark, path)
+    t.append(n.filter("n_nationkey >= 10").orderBy("n_nationkey").coalesce(1))
+    t = IcebergTable(spark, path)
+    assert t.meta.raw["next-row-id"] == 25
+    t.delete_where("n_nationkey % 4 = 0")
+    df = iceberg_scan(spark, path, row_lineage=True)
+    rows = {r.n_nationkey: (r._row_id, r._last_updated_sequence_number) for r in df.collect()}
+    assert 0 not in rows and 4 not in rows  # deleted
+    ids = [rid for rid, _ in rows.values()]
+    assert len(ids) == len(set(ids))  # unique
+    assert rows[1][0] == 1 and rows[10][0] == 10  # chained across commits
+    # two distinct committing sequence numbers, second append higher
+    assert rows[15][1] > rows[1][1]
+    # partitioned overwrite: untouched partition keeps its ids
+    p2 = str(tmp_path / "p")
+    docs = n.withColumn("grp", (F.col("n_nationkey") % 2).cast("int"))
+    t2 = IcebergTable.create(spark, p2, docs.limit(0), partition_by=["grp"], format_version=3)
+    t2.append(docs.orderBy("n_nationkey").coalesce(1))
+    t2 = IcebergTable(spark, p2)
+    before = {
+        r.n_nationkey: r._row_id
+        for r in iceberg_scan(spark, p2, row_lineage=True).collect()
+        if r.grp == 0
+    }
+    t2.overwrite_partitions(docs.filter("grp = 1").withColumn("n_name", F.lit("X")))
+    after = {
+        r.n_nationkey: r._row_id
+        for r in iceberg_scan(spark, p2, row_lineage=True).collect()
+        if r.grp == 0
+    }
+    assert after == before
