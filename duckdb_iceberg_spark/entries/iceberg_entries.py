@@ -767,6 +767,25 @@ ORDER BY p_partkey
 """
 
 
+def _iceberg_arrow_dv(spark, sf):
+    """The DV fixture (mixed v3 deletion vectors + leftover v2
+    positional parquet) read through io='arrow': DV blobs ranged-read
+    via plans/fs.read_range and applied IN-READER next to the classic
+    deletes — the JVM-free path for v3 object-store tables. Same
+    oracle as the default-path entry (results must be identical)."""
+    import tempfile
+
+    from duckdb_iceberg_spark.plans.foreign_fixture import write_dv_table
+
+    path = tempfile.mkdtemp(prefix="ice_dva_") + "/t"
+    write_dv_table(os.path.join(sf, "part.parquet"), path)
+    return (
+        iceberg_scan(spark, path, io="arrow")
+        .select("p_partkey", "p_brand", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
 def _iceberg_dv_roundtrip(spark, sf):
     """Native v3 WRITE round-trip: create a format_version=3 table,
     append supplier, DELETE (s_suppkey % 7 = 0) then UPDATE
