@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_foreign_eq_deletes": _iceberg_foreign_eq_deletes,
         "iceberg_deletion_vectors": _iceberg_deletion_vectors,
         "iceberg_arrow_dv": _iceberg_arrow_dv,
+        "iceberg_variant": _iceberg_variant,
         "iceberg_dv_roundtrip": _iceberg_dv_roundtrip,
         "iceberg_table_stats": _iceberg_table_stats,
         "iceberg_row_lineage": _iceberg_row_lineage,
@@ -496,6 +497,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_foreign_eq_deletes": _ICEBERG_FOREIGN_EQ_SQL,
         "iceberg_deletion_vectors": _ICEBERG_DV_SQL,
         "iceberg_arrow_dv": _ICEBERG_DV_SQL,
+        "iceberg_variant": _ICEBERG_VARIANT_SQL,
         "iceberg_dv_roundtrip": _ICEBERG_DV_RT_SQL,
         "iceberg_table_stats": _ICEBERG_STATS_SQL,
         "iceberg_row_lineage": _ICEBERG_LINEAGE_SQL,

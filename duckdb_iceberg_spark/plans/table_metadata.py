@@ -48,6 +48,10 @@ _PRIMITIVES: dict[str, T.DataType] = {
     # No Spark UUID type: string (reference generator does the same).
     "uuid": T.StringType(),
     "binary": T.BinaryType(),
+    # Iceberg v3 variant <-> Spark 4 VARIANT (both implement the same
+    # public binary-variant encoding lineage; Spark's parquet writer
+    # stores the (metadata, value) pair).
+    "variant": T.VariantType(),
 }
 
 _DECIMAL_RE = re.compile(r"decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)")

@@ -79,6 +79,8 @@ def _spark_to_iceberg_type(dt: T.DataType, next_id) -> Any:
         return "string"
     if isinstance(dt, T.BinaryType):
         return "binary"
+    if isinstance(dt, T.VariantType):
+        return "variant"
     if isinstance(dt, T.DecimalType):
         return f"decimal({dt.precision}, {dt.scale})"
     if isinstance(dt, T.StructType):
@@ -856,8 +858,18 @@ class IcebergTable:
                 if not name.endswith(".parquet"):
                     continue
                 src = os.path.join(root, name)
-                md = pq.ParquetFile(src).metadata
-                if md.num_rows == 0:
+                try:
+                    md = pq.ParquetFile(src).metadata
+                    n_rows = md.num_rows
+                except OSError:
+                    # footer carries a logical type this pyarrow can't
+                    # parse (e.g. Spark 4 VARIANT): count through Spark
+                    # and skip column bounds for the file —
+                    # correctness-safe (files without stats are never
+                    # pruned), variant columns have no zone maps anyway
+                    md = None
+                    n_rows = self.spark.read.parquet(src).count()
+                if n_rows == 0:
                     continue
                 if not local:
                     from .plans.fs import scheme_of
@@ -874,12 +886,14 @@ class IcebergTable:
                 os.makedirs(pdir, exist_ok=True)
                 dest = os.path.join(pdir, f"{uuid.uuid4().hex}.parquet")
                 shutil.move(src, dest)
-                lowers, uppers, nullcounts = self._column_bounds(md)
+                lowers, uppers, nullcounts = (
+                    self._column_bounds(md) if md is not None else ({}, {}, {})
+                )
                 out.append(
                     {
                         "file_path": dest,
                         "file_format": "PARQUET",
-                        "record_count": md.num_rows,
+                        "record_count": n_rows,
                         "file_size_in_bytes": os.path.getsize(dest),
                         "partition": partition,
                         "lower_bounds": lowers,
