@@ -1624,7 +1624,9 @@ class IcebergTable:
         atomic = [
             c
             for c in self.schema.columns
-            if not str(c.spark_type).startswith(("ArrayType", "MapType", "StructType"))
+            if not str(c.spark_type).startswith(
+                ("ArrayType", "MapType", "StructType", "VariantType")
+            )
         ]
         cols = [c for c in atomic if columns is None or c.name in set(columns)]
         if not cols:
