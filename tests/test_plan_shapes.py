@@ -361,3 +361,33 @@ def test_stats_informed_broadcast_choice(spark, tmp_path):
     forced = iceberg_join(spark, fact, path, "n_nationkey", broadcast_threshold_bytes=0)
     assert "strategy=broadcast" not in forced._jdf.queryExecution().optimizedPlan().toString()
     assert forced.count() == fact.count()
+
+
+def test_stats_ndv_derates_broadcast_estimate(spark, tmp_path):
+    """A dim whose RAW bytes exceed the threshold still broadcasts
+    when statistics show the join key is heavily duplicated (the
+    distinct-key projection of the build side is what the hash
+    relation costs) — and without stats the same threshold refuses."""
+    from duckdb_iceberg_spark import IcebergTable, iceberg_join
+
+    # 1500 customers keyed by 25 distinct nation keys
+    dim = (
+        spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        .withColumnRenamed("c_nationkey", "n_nationkey")
+    )
+    path = str(tmp_path / "dim")
+    t = IcebergTable.create(spark, path, dim)
+    from duckdb_iceberg_spark.plans.manifests import load_table_scan
+
+    raw_bytes = sum(
+        e.file_size_in_bytes
+        for e in load_table_scan(t.meta, t.meta.latest_snapshot(), t.path, False).data_files()
+    )
+    thresh = raw_bytes // 4  # raw size fails the gate on its own
+    fact = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    no_stats = iceberg_join(spark, fact, path, "n_nationkey", broadcast_threshold_bytes=thresh)
+    assert "strategy=broadcast" not in no_stats._jdf.queryExecution().optimizedPlan().toString()
+    t.compute_statistics()
+    with_stats = iceberg_join(spark, fact, path, "n_nationkey", broadcast_threshold_bytes=thresh)
+    assert "strategy=broadcast" in with_stats._jdf.queryExecution().optimizedPlan().toString()
+    assert with_stats.count() == no_stats.count()
