@@ -42,6 +42,10 @@ class ManifestFile:
     partition_spec_id: int = 0
     added_rows_count: int = 0
     existing_rows_count: int = 0
+    # v3 row lineage (spec field 520): start of the _row_id space
+    # assigned to this data manifest; data-file entries with null
+    # first_row_id inherit from it cumulatively on read
+    first_row_id: Optional[int] = None
 
 
 @dataclass
@@ -87,6 +91,7 @@ def read_manifest_list(path: str, format_version: int) -> list[ManifestFile]:
                 partition_spec_id=r.get("partition_spec_id", 0) or 0,
                 added_rows_count=r.get("added_rows_count") or r.get("added_files_count") or 0,
                 existing_rows_count=r.get("existing_rows_count") or 0,
+                first_row_id=r.get("first_row_id"),
             )
         )
     return out
@@ -95,6 +100,14 @@ def read_manifest_list(path: str, format_version: int) -> list[ManifestFile]:
 def read_manifest_entries(path: str, format_version: int, manifest: Optional[ManifestFile] = None) -> list[ManifestEntry]:
     _, records = read_avro_file(path)
     out = []
+    # v3 row-lineage inheritance: a data file with null first_row_id is
+    # assigned the manifest's first_row_id plus the cumulative
+    # record_count of preceding null-first_row_id data files in this
+    # manifest (Iceberg spec "Row Lineage" / "First Row ID
+    # Inheritance"). Spec-conformant foreign writers leave the per-file
+    # field null and only stamp the manifest-list entry; explicit
+    # per-file ids (this repo's writer) never consume inherited space.
+    lineage_cursor = manifest.first_row_id if manifest is not None else None
     for r in records:
         df = r["data_file"]
         # v1 entries have no per-file content field -> DATA; for v2 delete
@@ -104,6 +117,10 @@ def read_manifest_entries(path: str, format_version: int, manifest: Optional[Man
         if seq is None and manifest is not None:
             # inherited sequence number (entry written in same commit)
             seq = manifest.sequence_number
+        frid = df.get("first_row_id")
+        if frid is None and lineage_cursor is not None and content == FileContent.DATA:
+            frid = lineage_cursor
+            lineage_cursor += df.get("record_count", 0) or 0
         out.append(
             ManifestEntry(
                 status=EntryStatus(r["status"]),
@@ -123,7 +140,7 @@ def read_manifest_entries(path: str, format_version: int, manifest: Optional[Man
                 referenced_data_file=df.get("referenced_data_file"),
                 content_offset=df.get("content_offset"),
                 content_size=df.get("content_size_in_bytes"),
-                first_row_id=df.get("first_row_id"),
+                first_row_id=frid,
             )
         )
     return out

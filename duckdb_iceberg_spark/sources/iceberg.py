@@ -252,8 +252,13 @@ def iceberg_scan(
     spec field 142, plus the row's position — inherited executor-side
     from a broadcast per-file map, no shuffle) and
     ``_last_updated_sequence_number`` (the file's data sequence
-    number). Files written without lineage (v1/v2 history) yield NULL
-    ids, per spec inheritance. Known divergence: this writer's MoR
+    number). A data file with a null per-file ``first_row_id``
+    inherits it from its manifest's ``first_row_id`` (spec field 520)
+    plus the cumulative record counts of preceding null-id data files
+    in that manifest — the convention spec-conformant foreign v3
+    writers use (plans/manifests.read_manifest_entries). Only when
+    neither level carries lineage (v1/v2 history) do rows yield NULL
+    ids. Known divergence: this writer's MoR
     UPDATE gives rewritten rows FRESH ids (delete+insert lineage)
     instead of carrying the old ``_row_id`` forward.
 
@@ -1209,12 +1214,17 @@ def iceberg_join(
 ) -> DataFrame:
     """Statistics-informed join of ``fact`` against an Iceberg dim
     table: the broadcast decision comes from TABLE METADATA — total
-    live data-file bytes from the manifests, de-rated by the join
-    keys' ndv when statistics say the keys are heavily duplicated
-    (a dim whose on-disk size fits the threshold but whose key ndv is
-    tiny still broadcasts fine; a giant dim never does). No data is
-    read to plan: at 100 TB the decision costs two KB-scale metadata
-    reads. Falls back to a plain join (AQE decides) above threshold."""
+    live data-file bytes from the manifests. For semi/anti joins the
+    estimate is additionally de-rated by the join key's ndv from
+    Puffin statistics, because those joins only test key EXISTENCE:
+    the build side is first reduced to ``select(keys).distinct()``
+    (semantics-preserving for semi/anti), so the broadcast relation
+    really does hold ~ndv rows. For inner/outer joins no de-rate
+    applies — Spark's broadcast hash relation materializes EVERY
+    build row (duplicates must all be kept to emit matches), so raw
+    bytes are the honest estimate. No data is read to plan: at 100 TB
+    the decision costs two KB-scale metadata reads. Falls back to a
+    plain join (AQE decides) above threshold."""
     from ..plans.manifests import load_table_scan
 
     keys = [on] if isinstance(on, str) else list(on)
@@ -1232,10 +1242,9 @@ def iceberg_join(
     scan = load_table_scan(meta, snap, _table_root(dim_path), False)
     total_bytes = sum(e.file_size_in_bytes for e in scan.data_files())
     total_rows = sum(e.record_count for e in scan.data_files()) or 1
-    # ndv of the (first) join key, when statistics were collected: if
-    # every key value repeats r times on the dim, the broadcast hash
-    # relation stores ~total_bytes but probes like ndv rows — size
-    # stays the gate; ndv only ever RELAXES it for near-empty-key dims
+    # ndv of the (first) join key, when statistics were collected —
+    # only usable when the build side is deduplicated by the keys
+    # (semi/anti), see docstring
     schema = meta.schemas[meta.current_schema_id]
     name_to_id = {c.name: c.field_id for c in schema.columns}
     ndv = None
@@ -1246,13 +1255,18 @@ def iceberg_join(
             if b.get("fields") == [name_to_id.get(keys[0])]:
                 v = b.get("properties", {}).get("ndv")
                 ndv = int(v) if v is not None else None
-    est = total_bytes
-    if ndv is not None and total_rows:
-        # distinct-key projection of the build side: the hash relation
-        # after de-dup by key can't exceed ndv/rows of the raw bytes
-        est = min(est, math.ceil(total_bytes * (ndv / total_rows)) )
-    if est <= broadcast_threshold_bytes:
+    if total_bytes <= broadcast_threshold_bytes:
         return fact.join(F.broadcast(dim), keys, how)
+    semi_like = how.lower().replace("_", "") in ("semi", "leftsemi", "anti", "leftanti")
+    if semi_like and ndv is not None and total_rows:
+        # semi/anti only test key EXISTENCE, so the build side can be
+        # reduced to its distinct keys without changing results; the
+        # ndv-derated estimate is then honest — the broadcast relation
+        # holds ~ndv key-only rows, not every duplicated dim row.
+        derated = math.ceil(total_bytes * (ndv / total_rows))
+        if derated <= broadcast_threshold_bytes:
+            dim_keys = dim.select(*keys).dropDuplicates(keys)
+            return fact.join(F.broadcast(dim_keys), keys, how)
     return fact.join(dim, keys, how)
 
 

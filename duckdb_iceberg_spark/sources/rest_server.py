@@ -184,7 +184,11 @@ class LocalRestCatalogServer:
                     off = int(q.get("pageToken", ["0"])[0])
                 except ValueError:
                     raise _BadRequest("invalid pageToken/pageSize") from None
-                if size < 0 or off < 0:
+                # size < 1 included: pageSize=0 would answer an empty
+                # page whose next-page-token equals the request's own
+                # offset — a spec-following client that keeps fetching
+                # while next-page-token is present would loop forever
+                if size < 1 or off < 0:
                     raise _BadRequest("invalid pageToken/pageSize")
                 doc = {key: items[off : off + size]}
                 if off + size < len(items):

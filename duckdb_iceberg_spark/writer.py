@@ -173,6 +173,10 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "added_rows_count", "type": "long", "field-id": 512},
         {"name": "existing_rows_count", "type": "long", "field-id": 513},
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        # v3 row lineage (spec field 520): starting _row_id of the id
+        # space assigned to this data manifest; entries with null
+        # first_row_id inherit from it cumulatively on read
+        {"name": "first_row_id", "type": ["null", "long"], "default": None, "field-id": 520},
     ],
 }
 
@@ -508,6 +512,12 @@ class IcebergTable:
             "snapshot-log": [],
             "metadata-log": [],
         }
+        if format_version >= 3:
+            # v3 makes next-row-id required in table metadata from the
+            # very first document (row-lineage cursor; no rows assigned
+            # yet -> 0). Spec-conformant validators reject v3 metadata
+            # lacking the key.
+            doc["next-row-id"] = 0
         suffix = ".gz" if metadata_compression_codec == "gzip" else ""
         mpath = os.path.join(path, "metadata", f"v1{suffix}.metadata.json")
         _dump_metadata_json(mpath, doc, metadata_compression_codec)
@@ -682,11 +692,12 @@ class IcebergTable:
 
         v3 merge rule: the spec forbids adding a second DV for a data
         file without merging, so existing DV positions for the
-        affected files are unioned in before encoding. The superseded
-        entry remains in older manifests (this writer appends
-        manifests rather than rewriting history); readers that union
-        all DVs (this engine) and readers that take only the newest
-        (the merged superset) both see the same rows."""
+        affected files are unioned in before encoding, and the
+        superseded DV entries are tombstoned (status=DELETED) in the
+        new snapshot's manifests by _commit — no snapshot ever
+        exposes two live DVs for one data file, which strict v3
+        readers (Iceberg Java, DuckDB) reject."""
+        self._pending_superseded = None
         dels = (
             matched.select(
                 F.regexp_replace(F.col("__file"), r"^file:/+", "/").alias("file_path"),
@@ -715,6 +726,7 @@ class IcebergTable:
         from .sources.iceberg import _dv_deletes_df
 
         snap = self.meta.latest_snapshot()
+        prior = []
         if snap is not None:
             scan = load_table_scan(self.meta, snap, self.path, False)
             prior = [
@@ -752,6 +764,18 @@ class IcebergTable:
         )
         if not encoded:
             return []
+        # v3 merge rule bookkeeping: any prior DV whose referenced data
+        # file just got a merged superset DV is SUPERSEDED — record it
+        # so _commit tombstones the old entry in the new snapshot's
+        # manifests (the spec forbids two live DVs for one data file)
+        # and callers can subtract the merged-in prior positions from
+        # their added-position-deletes summary.
+        written = {r.file_path for r in encoded}
+        self._pending_superseded = {
+            ((e.raw_file_path or e.file_path), e.content_offset): e.record_count
+            for e in prior
+            if e.referenced_data_file in written
+        }
         puffin = os.path.join(
             self.path, "data", f"{uuid.uuid4().hex}-deletes.puffin"
         )
@@ -927,6 +951,113 @@ class IcebergTable:
         _, records = read_avro_file(snap.manifest_list)
         return records
 
+    def _tombstone_delete_entries(
+        self,
+        manifests: list[dict],
+        keys: set[tuple],
+        snap_id: int,
+        meta_dir: str,
+    ) -> list[dict]:
+        """Rewrite carried delete manifests so entries matching
+        ``keys`` — ``(file_path-as-stored, content_offset)`` of
+        superseded deletion vectors — are marked status=DELETED in the
+        new snapshot. The v3 spec forbids two live DVs for one data
+        file; without this, a merged superset DV would coexist with
+        the older DV it replaced and strict readers (Iceberg Java,
+        DuckDB) could reject the table. Entries keep their original
+        sequence numbers (coalesced explicit, since the rewritten
+        manifest-list record retains the source manifest's
+        sequence_number); counts are recomputed by status."""
+        import copy
+
+        from .plans.avro import read_avro_file
+        from .plans.transforms import PartitionField
+
+        id_to_name = {c.field_id: c.name for c in self.schema.columns}
+
+        def entry_schema_for(spec_id: int) -> dict:
+            es = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+            spec = next(
+                (s for s in self.meta.partition_specs if s.get("spec-id", 0) == spec_id),
+                None,
+            )
+            fields = spec.get("fields", []) if spec else []
+            if fields:
+                pfields = [
+                    PartitionField.from_json(f, id_to_name[f["source-id"]]) for f in fields
+                ]
+                r102 = next(f for f in es["fields"] if f["name"] == "data_file")["type"]
+                next(f for f in r102["fields"] if f["name"] == "partition")["type"][
+                    "fields"
+                ] = _partition_avro_fields(pfields, self.schema)
+            return es
+
+        out = []
+        for m in manifests:
+            if (m.get("content", 0) or 0) != 1:
+                out.append(m)
+                continue
+            _, entries = read_avro_file(m["manifest_path"])
+            live_hit = any(
+                e.get("status") != 2
+                and (e["data_file"].get("file_path"), e["data_file"].get("content_offset"))
+                in keys
+                for e in entries
+            )
+            if not live_hit:
+                out.append(m)
+                continue
+            mseq = m.get("sequence_number", 0) or 0
+            new_entries = []
+            for e in entries:
+                seq_no = e.get("sequence_number")
+                fseq_no = e.get("file_sequence_number")
+                rec = {
+                    "status": e.get("status", 0),
+                    "snapshot_id": e.get("snapshot_id"),
+                    "sequence_number": mseq if seq_no is None else seq_no,
+                    "file_sequence_number": mseq if fseq_no is None else fseq_no,
+                    "data_file": e["data_file"],
+                }
+                df_ = e["data_file"]
+                if rec["status"] != 2 and (
+                    df_.get("file_path"),
+                    df_.get("content_offset"),
+                ) in keys:
+                    rec["status"] = 2
+                    rec["snapshot_id"] = snap_id
+                new_entries.append(rec)
+            spec_id = m.get("partition_spec_id", 0) or 0
+            mpath = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m1.avro")
+            length = write_avro_file(
+                mpath,
+                entry_schema_for(spec_id),
+                new_entries,
+                metadata={
+                    "schema": json.dumps(_schema_to_json(self.schema)),
+                    "partition-spec": "[]",
+                    "partition-spec-id": str(spec_id),
+                    "format-version": str(self.format_version),
+                    "content": "deletes",
+                },
+            )
+            by_status: dict[int, list[int]] = {0: [], 1: [], 2: []}
+            for rec in new_entries:
+                by_status.setdefault(rec["status"], []).append(
+                    rec["data_file"].get("record_count", 0) or 0
+                )
+            nm = dict(m)
+            nm["manifest_path"] = mpath
+            nm["manifest_length"] = length
+            nm["existing_files_count"] = len(by_status.get(0, []))
+            nm["added_files_count"] = len(by_status.get(1, []))
+            nm["deleted_files_count"] = len(by_status.get(2, []))
+            nm["existing_rows_count"] = sum(by_status.get(0, []))
+            nm["added_rows_count"] = sum(by_status.get(1, []))
+            nm["deleted_rows_count"] = sum(by_status.get(2, []))
+            out.append(nm)
+        return out
+
     def _commit(
         self,
         *,
@@ -964,6 +1095,12 @@ class IcebergTable:
             elif doc.get("current-snapshot-id", -1) != -1:
                 base_snapshot_id = doc["current-snapshot-id"]
         manifests = self._current_manifests(base_snapshot_id) if keep_previous else []
+        superseded = getattr(self, "_pending_superseded", None)
+        self._pending_superseded = None
+        if superseded and manifests:
+            manifests = self._tombstone_delete_entries(
+                manifests, set(superseded), snap_id, meta_dir
+            )
 
         import copy
 
@@ -1043,11 +1180,20 @@ class IcebergTable:
                 },
             )
             rows = sum(f["record_count"] for f in files)
+            frids = [
+                f["first_row_id"]
+                for f in files
+                if content == 0 and f.get("first_row_id") is not None
+            ]
             return {
                 "manifest_path": mpath,
                 "manifest_length": length,
                 "partition_spec_id": spec_id,
                 "content": 0 if content == 0 else 1,
+                # v3: manifest-level first_row_id = start of this
+                # manifest's assigned id space (files carry explicit
+                # ids too, so readers of either convention agree)
+                "first_row_id": (min(frids) if frids else None),
                 "sequence_number": seq,
                 "min_sequence_number": seq,
                 "added_snapshot_id": snap_id,
@@ -1068,15 +1214,15 @@ class IcebergTable:
         # the old _row_id through — documented in iceberg_scan's
         # row_lineage doc.
         first_row_id_base = None
-        if self.format_version >= 3 and new_data_files:
+        if self.format_version >= 3:
+            # every v3 snapshot carries first-row-id (spec: required),
+            # equal to the pre-commit next-row-id when the commit
+            # assigns no new ids (e.g. delete-only snapshots)
             cursor = int(doc.get("next-row-id", 0))
-            assigned = False
-            for f in new_data_files:
+            first_row_id_base = cursor
+            for f in new_data_files or []:
                 # carried entries (overwrite keep-list) keep their ids
                 if f.get("first_row_id") is None:
-                    if not assigned:
-                        first_row_id_base = cursor
-                        assigned = True
                     f["first_row_id"] = cursor
                     cursor += int(f["record_count"])
             doc["next-row-id"] = cursor
@@ -1325,7 +1471,7 @@ class IcebergTable:
         files = self._write_position_deletes(matched)
         if not files:
             return
-        n = sum(f["record_count"] for f in files)
+        n = self._added_pos_deletes(files)
         self._commit(
             operation="delete",
             new_delete_files=files,
@@ -1347,7 +1493,7 @@ class IcebergTable:
         del_files = self._write_position_deletes(matched)
         if not del_files and not new_files:
             return
-        n = sum(f["record_count"] for f in del_files)
+        n = self._added_pos_deletes(del_files)
         self._commit(
             operation="overwrite",
             new_data_files=new_files,
@@ -1415,7 +1561,7 @@ class IcebergTable:
             new_files += self._write_parquet_files(self._aligned(unmatched), partitioned=True)
         if not del_files and not new_files:
             return
-        n = sum(f["record_count"] for f in del_files)
+        n = self._added_pos_deletes(del_files)
         self._commit(
             operation="overwrite",
             new_data_files=new_files or None,
@@ -2065,6 +2211,15 @@ class IcebergTable:
         return removed
 
     # -- stats ------------------------------------------------------------
+
+    def _added_pos_deletes(self, files: list[dict]) -> int:
+        """Newly-deleted positions in ``files``: v3 merged-superset
+        DVs carry the superseded DVs' prior positions in their
+        record_count — subtract them so added-position-deletes counts
+        only this commit's deletions (prior positions are disjoint
+        from new matches: already-deleted rows never rescan)."""
+        merged = sum((getattr(self, "_pending_superseded", None) or {}).values())
+        return sum(f["record_count"] for f in files) - merged
 
     def _total_pos_deletes(self) -> int:
         if not self.meta.snapshots:

@@ -364,13 +364,17 @@ def test_stats_informed_broadcast_choice(spark, tmp_path):
 
 
 def test_stats_ndv_derates_broadcast_estimate(spark, tmp_path):
-    """A dim whose RAW bytes exceed the threshold still broadcasts
-    when statistics show the join key is heavily duplicated (the
-    distinct-key projection of the build side is what the hash
-    relation costs) — and without stats the same threshold refuses."""
+    """The ndv de-rate applies ONLY to semi/anti joins, where the
+    build side is first reduced to its distinct keys (semantics-
+    preserving): a dim whose RAW bytes exceed the threshold still
+    broadcasts a distinct-key projection for a SEMI join when stats
+    show the key is heavily duplicated. The same dim/threshold under
+    an INNER join must NOT broadcast — Spark's broadcast hash
+    relation keeps every duplicated build row, so the raw bytes are
+    the honest estimate there."""
     from duckdb_iceberg_spark import IcebergTable, iceberg_join
 
-    # 1500 customers keyed by 25 distinct nation keys
+    # 150 customers (sf0.001) keyed by 25 distinct nation keys
     dim = (
         spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
         .withColumnRenamed("c_nationkey", "n_nationkey")
@@ -385,9 +389,18 @@ def test_stats_ndv_derates_broadcast_estimate(spark, tmp_path):
     )
     thresh = raw_bytes // 4  # raw size fails the gate on its own
     fact = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
-    no_stats = iceberg_join(spark, fact, path, "n_nationkey", broadcast_threshold_bytes=thresh)
+    no_stats = iceberg_join(
+        spark, fact, path, "n_nationkey", how="semi", broadcast_threshold_bytes=thresh
+    )
     assert "strategy=broadcast" not in no_stats._jdf.queryExecution().optimizedPlan().toString()
     t.compute_statistics()
-    with_stats = iceberg_join(spark, fact, path, "n_nationkey", broadcast_threshold_bytes=thresh)
+    with_stats = iceberg_join(
+        spark, fact, path, "n_nationkey", how="semi", broadcast_threshold_bytes=thresh
+    )
     assert "strategy=broadcast" in with_stats._jdf.queryExecution().optimizedPlan().toString()
-    assert with_stats.count() == no_stats.count()
+    assert with_stats.count() == no_stats.count() == 25
+    # inner join: duplicates must survive into the hash relation, so
+    # stats never talk a too-big dim INTO a broadcast
+    inner = iceberg_join(spark, fact, path, "n_nationkey", broadcast_threshold_bytes=thresh)
+    assert "strategy=broadcast" not in inner._jdf.queryExecution().optimizedPlan().toString()
+    assert inner.count() == 150  # sf0.001: 150 customers

@@ -346,11 +346,15 @@ def test_rest_toplevel_listing_excludes_nested():
         cat.register_table("ns_a.child1", "c", "/tmp/x/c.metadata.json")
         cat.register_table("ns_b", "s", "/tmp/x/s.metadata.json")
         assert cat.list_namespaces() == [("ns_a",), ("ns_b",)]
-        with urllib.request.urlopen(f"{srv.uri}/v1/namespaces?pageToken=bogus") as r:
-            raise AssertionError(f"expected 400, got {r.status}")
-    except urllib.error.HTTPError as e:
-        assert e.code == 400
-        assert "pageToken" in _json.loads(e.read())["error"]["message"]
+        # pageSize=0 must 400 too: an empty page whose next-page-token
+        # equals the request's own offset would loop a spec client forever
+        for q in ("pageToken=bogus", "pageSize=0"):
+            try:
+                with urllib.request.urlopen(f"{srv.uri}/v1/namespaces?{q}") as r:
+                    raise AssertionError(f"expected 400 for {q}, got {r.status}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+                assert "page" in _json.loads(e.read())["error"]["message"]
     finally:
         srv.stop()
 

@@ -744,10 +744,27 @@ def test_v3_deletion_vector_writes(spark, tmp_path):
         by_ref.setdefault(e.referenced_data_file, []).append(
             (e.sequence_number, pos)
         )
-    for lst in by_ref.values():
-        lst.sort(key=lambda x: x[0])
-        for older, newer in zip(lst, lst[1:]):
-            assert older[1] <= newer[1]
+    # v3 spec: at most ONE live DV per data file — the merged superset
+    # supersedes the older DV, whose entry _commit tombstoned
+    assert by_ref and all(len(lst) == 1 for lst in by_ref.values())
+    live_pos = sum(len(lst[0][1]) for lst in by_ref.values())
+    assert live_pos == 25 - len(got2)
+    # summary counts only NEWLY deleted positions, not the merged-in
+    # priors (second delete removed the %5==1 keys among live rows)
+    last = meta.latest_snapshot().summary
+    assert int(last["added-position-deletes"]) == len(want) - len(got2)
+    assert int(last["total-position-deletes"]) == 25 - len(got2)
+    # the superseded entry is still visible (status=DELETED) in the
+    # manifest tree for incremental consumers, just not live
+    statuses = [
+        e.status
+        for _, es in scan.manifests
+        for e in es
+        if e.content_offset is not None
+    ]
+    from duckdb_iceberg_spark.plans.manifests import EntryStatus
+
+    assert EntryStatus.DELETED in statuses
 
 
 def test_v3_row_lineage(spark, tmp_path):
@@ -792,6 +809,70 @@ def test_v3_row_lineage(spark, tmp_path):
         if r.grp == 0
     }
     assert after == before
+
+
+def test_v3_lineage_manifest_level_inheritance(spark, tmp_path):
+    """Foreign spec-conformant v3 writers leave the per-file
+    first_row_id NULL and stamp only the manifest-list entry's
+    first_row_id (spec field 520); readers assign per-file ids by
+    inheritance — manifest first_row_id + cumulative record counts of
+    preceding null-id data files. Simulate such a table by nulling the
+    per-file ids our writer wrote (manifest-level values stay) and
+    assert the scan still produces identical _row_id values."""
+    import json as _json
+
+    from duckdb_iceberg_spark import iceberg_scan
+    from duckdb_iceberg_spark.plans.avro import read_avro_file, write_avro_file
+    from duckdb_iceberg_spark.writer import IcebergTable
+
+    n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    path = str(tmp_path / "t")
+    t = IcebergTable.create(spark, path, n.limit(0), format_version=3)
+    t.append(n.filter("n_nationkey < 10").orderBy("n_nationkey").repartition(3))
+    t = IcebergTable(spark, path)
+    t.append(n.filter("n_nationkey >= 10").orderBy("n_nationkey").repartition(2))
+    want = {
+        r.n_nationkey: r._row_id
+        for r in iceberg_scan(spark, path, row_lineage=True).collect()
+    }
+    assert sorted(want.values()) == list(range(25))
+    # strip the per-file ids in every data manifest, foreign-writer style
+    t = IcebergTable(spark, path)
+    ml = t.meta.latest_snapshot().manifest_list
+    ml_meta, ml_records = read_avro_file(ml)
+    touched = 0
+    for m in ml_records:
+        if (m.get("content", 0) or 0) != 0:
+            continue
+        assert m.get("first_row_id") is not None  # writer stamps field 520
+        mmeta, entries = read_avro_file(m["manifest_path"])
+        for e in entries:
+            e["data_file"]["first_row_id"] = None
+        schema = _json.loads(
+            mmeta["avro.schema"].decode()
+            if isinstance(mmeta["avro.schema"], bytes)
+            else mmeta["avro.schema"]
+        )
+        write_avro_file(
+            m["manifest_path"],
+            schema,
+            entries,
+            metadata={
+                k: (v.decode() if isinstance(v, bytes) else v)
+                for k, v in mmeta.items()
+                if k != "avro.schema" and not k.startswith("avro.")
+            },
+        )
+        touched += 1
+    assert touched == 2
+    from duckdb_iceberg_spark.plans.manifests import _SCAN_CACHE
+
+    _SCAN_CACHE.clear()  # files rewritten in place
+    got = {
+        r.n_nationkey: r._row_id
+        for r in iceberg_scan(spark, path, row_lineage=True).collect()
+    }
+    assert got == want
 
 
 def test_v3_variant_roundtrip(spark, tmp_path):
