@@ -621,6 +621,173 @@ def _rest_mutation_pipeline(spark, sf):
         srv.stop()
 
 
+def _iceberg_mixed_formats(spark, sf):
+    """One Iceberg table, three data-file formats in the same
+    snapshot: parquet (written natively), ORC (adopted via add_files,
+    read by spark.read.orc), AVRO (adopted via add_files, decoded
+    executor-side by the pure-Python codec with synthesized row
+    positions). The manifests' per-file file_format routes each file
+    to its reader. The reference parses file_format
+    (src/common/iceberg.cpp) but assumes PARQUET and would mis-read
+    this table. Oracle = the supplier rows regardless of which format
+    holds them."""
+    import glob
+    import tempfile
+
+    from duckdb_iceberg_spark import IcebergTable, iceberg_scan
+    from duckdb_iceberg_spark.plans.avro import write_avro_file
+
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    base = tempfile.mkdtemp(prefix="ice_mixed_")
+    path = base + "/t"
+    t = IcebergTable.create(spark, path, s.filter("s_suppkey % 3 = 0"))
+    orc_dir = base + "/orc"
+    s.filter("s_suppkey % 3 = 1").coalesce(1).write.orc(orc_dir)
+    t = IcebergTable(spark, path)
+    t.add_files(glob.glob(orc_dir + "/part-*.orc"), file_format="ORC")
+    avro_schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "s_suppkey", "type": "long"},
+            {"name": "s_name", "type": "string"},
+            {"name": "s_nationkey", "type": "long"},
+        ],
+    }
+    recs = [
+        {"s_suppkey": r.s_suppkey, "s_name": r.s_name, "s_nationkey": r.s_nationkey}
+        for r in s.filter("s_suppkey % 3 = 2").orderBy("s_suppkey").collect()
+    ]
+    avro_file = base + "/tail.avro"
+    write_avro_file(avro_file, avro_schema, recs)
+    t = IcebergTable(spark, path)
+    t.add_files([avro_file], file_format="AVRO")
+    return iceberg_scan(spark, path)
+
+
+_ICEBERG_MIXED_SQL = """
+SELECT s_suppkey, s_name, s_nationkey FROM supplier
+"""
+
+
+def _rest_catalog_ddl(spark, sf):
+    """Catalog DDL lifecycle against the local REST server (the
+    surface the reference's CI catalog — tabulario/iceberg-rest,
+    scripts/docker-compose.yml — serves but its extension never
+    drives): create-namespace x2 -> CTAS under `stage` -> renameTable
+    across namespaces -> dropTable + dropNamespace, with the
+    spec's failure modes asserted inline (409 duplicate namespace,
+    409 non-empty namespace, 404 after drop). The returned rows are
+    the table scanned through its POST-RENAME identifier, so the
+    oracle check proves the pointer survived the whole lifecycle."""
+    import tempfile
+    import urllib.error
+
+    from duckdb_iceberg_spark.sources.rest_catalog import RestCatalog
+    from duckdb_iceberg_spark.sources.rest_server import LocalRestCatalogServer
+    from duckdb_iceberg_spark.writer import CommitConflictError
+
+    srv = LocalRestCatalogServer()
+    srv.start()
+    try:
+        cat = RestCatalog(srv.uri)
+        cat.create_namespace("stage", {"owner": "etl"})
+        cat.create_namespace("warehouse")
+        try:
+            cat.create_namespace("stage")
+            raise AssertionError("duplicate namespace must 409")
+        except CommitConflictError:
+            pass
+        n = _t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+        loc = tempfile.mkdtemp(prefix="ice_ddl_") + "/nat"
+        cat.create_table(spark, "stage", "nat", n, loc)
+        cat.rename_table("stage", "nat", "warehouse", "nat_final")
+        assert cat.list_tables("stage") == []
+        assert cat.list_tables("warehouse") == ["nat_final"]
+        out = cat.scan(spark, "warehouse", "nat_final").withColumn(
+            "resolved", F.lit("warehouse.nat_final")
+        )
+        try:
+            cat.drop_namespace("warehouse")  # still holds nat_final
+            raise AssertionError("non-empty namespace must 409")
+        except CommitConflictError:
+            pass
+        cat.drop_table("warehouse", "nat_final")
+        try:
+            cat.load_table("warehouse", "nat_final")
+            raise AssertionError("dropped table must 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        cat.drop_namespace("warehouse")
+        cat.drop_namespace("stage")
+        return out  # scan resolved its manifests before the drops
+    finally:
+        srv.stop()
+
+
+_REST_DDL_SQL = """
+SELECT n_nationkey, n_name, n_regionkey, 'warehouse.nat_final' AS resolved
+FROM nation
+"""
+
+
+def _rest_two_table_transaction(spark, sf):
+    """Atomic MULTI-TABLE commit (`POST /v1/transactions/commit`, the
+    spec's commitTransaction — beyond the reference, whose REST flow
+    is read-only): two tables each stage an append on an `audit`
+    branch THROUGH the catalog (main untouched — asserted), then ONE
+    transaction fast-forwards both branches, so the two publishes are
+    all-or-nothing. Rows = the union of both tables after publish."""
+    import tempfile
+
+    from duckdb_iceberg_spark.sources.rest_catalog import RestCatalog
+    from duckdb_iceberg_spark.sources.rest_server import LocalRestCatalogServer
+
+    srv = LocalRestCatalogServer()
+    srv.start()
+    try:
+        cat = RestCatalog(srv.uri)
+        n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+        r = _t(spark, sf, "region").select("r_regionkey", "r_name")
+        base = tempfile.mkdtemp(prefix="ice_txn_")
+        cat.create_table(spark, "default", "nat", n.filter("n_nationkey < 10"), base + "/nat")
+        cat.create_table(spark, "default", "reg", r.filter("r_regionkey < 2"), base + "/reg")
+        # stage the rest of each table on an audit branch, through the
+        # catalog (set-snapshot-ref audit, main unchanged)
+        cat.commit(
+            spark, "default", "nat", lambda t: t.append(n.filter("n_nationkey >= 10"), to_branch="audit")
+        )
+        cat.commit(
+            spark, "default", "reg", lambda t: t.append(r.filter("r_regionkey >= 2"), to_branch="audit")
+        )
+        assert cat.scan(spark, "default", "nat").count() == n.filter("n_nationkey < 10").count()
+        assert cat.scan(spark, "default", "reg").count() == 2
+        # ONE transaction publishes both
+        cat.commit_transaction(
+            spark,
+            [
+                ("default", "nat", lambda t: t.fast_forward("audit")),
+                ("default", "reg", lambda t: t.fast_forward("audit")),
+            ],
+        )
+        nat = cat.scan(spark, "default", "nat").select(
+            F.lit("nation").alias("src"), F.col("n_nationkey").cast("long").alias("key")
+        )
+        reg = cat.scan(spark, "default", "reg").select(
+            F.lit("region").alias("src"), F.col("r_regionkey").cast("long").alias("key")
+        )
+        return nat.unionByName(reg)
+    finally:
+        srv.stop()
+
+
+_REST_TXN_SQL = """
+SELECT 'nation' AS src, CAST(n_nationkey AS BIGINT) AS key FROM nation
+UNION ALL
+SELECT 'region' AS src, CAST(r_regionkey AS BIGINT) AS key FROM region
+"""
+
+
 def _iceberg_wap_branch(spark, sf):
     """Write-audit-publish: stage two appends on an 'audit' branch
     (invisible to plain reads — asserted), then fast_forward publishes

@@ -303,7 +303,26 @@ def iceberg_scan(
         data_entries = _prune_by_partition(meta, data_entries, partition_filter)
     if stats_filter is not None:
         data_entries = _prune_by_stats(meta, data_entries, stats_filter)
-    data_files = [e.file_path for e in data_entries]
+    # Iceberg manifests carry a per-file format; the reference assumes
+    # PARQUET silently and would mis-read a foreign ORC/Avro table
+    # (file_format parsed then ignored, src/common/iceberg.cpp). Here:
+    # PARQUET native, ORC via spark.read.orc (no row positions — Spark
+    # exposes _metadata.row_index only for parquet), AVRO via the
+    # repo's pure-Python codec decoded executor-side (positions
+    # synthesized from record order, so MoR deletes work), anything
+    # else fails diagnosably instead of mis-reading.
+    def _fmt(e):
+        return (e.file_format or "PARQUET").upper()
+
+    unsupported = sorted({_fmt(e) for e in data_entries} - {"PARQUET", "ORC", "AVRO"})
+    if unsupported:
+        raise ValueError(
+            f"Iceberg table contains data files in unsupported format(s) "
+            f"{unsupported}; this engine reads PARQUET, ORC and AVRO data files"
+        )
+    orc_data = [e.file_path for e in data_entries if _fmt(e) == "ORC"]
+    avro_data = [e.file_path for e in data_entries if _fmt(e) == "AVRO"]
+    data_files = [e.file_path for e in data_entries if _fmt(e) == "PARQUET"]
     pos_entries = scan.positional_delete_files()
     # v3 deletion vectors: content=1 entries whose bytes live at an
     # offset inside a Puffin file (content_offset discriminates them
@@ -314,7 +333,7 @@ def iceberg_scan(
 
     if mode == "list_files":
         dv_files = list(dict.fromkeys(e.file_path for e in dv_entries))
-        rows = [(f, "data") for f in data_files] + [
+        rows = [(e.file_path, "data") for e in data_entries] + [
             (f, "delete")
             for f in pos_delete_files + dv_files + [e.file_path for e in eq_deletes]
         ]
@@ -322,11 +341,17 @@ def iceberg_scan(
 
     schema = meta.schema_for_snapshot(snap)
 
-    if not data_files:
+    if not data_entries:
         st = None if skip_schema_inference else schema.to_struct_type()
         return spark.createDataFrame([], st if st is not None else T.StructType([]))
 
     if io == "arrow":
+        if orc_data or avro_data:
+            raise ValueError(
+                "io='arrow' supports only PARQUET data files; this table has "
+                f"{len(orc_data)} ORC and {len(avro_data)} AVRO data file(s) — "
+                "use the default io='spark' path"
+            )
         # pyarrow-native executor reads (object-store tables without a
         # JVM connector) — see sources/arrow_scan.py for semantics
         if skip_schema_inference or _keep_position_columns:
@@ -380,7 +405,9 @@ def iceberg_scan(
         F.col("_metadata.row_index").alias("__pos"),
     ]
     name_mapping = meta.properties.get("schema.name-mapping.default")
-    if name_mapping and not skip_schema_inference:
+    if not data_files:
+        df = None  # ORC/AVRO-only table: parts assembled below
+    elif name_mapping and not skip_schema_inference:
         # Some files were imported without parquet field ids
         # (add_files over foreign parquet): under field-id resolution
         # they would read as all-NULL. Apply the Iceberg
@@ -430,6 +457,24 @@ def iceberg_scan(
                 _READ_CACHE.pop(next(iter(_READ_CACHE)))
         if want_pos:
             df = df.select("*", *pos_cols)
+
+    if orc_data:
+        if want_pos:
+            raise ValueError(
+                f"Iceberg table has {len(orc_data)} ORC data file(s) and this scan "
+                "needs row positions (positional deletes / deletion vectors / "
+                "row_lineage): Spark exposes _metadata.row_index only for parquet. "
+                "Compact the table to parquet (rewrite_data_files) first."
+            )
+        if skip_schema_inference:
+            raise ValueError("skip_schema_inference is parquet-only; table has ORC data files")
+        part = spark.read.schema(schema.to_struct_type()).orc(*orc_data)
+        df = part if df is None else df.unionByName(part)
+    if avro_data:
+        if skip_schema_inference:
+            raise ValueError("skip_schema_inference is parquet-only; table has AVRO data files")
+        part = _avro_data_df(spark, schema, avro_data, want_pos)
+        df = part if df is None else df.unionByName(part)
 
     if pos_delete_files or dv_entries:
         parts = []
@@ -822,6 +867,44 @@ def _prune_by_stats(meta: TableMetadata, entries, flt: dict):
         if keep:
             out.append(e)
     return out
+
+
+def _avro_data_df(spark: SparkSession, schema, files: list[str], want_pos: bool) -> DataFrame:
+    """Iceberg AVRO data files through the repo's pure-Python Avro
+    codec (plans/avro — the same decoder the manifest layer uses),
+    decoded EXECUTOR-side: one task per file via mapInPandas, so no
+    file bytes pass through the driver and a many-file table scales
+    like any other scan. Row positions are synthesized from record
+    order (Avro container files are strictly ordered), so positional
+    deletes / DVs / row_lineage compose exactly as with parquet.
+    spark-avro is not assumed on the classpath. Column resolution is
+    by NAME against the table schema (missing fields -> NULL); the
+    rare foreign table carrying avro data files is the target —
+    compaction (rewrite_data_files) converts to parquet."""
+    names = [c.name for c in schema.columns]
+    fields = [T.StructField(c.name, c.spark_type) for c in schema.columns]
+    if want_pos:
+        fields += [T.StructField("__file", T.StringType()), T.StructField("__pos", T.LongType())]
+    out = T.StructType(fields)
+
+    def _read(batches):
+        import pandas as pd
+
+        from ..plans.avro import read_avro_file
+
+        for pdf in batches:
+            for p in pdf["path"]:
+                _, records = read_avro_file(p)
+                d = pd.DataFrame({n: [r.get(n) for r in records] for n in names})
+                if want_pos:
+                    d["__file"] = p
+                    d["__pos"] = range(len(records))
+                yield d
+
+    flist = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        max(1, len(files))
+    )
+    return flist.mapInPandas(_read, out)
 
 
 def _dv_deletes_df(spark: SparkSession, entries) -> DataFrame:

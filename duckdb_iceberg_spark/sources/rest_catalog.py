@@ -11,9 +11,12 @@ client gives the same observable capability as a first-class API.
 Endpoints implemented (Iceberg REST spec, the subset the
 tabulario/iceberg-rest image serves):
 - ``GET  /v1/config``
-- ``GET  /v1/namespaces``
+- ``GET  /v1/namespaces`` (+ create/drop/load namespace)
 - ``GET  /v1/namespaces/{ns}/tables``
 - ``GET  /v1/namespaces/{ns}/tables/{table}``  -> metadata-location
+- ``POST /v1/namespaces/{ns}/register`` / table commit / dropTable /
+  ``POST /v1/tables/rename``
+- ``POST /v1/transactions/commit`` (atomic multi-table)
 
 All catalog traffic is driver-side metadata (KB-scale JSON); the data
 path stays on executors via iceberg_scan, so this adds zero scale
@@ -313,6 +316,23 @@ class RestCatalog:
         All catalog traffic is KB-scale JSON on the driver; the data
         path (parquet + avro manifests) is written by executors exactly
         as in the hadoop-layout flow — zero new scale risk at 100 TB."""
+        body = self._table_change(spark, namespace, table, mutate)
+        ns = urllib.parse.quote(namespace)
+        resp = self._request(
+            "POST",
+            f"/v1/namespaces/{ns}/tables/{urllib.parse.quote(table)}",
+            body,
+        )
+        loc = resp.get("metadata-location")
+        if not loc:
+            raise ValueError("REST catalog commit returned no metadata-location")
+        return loc
+
+    def _table_change(self, spark: SparkSession, namespace: str, table: str, mutate) -> dict:
+        """Run ``mutate`` on the catalog-resolved table and diff its
+        metadata into one spec CommitTableRequest (identifier +
+        requirements + updates) — shared by :meth:`commit` (single
+        table) and :meth:`commit_transaction` (atomic multi-table)."""
         from ..writer import IcebergTable
 
         mloc = self.metadata_location(namespace, table)
@@ -326,6 +346,7 @@ class RestCatalog:
         base_snap_ids = {s["snapshot-id"] for s in base.get("snapshots", [])}
         base_schema_ids = {s.get("schema-id") for s in base.get("schemas", [])}
         base_props = dict(base.get("properties", {}))
+        base_refs = dict(base.get("refs", {}))
         mutate(t)
         doc = t.meta.raw
 
@@ -372,6 +393,26 @@ class RestCatalog:
                     "snapshot-id": new_head,
                 }
             )
+        # named refs (branches/tags beyond main): WAP staging creates /
+        # moves them and the catalog doc must track every ref, not
+        # just the main head
+        new_refs = doc.get("refs", {})
+        for name in sorted(new_refs):
+            if name == "main":
+                continue
+            ref = new_refs[name]
+            if base_refs.get(name) != ref:
+                updates.append(
+                    {
+                        "action": "set-snapshot-ref",
+                        "ref-name": name,
+                        "type": ref.get("type", "branch"),
+                        "snapshot-id": ref["snapshot-id"],
+                    }
+                )
+        for name in sorted(base_refs):
+            if name != "main" and name not in new_refs:
+                updates.append({"action": "remove-snapshot-ref", "ref-name": name})
         props = dict(doc.get("properties", {}))
         changed = {k: v for k, v in props.items() if base_props.get(k) != v}
         if changed:
@@ -380,20 +421,71 @@ class RestCatalog:
         if gone:
             updates.append({"action": "remove-properties", "removals": sorted(gone)})
 
-        ns = urllib.parse.quote(namespace)
-        resp = self._request(
+        return {
+            "identifier": {"namespace": namespace.split("."), "name": table},
+            "requirements": requirements,
+            "updates": updates,
+        }
+
+    def commit_transaction(self, spark: SparkSession, changes: list[tuple]) -> None:
+        """Atomic multi-table commit (``POST /v1/transactions/commit``,
+        the spec's commitTransaction): ``changes`` is a list of
+        ``(namespace, table, mutate)`` triples. Each mutation runs
+        against its catalog-resolved table, the per-table metadata
+        deltas are diffed into CommitTableRequests, and ALL of them
+        POST as ONE transaction — the server validates every table's
+        requirements before moving any pointer, so a single stale
+        table fails the whole batch (409 -> CommitConflictError) and
+        no table advances. The natural pairing is write-audit-publish
+        across tables: stage each table's writes on a branch, then
+        fast-forward all branches in one transaction."""
+        body = {
+            "table-changes": [
+                self._table_change(spark, ns, tbl, fn) for ns, tbl, fn in changes
+            ]
+        }
+        self._request("POST", "/v1/transactions/commit", body)
+
+    # -- catalog DDL (Iceberg REST spec) ----------------------------------
+    def create_namespace(self, namespace: str, properties: Optional[dict] = None) -> dict:
+        """``POST /v1/namespaces`` — createNamespace; 409 if it exists."""
+        return self._request(
             "POST",
-            f"/v1/namespaces/{ns}/tables/{urllib.parse.quote(table)}",
+            "/v1/namespaces",
+            {"namespace": namespace.split("."), "properties": properties or {}},
+        )
+
+    def drop_namespace(self, namespace: str) -> None:
+        """``DELETE /v1/namespaces/{ns}`` — dropNamespace; 409 if the
+        namespace still holds tables or child namespaces."""
+        ns = urllib.parse.quote(namespace)
+        self._request("DELETE", f"/v1/namespaces/{ns}")
+
+    def namespace_properties(self, namespace: str) -> dict:
+        """``GET /v1/namespaces/{ns}`` — loadNamespaceMetadata."""
+        ns = urllib.parse.quote(namespace)
+        return self._get(f"/v1/namespaces/{ns}").get("properties", {})
+
+    def drop_table(self, namespace: str, table: str) -> None:
+        """``DELETE /v1/namespaces/{ns}/tables/{t}`` — dropTable. The
+        catalog forgets the pointer; files stay on disk (use the
+        writer's remove_orphan_files-style cleanup to purge)."""
+        ns = urllib.parse.quote(namespace)
+        self._request("DELETE", f"/v1/namespaces/{ns}/tables/{urllib.parse.quote(table)}")
+
+    def rename_table(
+        self, namespace: str, table: str, to_namespace: str, to_table: str
+    ) -> None:
+        """``POST /v1/tables/rename`` — renameTable; 404 missing
+        source, 409 existing destination."""
+        self._request(
+            "POST",
+            "/v1/tables/rename",
             {
-                "identifier": {"namespace": namespace.split("."), "name": table},
-                "requirements": requirements,
-                "updates": updates,
+                "source": {"namespace": namespace.split("."), "name": table},
+                "destination": {"namespace": to_namespace.split("."), "name": to_table},
             },
         )
-        loc = resp.get("metadata-location")
-        if not loc:
-            raise ValueError("REST catalog commit returned no metadata-location")
-        return loc
 
     # -- the reference flow: REST -> iceberg_scan -------------------------
     def scan(self, spark: SparkSession, namespace: str, table: str, **kwargs) -> DataFrame:

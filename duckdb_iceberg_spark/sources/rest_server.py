@@ -5,15 +5,24 @@ The reference exercises its REST flow against a dockerized catalog
 equivalent local fixture as a library: a minimal but spec-shaped
 catalog that OWNS the table pointer and applies commits —
 
-- ``GET  /v1/config`` / ``/v1/namespaces`` / table list / table load
+- ``GET  /v1/config`` / ``/v1/namespaces`` / namespace load / table
+  list / table load
 - ``POST /v1/oauth/tokens``            (client-credentials grant)
+- ``POST /v1/namespaces``              (createNamespace; 409 if exists)
+- ``DELETE /v1/namespaces/{ns}``       (dropNamespace; 409 non-empty)
 - ``POST /v1/namespaces/{ns}/register`` (registerTable)
+- ``DELETE /v1/namespaces/{ns}/tables/{t}`` (dropTable -> 204)
+- ``POST /v1/tables/rename``           (renameTable -> 204; 404/409)
 - ``POST /v1/namespaces/{ns}/tables/{t}`` (commitTable: validates
   ``requirements`` — assert-ref-snapshot-id — against ITS current
   metadata, applies ``updates`` — add-snapshot / set-snapshot-ref /
   set-properties — and writes a NEW metadata json next to the old one,
   exactly the pointer-owning behavior of a real catalog; a stale
   requirement gets 409)
+- ``POST /v1/transactions/commit``     (commitTransaction: ATOMIC
+  multi-table commit — every table's requirements are validated and
+  its updates staged before ANY pointer moves; one stale table fails
+  the whole transaction with 409 and nothing is applied)
 
 Used by tests/test_rest_catalog.py and the rest_catalog_commit oracle
 entry. Single-process HTTP on a loopback port; metadata documents are
@@ -48,6 +57,10 @@ class LocalRestCatalogServer:
 
     def __init__(self, token: str = "local-dev-token", *, require_auth: bool = False):
         self.tables: dict[tuple[str, str], str] = {}  # (ns, table) -> metadata-location
+        # namespaces exist independently of tables (createNamespace /
+        # dropNamespace are first-class DDL in the REST spec); register
+        # auto-creates for convenience, like the tabulario image
+        self.namespaces: dict[str, dict] = {}  # ns -> properties
         self.token = token
         # require_auth: every /v1/* call except the token endpoint must
         # carry `Authorization: Bearer <token>` or gets 401 — lets
@@ -58,6 +71,17 @@ class LocalRestCatalogServer:
 
     # -- commit semantics --------------------------------------------------
     def _apply_commit(self, ns: str, table: str, body: dict) -> dict:
+        key, doc = self._stage_commit(ns, table, body)
+        return self._finalize_commit(key, doc)
+
+    def _stage_commit(self, ns: str, table: str, body: dict) -> tuple[tuple, dict]:
+        """Validate ``requirements`` and apply ``updates`` to an
+        in-memory copy of the table's metadata — NO files are written
+        and the pointer does not move. _finalize_commit persists.
+        The split is what makes /v1/transactions/commit atomic: every
+        table's requirements are checked (and updates computed) before
+        ANY pointer moves, so a failing table leaves the whole
+        transaction unapplied."""
         key = (ns, table)
         if key not in self.tables:
             raise KeyError(f"table {ns}.{table} not registered")
@@ -104,6 +128,10 @@ class LocalRestCatalogServer:
                             "snapshot-id": upd["snapshot-id"],
                         }
                     ]
+            elif action == "remove-snapshot-ref":
+                refs = dict(doc.get("refs", {}))
+                refs.pop(upd["ref-name"], None)
+                doc["refs"] = refs
             elif action == "set-properties":
                 props = dict(doc.get("properties", {}))
                 props.update(upd.get("updates", {}))
@@ -145,18 +173,30 @@ class LocalRestCatalogServer:
         doc["metadata-log"] = doc.get("metadata-log", []) + [
             {"timestamp-ms": doc.get("last-updated-ms", 0), "metadata-file": mloc}
         ]
+        return key, doc
+
+    def _finalize_commit(self, key: tuple, doc: dict) -> dict:
+        mloc = self.tables[key]
         new_loc = os.path.join(os.path.dirname(mloc), f"{uuid.uuid4().hex}-rest.metadata.json")
         with open(new_loc, "w") as f:
             json.dump(doc, f)
         self.tables[key] = new_loc
         return {"metadata-location": new_loc, "metadata": doc}
 
+    def _ns_names(self) -> list[str]:
+        return sorted(set(self.namespaces) | {k[0] for k in self.tables})
+
     # -- http plumbing -----------------------------------------------------
     def _handler(self):
         server = self
 
         class Handler(BaseHTTPRequestHandler):
-            def _send(self, code: int, doc: dict) -> None:
+            def _send(self, code: int, doc: dict | None) -> None:
+                if doc is None:  # 204 No Content responses
+                    self.send_response(code)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
                 body = json.dumps(doc).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
@@ -212,7 +252,7 @@ class LocalRestCatalogServer:
 
                     q = _up.parse_qs(_up.urlsplit(self.path).query)
                     parent = q.get("parent", [None])[0]
-                    levels = sorted({k[0] for k in server.tables}) or ["default"]
+                    levels = server._ns_names() or ["default"]
                     if parent:
                         # dot-separated multi-level namespaces: children
                         # exactly one level below `parent`
@@ -245,6 +285,50 @@ class LocalRestCatalogServer:
                 if m and (m.group(1), m.group(2)) in server.tables:
                     loc = server.tables[(m.group(1), m.group(2))]
                     return self._send(200, {"metadata-location": loc, "metadata": {}})
+                m = re.fullmatch(r"/v1/namespaces/([^/]+)", path)
+                if m:
+                    ns = m.group(1)
+                    if ns in server._ns_names():
+                        return self._send(
+                            200,
+                            {
+                                "namespace": ns.split("."),
+                                "properties": server.namespaces.get(ns, {}),
+                            },
+                        )
+                self._send(404, {"error": {"message": f"not found: {path}"}})
+
+            def do_DELETE(self):
+                path = self.path.split("?")[0]
+                if not self._authed():
+                    return self._send(401, {"error": {"message": "unauthorized"}})
+                m = re.fullmatch(r"/v1/namespaces/([^/]+)/tables/([^/]+)", path)
+                if m:
+                    key = (m.group(1), m.group(2))
+                    if key not in server.tables:
+                        return self._send(
+                            404, {"error": {"message": f"table {key[0]}.{key[1]} not found"}}
+                        )
+                    # dropTable: the pointer is forgotten; data/metadata
+                    # files stay on disk unless the client purges them
+                    # (purgeRequested is advisory for a pointer catalog)
+                    del server.tables[key]
+                    return self._send(204, None)
+                m = re.fullmatch(r"/v1/namespaces/([^/]+)", path)
+                if m:
+                    ns = m.group(1)
+                    if ns not in server._ns_names():
+                        return self._send(404, {"error": {"message": f"namespace {ns} not found"}})
+                    in_use = any(k[0] == ns for k in server.tables) or any(
+                        n != ns and n.startswith(ns + ".") for n in server._ns_names()
+                    )
+                    if in_use:
+                        # spec: dropping a non-empty namespace is a conflict
+                        return self._send(
+                            409, {"error": {"message": f"namespace {ns} is not empty"}}
+                        )
+                    server.namespaces.pop(ns, None)
+                    return self._send(204, None)
                 self._send(404, {"error": {"message": f"not found: {path}"}})
 
             def do_POST(self):
@@ -261,6 +345,52 @@ class LocalRestCatalogServer:
                     import urllib.parse
 
                     body = {k: v[0] for k, v in urllib.parse.parse_qs(raw.decode()).items()}
+                if path == "/v1/namespaces":
+                    ns = ".".join(body.get("namespace", []))
+                    if not ns:
+                        return self._send(400, {"error": {"message": "namespace required"}})
+                    if ns in server._ns_names():
+                        return self._send(
+                            409, {"error": {"message": f"namespace {ns} already exists"}}
+                        )
+                    server.namespaces[ns] = dict(body.get("properties", {}))
+                    return self._send(
+                        200,
+                        {"namespace": ns.split("."), "properties": server.namespaces[ns]},
+                    )
+                if path == "/v1/tables/rename":
+                    src = body.get("source", {})
+                    dst = body.get("destination", {})
+                    skey = (".".join(src.get("namespace", [])), src.get("name"))
+                    dkey = (".".join(dst.get("namespace", [])), dst.get("name"))
+                    if skey not in server.tables:
+                        return self._send(
+                            404, {"error": {"message": f"table {skey[0]}.{skey[1]} not found"}}
+                        )
+                    if dkey in server.tables:
+                        return self._send(
+                            409,
+                            {"error": {"message": f"table {dkey[0]}.{dkey[1]} already exists"}},
+                        )
+                    server.tables[dkey] = server.tables.pop(skey)
+                    return self._send(204, None)
+                if path == "/v1/transactions/commit":
+                    # atomic multi-table commit: stage EVERY table's
+                    # requirements+updates against current pointers
+                    # first; only if all pass do any pointers move
+                    staged = []
+                    try:
+                        for chg in body.get("table-changes", []):
+                            ident = chg.get("identifier", {})
+                            ns = ".".join(ident.get("namespace", []))
+                            staged.append(server._stage_commit(ns, ident.get("name"), chg))
+                    except KeyError as e:
+                        return self._send(404, {"error": {"message": str(e)}})
+                    except ValueError as e:
+                        return self._send(409, {"error": {"message": str(e)}})
+                    for key, doc in staged:
+                        server._finalize_commit(key, doc)
+                    return self._send(204, None)
                 m = re.fullmatch(r"/v1/namespaces/([^/]+)/register", path)
                 if m:
                     server.tables[(m.group(1), body["name"])] = body["metadata-location"]

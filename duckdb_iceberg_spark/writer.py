@@ -1323,13 +1323,22 @@ class IcebergTable:
             to_branch=to_branch,
         )
 
-    def add_files(self, parquet_paths: list[str]) -> None:
-        """Register existing parquet files into the table WITHOUT
+    def add_files(self, parquet_paths: list[str], file_format: str = "PARQUET") -> None:
+        """Register existing data files into the table WITHOUT
         rewriting them (Iceberg's `add_files` migration procedure):
         footers are read for record counts and zone-map bounds, a new
         append snapshot references the files in place. O(#files)
         driver work, zero data movement — the way to adopt an existing
         100 TB parquet lake into Iceberg metadata.
+
+        ``file_format`` may also be ``"ORC"`` (row counts from the ORC
+        footer via pyarrow.orc; no column bounds — ORC files are never
+        stats-pruned) or ``"AVRO"`` (decoded once driver-side by the
+        pure-Python codec for the record count — adopt-time cost only;
+        scans decode executor-side). The manifests record the per-file
+        format and iceberg_scan routes each format to its reader —
+        the reference parses file_format but assumes PARQUET
+        (src/common/iceberg.cpp), mis-reading such tables.
 
         Files must match the table schema (verified against footer
         column names) and the table must be unpartitioned (partition
@@ -1338,6 +1347,9 @@ class IcebergTable:
 
         if self.partition_fields:
             raise ValueError("add_files requires an unpartitioned table")
+        fmt = file_format.upper()
+        if fmt not in ("PARQUET", "ORC", "AVRO"):
+            raise ValueError(f"add_files supports PARQUET/ORC/AVRO, got {file_format!r}")
         cols = {c.name for c in self.schema.columns}
         entries = []
         any_without_ids = False
@@ -1347,23 +1359,38 @@ class IcebergTable:
         for p in parquet_paths:
             p = _fs_abspath(p)  # URLs (s3://...) pass through unchanged
             afs, ap = arrow_fs_path(p)
-            md = pq.ParquetFile(ap, filesystem=afs).metadata
-            arrow_schema = md.schema.to_arrow_schema()
-            got = set(arrow_schema.names)
+            if fmt == "ORC":
+                import pyarrow.orc as _orc
+
+                of = _orc.ORCFile(ap) if afs is None else _orc.ORCFile(afs.open_input_file(ap))
+                got = set(of.schema.names)
+                n_rows, lowers, uppers, nullcounts = of.nrows, {}, {}, {}
+            elif fmt == "AVRO":
+                from .plans.avro import read_avro_file
+
+                _, records = read_avro_file(p)
+                got = set(records[0]) if records else cols
+                n_rows, lowers, uppers, nullcounts = len(records), {}, {}, {}
+            else:
+                md = pq.ParquetFile(ap, filesystem=afs).metadata
+                arrow_schema = md.schema.to_arrow_schema()
+                got = set(arrow_schema.names)
+                if not any(
+                    (f.metadata or {}).get(b"PARQUET:field_id") is not None
+                    for f in arrow_schema
+                ):
+                    any_without_ids = True
+                n_rows = md.num_rows
+                lowers, uppers, nullcounts = self._column_bounds(md)
             if not cols <= got:
                 raise ValueError(
                     f"File {p} is missing table columns {sorted(cols - got)}"
                 )
-            if not any(
-                (f.metadata or {}).get(b"PARQUET:field_id") is not None for f in arrow_schema
-            ):
-                any_without_ids = True
-            lowers, uppers, nullcounts = self._column_bounds(md)
             entries.append(
                 {
                     "file_path": p,
-                    "file_format": "PARQUET",
-                    "record_count": md.num_rows,
+                    "file_format": fmt,
+                    "record_count": n_rows,
                     "file_size_in_bytes": (
                         afs.get_file_info(ap).size if afs is not None else os.path.getsize(p)
                     ),

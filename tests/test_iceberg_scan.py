@@ -448,3 +448,73 @@ def test_v3_deletion_vectors_arrow_path(spark, tmp_path):
     jvm = sorted(map(tuple, iceberg_scan(spark, path).select(cols).collect()))
     arw = sorted(map(tuple, iceberg_scan(spark, path, io="arrow").select(cols).collect()))
     assert jvm == arw and len(jvm) > 0
+
+
+def test_mixed_format_data_files(spark, tmp_path):
+    """One Iceberg table, three data-file formats: parquet (native),
+    ORC (spark.read.orc), AVRO (pure-Python codec, executor-side).
+    The reference parses file_format but assumes PARQUET and would
+    mis-read this table. Positional deletes compose with AVRO files
+    (positions synthesized from record order); with ORC files present
+    a position-needing scan fails diagnosably instead of mis-reading;
+    io='arrow' rejects non-parquet."""
+    import glob
+
+    import pytest
+
+    from duckdb_iceberg_spark import iceberg_scan
+    from duckdb_iceberg_spark.plans.avro import write_avro_file
+    from duckdb_iceberg_spark.writer import IcebergTable
+
+    n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = str(tmp_path / "t")
+    t = IcebergTable.create(spark, path, n.filter("n_nationkey < 10"))
+    # ORC part: rows 10-17
+    orc_dir = str(tmp_path / "orc")
+    n.filter("n_nationkey >= 10 AND n_nationkey < 18").coalesce(1).write.orc(orc_dir)
+    orc_file = glob.glob(orc_dir + "/part-*.orc")[0]
+    t = IcebergTable(spark, path)
+    t.add_files([orc_file], file_format="ORC")
+    # AVRO part: rows 18-24, written by the pure-Python codec
+    avro_schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "n_nationkey", "type": "int"},
+            {"name": "n_name", "type": "string"},
+            {"name": "n_regionkey", "type": "int"},
+        ],
+    }
+    recs = [
+        {"n_nationkey": r.n_nationkey, "n_name": r.n_name, "n_regionkey": r.n_regionkey}
+        for r in n.filter("n_nationkey >= 18").orderBy("n_nationkey").collect()
+    ]
+    avro_file = str(tmp_path / "tail.avro")
+    write_avro_file(avro_file, avro_schema, recs)
+    t = IcebergTable(spark, path)
+    t.add_files([avro_file], file_format="AVRO")
+    got = {
+        (r.n_nationkey, r.n_name, r.n_regionkey)
+        for r in iceberg_scan(spark, path).collect()
+    }
+    want = {(r.n_nationkey, r.n_name, r.n_regionkey) for r in n.collect()}
+    assert got == want
+    lf = iceberg_scan(spark, path, mode="list_files").collect()
+    assert {r.file for r in lf} >= {orc_file, avro_file}
+    # ORC + row positions: diagnosable, not silent mis-read
+    with pytest.raises(ValueError, match="ORC data file"):
+        IcebergTable(spark, path).delete_where("n_nationkey = 1")
+    with pytest.raises(ValueError, match="only PARQUET"):
+        iceberg_scan(spark, path, io="arrow").collect()
+
+    # parquet+avro only: MoR deletes work across both formats
+    p2 = str(tmp_path / "t2")
+    t2 = IcebergTable.create(spark, p2, n.filter("n_nationkey < 18"))
+    t2 = IcebergTable(spark, p2)
+    t2.add_files([avro_file], file_format="AVRO")
+    t2 = IcebergTable(spark, p2)
+    t2.delete_where("n_nationkey IN (3, 20)")  # one per format
+    got2 = sorted(r.n_nationkey for r in iceberg_scan(spark, p2).collect())
+    assert got2 == sorted(k for k in range(25) if k not in (3, 20))

@@ -399,3 +399,142 @@ def test_rest_commit_ddl_and_expiration(spark, tmp_path):
         assert {r.n_nationkey for r in rows2} == {r.n_nationkey for r in rows}
     finally:
         srv.stop()
+
+
+def test_rest_catalog_ddl_lifecycle(spark, tmp_path):
+    """Catalog DDL round trip (the surface tabulario/iceberg-rest
+    serves the reference's CI): create-namespace (409 on duplicate) ->
+    create table -> rename across namespaces (404 missing source /
+    409 existing destination) -> drop-table (404 after) ->
+    drop-namespace (409 while non-empty, 204 once empty)."""
+    import urllib.error
+
+    from duckdb_iceberg_spark.sources.rest_catalog import RestCatalog
+    from duckdb_iceberg_spark.sources.rest_server import LocalRestCatalogServer
+    from duckdb_iceberg_spark.writer import CommitConflictError
+
+    srv = LocalRestCatalogServer()
+    srv.start()
+    try:
+        cat = RestCatalog(srv.uri)
+        cat.create_namespace("stage", {"owner": "etl"})
+        cat.create_namespace("warehouse")
+        assert cat.namespace_properties("stage") == {"owner": "etl"}
+        with pytest.raises(CommitConflictError):
+            cat.create_namespace("stage")  # duplicate -> 409
+        assert ("stage",) in cat.list_namespaces() and ("warehouse",) in cat.list_namespaces()
+        n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+        cat.create_table(spark, "stage", "nat", n, str(tmp_path / "nat"))
+        # rename across namespaces
+        cat.rename_table("stage", "nat", "warehouse", "nat_final")
+        assert cat.list_tables("stage") == []
+        assert cat.list_tables("warehouse") == ["nat_final"]
+        assert cat.scan(spark, "warehouse", "nat_final").count() == 25
+        with pytest.raises(urllib.error.HTTPError) as e:
+            cat.rename_table("stage", "nat", "warehouse", "x")  # gone source
+        assert e.value.code == 404
+        cat.register_table("warehouse", "other", str(tmp_path / "nat/metadata/v1.metadata.json"))
+        with pytest.raises(CommitConflictError):
+            cat.rename_table("warehouse", "other", "warehouse", "nat_final")  # dest exists
+        # drop-namespace refuses while tables remain
+        with pytest.raises(CommitConflictError):
+            cat.drop_namespace("warehouse")
+        cat.drop_table("warehouse", "nat_final")
+        cat.drop_table("warehouse", "other")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            cat.load_table("warehouse", "nat_final")
+        assert e.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as e:
+            cat.drop_table("warehouse", "nat_final")  # already gone
+        assert e.value.code == 404
+        cat.drop_namespace("warehouse")
+        cat.drop_namespace("stage")
+        assert ("warehouse",) not in cat.list_namespaces()
+    finally:
+        srv.stop()
+
+
+def test_rest_transaction_commit_atomic(spark, tmp_path):
+    """/v1/transactions/commit: two tables advance in ONE atomic
+    commit; a transaction containing one stale requirement applies
+    NOTHING (both pointers unchanged), unlike two sequential
+    single-table commits that would leave the first applied."""
+    from duckdb_iceberg_spark.sources.rest_catalog import RestCatalog
+    from duckdb_iceberg_spark.sources.rest_server import LocalRestCatalogServer
+    from duckdb_iceberg_spark.writer import CommitConflictError
+
+    srv = LocalRestCatalogServer()
+    srv.start()
+    try:
+        cat = RestCatalog(srv.uri)
+        n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+        r = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+        cat.create_table(spark, "default", "a", n.filter("n_nationkey < 10"), str(tmp_path / "a"))
+        cat.create_table(spark, "default", "b", r.limit(2), str(tmp_path / "b"))
+        cat.commit_transaction(
+            spark,
+            [
+                ("default", "a", lambda t: t.append(n.filter("n_nationkey >= 10"))),
+                ("default", "b", lambda t: t.append(r.exceptAll(r.limit(2)))),
+            ],
+        )
+        assert cat.scan(spark, "default", "a").count() == 25
+        assert cat.scan(spark, "default", "b").count() == 5
+        loc_a = cat.metadata_location("default", "a")
+        loc_b = cat.metadata_location("default", "b")
+        # hand-build a transaction whose SECOND table has a stale
+        # requirement: table a's change is valid, so a non-atomic
+        # server would apply it before failing on b
+        good = cat._table_change(spark, "default", "a", lambda t: t.append(n.limit(1)))
+        stale = {
+            "identifier": {"namespace": ["default"], "name": "b"},
+            "requirements": [
+                {"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": 12345}
+            ],
+            "updates": [],
+        }
+        with pytest.raises(CommitConflictError):
+            cat._request(
+                "POST", "/v1/transactions/commit", {"table-changes": [good, stale]}
+            )
+        assert cat.metadata_location("default", "a") == loc_a  # nothing applied
+        assert cat.metadata_location("default", "b") == loc_b
+    finally:
+        srv.stop()
+
+
+def test_rest_commit_propagates_branch_refs(spark, tmp_path):
+    """Write-audit-publish THROUGH the catalog: staging on a branch
+    propagates the branch ref (set-snapshot-ref audit) to the catalog
+    copy without moving main; fast-forwarding publishes and the
+    catalog's main advances; deleting the ref emits
+    remove-snapshot-ref."""
+    from duckdb_iceberg_spark.plans.table_metadata import load_table_metadata
+    from duckdb_iceberg_spark.sources.rest_catalog import RestCatalog
+    from duckdb_iceberg_spark.sources.rest_server import LocalRestCatalogServer
+
+    srv = LocalRestCatalogServer()
+    srv.start()
+    try:
+        cat = RestCatalog(srv.uri)
+        n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+        cat.create_table(spark, "default", "t", n.filter("n_nationkey < 20"), str(tmp_path / "t"))
+        head = load_table_metadata(cat.metadata_location("default", "t")).raw[
+            "current-snapshot-id"
+        ]
+        cat.commit(
+            spark, "default", "t", lambda t: t.append(n.filter("n_nationkey >= 20"), to_branch="audit")
+        )
+        doc = load_table_metadata(cat.metadata_location("default", "t")).raw
+        assert doc["current-snapshot-id"] == head  # main untouched
+        assert doc["refs"]["audit"]["type"] == "branch"
+        assert cat.scan(spark, "default", "t").count() == 20
+        cat.commit(spark, "default", "t", lambda t: t.fast_forward("audit"))
+        doc = load_table_metadata(cat.metadata_location("default", "t")).raw
+        assert doc["current-snapshot-id"] == doc["refs"]["audit"]["snapshot-id"]
+        assert cat.scan(spark, "default", "t").count() == 25
+        cat.commit(spark, "default", "t", lambda t: t.drop_ref("audit"))
+        doc = load_table_metadata(cat.metadata_location("default", "t")).raw
+        assert "audit" not in doc.get("refs", {})
+    finally:
+        srv.stop()
