@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rest_mutation_pipeline": _rest_mutation_pipeline,
         "rest_catalog_listing": _rest_catalog_listing,
         "iceberg_mixed_formats": _iceberg_mixed_formats,
+        "iceberg_variant_arrow": _iceberg_variant_arrow,
         "rest_catalog_ddl": _rest_catalog_ddl,
         "rest_two_table_transaction": _rest_two_table_transaction,
         "iceberg_merge_upsert": _iceberg_merge_upsert,
@@ -485,6 +486,7 @@ def oracle_sql() -> dict[str, str]:
         "rest_mutation_pipeline": _ICEBERG_WP_SQL,
         "rest_catalog_listing": _REST_LISTING_SQL,
         "iceberg_mixed_formats": _ICEBERG_MIXED_SQL,
+        "iceberg_variant_arrow": _ICEBERG_VARIANT_SQL,
         "rest_catalog_ddl": _REST_DDL_SQL,
         "rest_two_table_transaction": _REST_TXN_SQL,
         "iceberg_wap_branch": _ICEBERG_WAP_SQL,

@@ -973,6 +973,42 @@ WHERE doc_id < 200 AND doc_id % 5 <> 0 ORDER BY doc_id
 """
 
 
+def _iceberg_variant_arrow(spark, sf):
+    """Arrow-path twin of iceberg_variant: pyarrow cannot parse
+    Spark's VARIANT parquet annotation, so io='arrow' reads the file
+    through in-process DuckDB and REASSEMBLES the shredded groups
+    (metadata / residual value / typed_value) into canonical variant
+    binaries via the pure-Python codec (plans/variant,
+    VariantShredding.md reader algorithm) — variant_get then shreds
+    identically to the default path, composing with the v3 deletion
+    vectors. Same oracle as iceberg_variant: both paths must agree
+    with the source columns."""
+    import tempfile
+
+    from duckdb_iceberg_spark.writer import IcebergTable
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    df = d.select(
+        "doc_id",
+        F.parse_json(
+            F.to_json(F.struct(F.col("lang"), F.col("source"), F.col("n_chars")))
+        ).alias("payload"),
+    )
+    path = tempfile.mkdtemp(prefix="ice_vararw_") + "/t"
+    t = IcebergTable.create(spark, path, df, format_version=3)
+    t.delete_where("doc_id % 5 = 0")
+    return (
+        iceberg_scan(spark, path, io="arrow")
+        .select(
+            "doc_id",
+            F.variant_get("payload", "$.lang", "string").alias("lang"),
+            F.variant_get("payload", "$.source", "string").alias("source"),
+            F.variant_get("payload", "$.n_chars", "long").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _iceberg_arrow_dv(spark, sf):
     """The DV fixture (mixed v3 deletion vectors + leftover v2
     positional parquet) read through io='arrow': DV blobs ranged-read

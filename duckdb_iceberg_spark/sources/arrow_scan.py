@@ -82,7 +82,15 @@ def _read_aligned(partition: _ArrowSlice):
     from ..plans.fs import arrow_fs_path
 
     afs, apath = arrow_fs_path(partition.path, partition.fs_conf)
-    fschema = pq.read_schema(apath, filesystem=afs)
+    try:
+        fschema = pq.read_schema(apath, filesystem=afs)
+    except OSError as e:
+        if "LogicalType" not in str(e):
+            raise
+        # Spark's VARIANT logical annotation is newer than pyarrow's
+        # thrift table — read through in-process DuckDB instead and
+        # reassemble shredded variant groups into Spark's arrow layout
+        return _read_variant_fallback(partition, apath, afs)
     by_fid = {}
     for f in fschema:
         fid = (f.metadata or {}).get(b"PARQUET:field_id")
@@ -112,6 +120,76 @@ def _read_aligned(partition: _ArrowSlice):
         else:
             col = table.column(pname)
             arrays.append(col.cast(at) if col.type != at else col)
+        names.append(cur_name)
+    return pa.table(dict(zip(names, arrays))) if names else pa.table({})
+
+
+def _read_variant_fallback(partition: _ArrowSlice, apath: str, afs):
+    """Arrow-path reader for data files carrying Spark's VARIANT
+    parquet logical type, which this pyarrow's footer parser rejects.
+    DuckDB (in-process, executor-side — already a hard dependency of
+    the oracle harness) tolerates the unknown annotation and exposes
+    the physical group: ``metadata`` / residual ``value`` / optional
+    shredded ``typed_value`` subtree. Rows are merged back into one
+    canonical value binary by the shredding spec's reader algorithm
+    (plans/variant.reassemble_shredded) and emitted in Spark's arrow
+    layout for VariantType — struct<value, metadata> — so
+    ``variant_get`` works on the result exactly as on the default
+    path. Non-variant columns resolve by name. Local paths only:
+    the writer only produces variant tables Spark itself wrote."""
+    import duckdb
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    from ..plans.variant import reassemble_shredded
+
+    if afs is not None:
+        raise ValueError(
+            "variant data files on object stores are not supported on the "
+            "arrow path; use the default io='spark'"
+        )
+    table = duckdb.sql(
+        "SELECT * FROM read_parquet(?)", params=[apath]
+    ).arrow().combine_chunks()
+    n = table.num_rows
+    arrays, names = [], []
+    for fid, cur_name, st_json, *_alt in partition.fields:
+        at = to_arrow_type(T._parse_datatype_json_string(json.dumps(st_json)))
+        if cur_name not in table.column_names:
+            arrays.append(pa.nulls(n, type=at))
+            names.append(cur_name)
+            continue
+        col = table.column(cur_name).combine_chunks()
+        if (
+            pa.types.is_struct(at)
+            and {f.name for f in at} == {"value", "metadata"}
+            and pa.types.is_struct(col.type)
+            and "metadata" in [f.name for f in col.type]
+        ):
+            rows = col.to_pylist()
+            vals, metas, mask = [], [], []
+            for r in rows:
+                if r is None or r.get("metadata") is None:
+                    vals.append(b"")
+                    metas.append(b"")
+                    mask.append(True)
+                    continue
+                meta = bytes(r["metadata"])
+                v = r.get("value")
+                blob = reassemble_shredded(
+                    meta, None if v is None else bytes(v), r.get("typed_value")
+                )
+                vals.append(blob)
+                metas.append(meta)
+                mask.append(False)
+            col = pa.StructArray.from_arrays(
+                [pa.array(vals, type=pa.binary()), pa.array(metas, type=pa.binary())],
+                fields=[at.field("value"), at.field("metadata")],
+                mask=pa.array(mask),
+            )
+        elif col.type != at:
+            col = col.cast(at)
+        arrays.append(col)
         names.append(cur_name)
     return pa.table(dict(zip(names, arrays))) if names else pa.table({})
 
