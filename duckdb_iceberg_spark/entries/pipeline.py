@@ -430,12 +430,17 @@ def _curate_pipeline(spark, sf):
             TX.fingerprint(F.col("text")).alias("fp"),
         )
     q = d.filter((F.col("quality") > 0.5) & (F.col("lang") != "und"))
-    keep = q.withColumn(
-        "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
-    ).filter(F.col("rn") == 1)
+    # min_by instead of a row_number window: the per-fp winner is the
+    # min-doc_id row either way (doc_id unique), but hash aggregation
+    # partial-combines MAP-side — the fp exchange ships one candidate
+    # per (fp, map partition) instead of every surviving row, and the
+    # per-partition sort the window needed disappears.
+    keep = q.groupBy("fp").agg(
+        F.min_by(F.struct("lang", "n_tokens"), "doc_id").alias("__w")
+    )
     return (
-        keep.groupBy("lang")
-        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        keep.groupBy(F.col("__w.lang").alias("lang"))
+        .agg(F.count("*").alias("n_docs"), F.sum("__w.n_tokens").alias("n_tokens"))
         .orderBy("lang")
     )
 
@@ -864,7 +869,11 @@ GROUP BY dg.doc_id
 
 def _dedup_exact(spark, sf):
     d = _t(spark, sf, "documents")
-    return DD.exact_dedup(d).select("doc_id", "source")
+    # static output projection -> the min_by fast path: winner columns
+    # ride inside the fingerprint aggregate, no keep-list semi join
+    # back against the corpus (one scan + one exchange instead of two
+    # scans + join)
+    return DD.exact_dedup(d, keep_cols=["doc_id", "source"])
 
 
 _DEDUP_EXACT_SQL = r"""
@@ -876,8 +885,18 @@ WHERE doc_id IN (
 
 
 def _dedup_minhash_sig(spark, sf):
-    d = _t(spark, sf, "documents")
-    sig = DD.minhash_signatures(d, num_perm=16)
+    # pre-tokenized layout projection when available: ltoks IS
+    # split(trim(lower(text))) — the exact array the raw kernel
+    # builds — so the signature values are identical while the regex
+    # tokenize kernel (the dominant scan cost at scale) never runs.
+    tok = _t_proj(spark, sf, "documents", "tokens")
+    if tok is not None:
+        sig = DD.minhash_signatures(
+            tok.select("doc_id", "ltoks"), tokens_col="ltoks", num_perm=16
+        )
+    else:
+        d = _t(spark, sf, "documents")
+        sig = DD.minhash_signatures(d, num_perm=16)
     return sig.select("doc_id", F.md5(F.concat_ws("|", *[f"h{i}" for i in range(16)])).alias("sig_digest"))
 
 
@@ -1025,13 +1044,13 @@ def _dedup_boilerplate(spark, sf):
             tok, window=8, max_doc_freq=2
         ).orderBy("doc_id")
     if tok is not None:
-        # small corpus, projection available: classic broadcast-anti
-        # shape (fewest job floors) over the materialized tokens
-        return DD.line_dedup(
-            tok.select("doc_id", "toks"),
-            max_doc_freq=2,
-            segmenter=TX.chunk_tokens_builtin(F.col("toks"), 8),
-            inplace_reassembly=False,
+        # small corpus, projection available: hashed counting pass
+        # (no chunk-string kernel, 16-byte count rows) + line_dedup's
+        # single-groupBy shuffle reassembly — fewest job floors, and
+        # the count side never builds segment strings (measured at
+        # sf0.1: 0.82 -> 0.70 s vs the string-identity classic shape)
+        return DD.token_window_boilerplate(
+            tok, window=8, max_doc_freq=2, reassembly="shuffle"
         ).orderBy("doc_id")
     d = _t(spark, sf, "documents")
     return DD.line_dedup(
@@ -1461,10 +1480,18 @@ def _text_bpe_tokens(spark, sf):
     from duckdb_iceberg_spark.cache import scoped_persist
     from duckdb_iceberg_spark.operators import bpe as BPE
 
-    d = _t(spark, sf, "documents")
     # one persisted word-frequency pass feeds BOTH train and encode
     # (vocab-sized after the aggregate — the persist fences the corpus
-    # explode from running twice)
+    # explode from running twice); the pre-tokenized ltoks projection,
+    # when the layout overlay is active, replaces the regex tokenize
+    # kernel in both corpus passes (ltoks IS split(trim(lower(text))),
+    # so values are identical)
+    tok = _t_proj(spark, sf, "documents", "tokens")
+    if tok is not None:
+        wf = scoped_persist(BPE.word_frequencies(tok, tokens_col="ltoks"))
+        merges = BPE.bpe_train(tok, num_merges=1, min_freq=2, wf=wf)
+        return BPE.bpe_token_counts(tok, merges, wf=wf, tokens_col="ltoks")
+    d = _t(spark, sf, "documents")
     wf = scoped_persist(BPE.word_frequencies(d))
     merges = BPE.bpe_train(d, num_merges=1, min_freq=2, wf=wf)
     return BPE.bpe_token_counts(d, merges, wf=wf)
@@ -1502,6 +1529,11 @@ def _text_bpe_vocab(spark, sf):
     from duckdb_iceberg_spark.cache import scoped_persist
     from duckdb_iceberg_spark.operators import bpe as BPE
 
+    tok = _t_proj(spark, sf, "documents", "tokens")
+    if tok is not None:
+        wf = scoped_persist(BPE.word_frequencies(tok, tokens_col="ltoks"))
+        merges = BPE.bpe_train(tok, num_merges=30, min_freq=2, wf=wf)
+        return BPE.bpe_piece_topk(tok, merges, top_k=40, wf=wf)
     d = _t(spark, sf, "documents")
     wf = scoped_persist(BPE.word_frequencies(d))
     merges = BPE.bpe_train(d, num_merges=30, min_freq=2, wf=wf)

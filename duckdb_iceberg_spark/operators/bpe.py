@@ -35,11 +35,20 @@ from ..functions.text import tokens
 __all__ = ["bpe_train", "bpe_word_pieces", "bpe_token_counts", "bpe_piece_topk"]
 
 
-def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+def word_frequencies(
+    df: DataFrame, text_col: str = "text", tokens_col: str | None = None
+) -> DataFrame:
     """(word, freq) over the lowercased whitespace-tokenized corpus —
-    the single corpus-wide pass everything else derives from."""
+    the single corpus-wide pass everything else derives from.
+
+    ``tokens_col``: column already holding the lowercased whitespace
+    token array (the layout layer's ltoks projection). Must equal
+    ``split(trim(lower(text)), '\\s+')`` exactly for result parity —
+    the regex tokenize is the dominant per-task kernel of this pass
+    at scale, and a warehouse pays it once at ingest."""
+    tok = F.col(tokens_col) if tokens_col else tokens(F.lower(F.col(text_col)))
     return (
-        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        df.select(F.explode(tok).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
@@ -160,6 +169,7 @@ def bpe_token_counts(
     key_col: str = "doc_id",
     wf: DataFrame | None = None,
     max_broadcast_vocab: int = 5_000_000,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document BPE token count under a trained merge list — the
     token-budget statistic a packing/sampling stage consumes.
@@ -179,9 +189,8 @@ def bpe_token_counts(
     SCALE.md).
     """
     pieces = bpe_word_pieces(df, merges, text_col, wf=wf).select("w", "n_pieces")
-    dw = df.select(
-        F.col(key_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
-    ).where(F.col("w") != "")
+    tok = F.col(tokens_col) if tokens_col else tokens(F.lower(F.col(text_col)))
+    dw = df.select(F.col(key_col), F.explode(tok).alias("w")).where(F.col("w") != "")
     # Heaps' law vocab estimate (V ~= 40 * sqrt(words), words ~= bytes/6)
     # from Catalyst's plan-size statistic: zero extra jobs, conservative
     # (raw logical size overestimates text bytes -> overestimates vocab).

@@ -33,14 +33,40 @@ from ..functions import text as TX
 from ..functions import vectors as VEC
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
-    """Keep the min-key row per normalized-text fingerprint."""
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keep the min-key row per normalized-text fingerprint.
+
+    ``keep_cols``: when the caller only needs a known column subset,
+    the winning row's columns ride INSIDE the fingerprint aggregate
+    (min_by on the unique key) instead of a keep-list semi join back
+    against ``df`` — one scan and one exchange total, where the
+    default path re-scans the corpus to re-attach full rows. Same
+    rows either way; use it whenever the downstream projection is
+    static (returns exactly ``keep_cols``, in order)."""
     fp = df.select(F.col(key_col), TX.fingerprint(F.col(text_col)).alias("__fp"))
+    if keep_cols is not None:
+        sel_cols = list(dict.fromkeys([key_col, *keep_cols]))
+        sel = df.select(TX.fingerprint(F.col(text_col)).alias("__fp"), *sel_cols)
+        won = sel.groupBy("__fp").agg(
+            F.min_by(F.struct(*keep_cols), F.col(key_col)).alias("__row")
+        )
+        return won.select(*[F.col(f"__row.{c}").alias(c) for c in keep_cols])
     keep = fp.groupBy("__fp").agg(F.min(key_col).alias(key_col)).drop("__fp")
     return df.join(keep, key_col, "left_semi")
 
 
-def _doc_tokens(df: DataFrame, key_col: str, text_col: str, n_shingle: int) -> DataFrame:
+def _doc_tokens(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    n_shingle: int,
+    tokens_col: str | None = None,
+) -> DataFrame:
     """(key, token) pairs, distinct — token = word or n-gram shingle.
 
     Distinctness is PER DOCUMENT, so it is computed locally with
@@ -52,8 +78,17 @@ def _doc_tokens(df: DataFrame, key_col: str, text_col: str, n_shingle: int) -> D
     duplicate keys the per-row array_distinct is NOT equivalent to a
     global (key, tok) dropDuplicates — the same token on two rows of
     one key would be double-counted, inflating jaccard/minhash/n-gram
-    counts. All callers feed one-row-per-document frames."""
-    col = TX.shingles(F.col(text_col), n_shingle) if n_shingle > 1 else TX.tokens(F.lower(F.col(text_col)))
+    counts. All callers feed one-row-per-document frames.
+
+    ``tokens_col`` (word mode only): name of a column already holding
+    the LOWERCASED whitespace token array (the layout layer's ltoks
+    projection). Must equal ``split(trim(lower(text)), '\\s+')``
+    exactly for result parity with the raw path — the same contract
+    bigram_lm_score's tokens_col documents."""
+    if tokens_col is not None and n_shingle == 1:
+        col = F.col(tokens_col)
+    else:
+        col = TX.shingles(F.col(text_col), n_shingle) if n_shingle > 1 else TX.tokens(F.lower(F.col(text_col)))
     return df.select(key_col, F.explode(F.array_distinct(col)).alias("tok"))
 
 
@@ -63,12 +98,61 @@ def minhash_signatures(
     key_col: str = "doc_id",
     num_perm: int = 16,
     n_shingle: int = 1,
+    tokens_col: str | None = None,
+    max_broadcast_bytes: int = 256 << 20,
+    min_corpus_bytes: int = 32 << 20,
 ) -> DataFrame:
     """Per-document MinHash signature: for perm i, min(md5(i:token)).
 
     Returns (key_col, h0..h{num_perm-1}).
-    """
-    toks = _doc_tokens(df, key_col, text_col, n_shingle)
+
+    The md5 family is evaluated once per DISTINCT token (the corpus
+    vocabulary, ~sqrt-of-corpus under Heaps' law), not once per
+    (doc, token) instance: the vocabulary is hashed on its own branch
+    and broadcast-joined back onto the instance stream, cutting the
+    hash kernel by the corpus's token-repetition factor (every word
+    the corpus uses twice was being md5'd 2*num_perm times). Values
+    are identical — the join reattaches exactly the hash strings the
+    inline expressions produced, and the per-doc min runs over the
+    same multiset. The gate bounds the BROADCAST, not the vocab: each
+    vocab row carries num_perm 32-char hex digests, so the relation
+    is ~vocab * (32*num_perm + 20) bytes; past ``max_broadcast_bytes``
+    (Heaps'-law vocab estimate from plan statistics, the
+    bpe_token_counts precedent) it falls back to the inline
+    per-instance expressions, which shuffle nothing extra — a
+    shuffle-join fallback would move the whole exploded corpus, worse
+    than re-hashing. ``min_corpus_bytes`` is the activation floor: the
+    vocab branch adds two fixed job floors (distinct exchange +
+    broadcast build) that only pay for themselves once the corpus
+    repeats enough tokens (measured at sf0.1, 0.6 MiB: inline 0.67 s
+    vs vocab 0.74 s — the dedup_boilerplate/_docs_big crossover
+    pattern). ``tokens_col`` routes a pre-tokenized lowercased array
+    (the ltoks layout projection; word mode only), skipping the
+    tokenize kernel entirely."""
+    toks = _doc_tokens(df, key_col, text_col, n_shingle, tokens_col=tokens_col)
+    try:
+        size_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        est_vocab = int(40 * (max(size_bytes, 1) / 6) ** 0.5)
+    except Exception:
+        size_bytes, est_vocab = 0, 0  # stats unavailable -> assume small
+    est_bytes = est_vocab * (32 * num_perm + 20)
+    if n_shingle > 1 or size_bytes < min_corpus_bytes:
+        # shingle vocabularies grow near-linearly with the corpus, not
+        # sqrt (the Heaps estimate does not apply), and small corpora
+        # don't amortize the two extra job floors: stay inline
+        est_bytes = max_broadcast_bytes + 1
+    if est_bytes <= max_broadcast_bytes:
+        vocab_hashes = toks.select("tok").distinct().select(
+            "tok",
+            *[
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("tok"))).alias(f"h{i}")
+                for i in range(num_perm)
+            ],
+        )
+        joined = toks.join(F.broadcast(vocab_hashes), "tok")
+        return joined.groupBy(key_col).agg(
+            *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_perm)]
+        )
     aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"h{i}") for i in range(num_perm)]
     return toks.groupBy(key_col).agg(*aggs)
 
@@ -631,7 +715,12 @@ def line_dedup(
             F.col(key_col), kept_text
         )
         return clean.unionByName(dirty)
-    segs = df.select(F.col(key_col), F.explode(segmenter).alias("s")).select(
+    # explode_outer: a doc whose segmenter yields an empty/null array
+    # still emits one (null-segment) row, so the reassembly groupBy
+    # below covers EVERY document — that row's null chunk is skipped
+    # by array_join, producing the same '' the old join-back+coalesce
+    # produced, without paying a second join on the doc key.
+    segs = df.select(F.col(key_col), F.explode_outer(segmenter).alias("s")).select(
         F.col(key_col),
         F.col("s.chunk_no").alias("__pos"),
         F.col("s.chunk").alias("__seg"),
@@ -646,24 +735,37 @@ def line_dedup(
         .select("__k")
     )
     if broadcast_common:
-        # classic shape (r7): broadcast anti join + shuffle reassembly
-        # — fewer fixed job floors, wins on small corpora where the
+        # classic shape (r7): broadcast join + shuffle reassembly —
+        # fewer fixed job floors, wins on small corpora where the
         # text shuffle is cheap (see inplace_reassembly docstring note)
         common = F.broadcast(common)
-    kept = segs.join(common, norm == common["__k"], "left_anti")
-    reassembled = kept.groupBy(key_col).agg(
+    # LEFT join marks boilerplate segments (common has distinct __k,
+    # so join multiplicity is exactly 1) and ONE groupBy both filters
+    # and reassembles — the old anti-join + groupBy + join-back shape
+    # re-joined reassembled docs against the doc list just to restore
+    # all-boilerplate docs as '', paying an extra join and its
+    # exchanges; here they fall out of the same aggregate (every doc
+    # has >= 1 segs row, all of whose __seg survive or are filtered to
+    # an empty array -> array_join -> '').
+    marked = segs.join(common, norm == common["__k"], "left")
+    # collect_list skips NULL inputs, so the when() drops boilerplate
+    # segments at PARTIAL-aggregation time — they never enter the
+    # per-doc buffers that cross the reassembly exchange — while the
+    # doc's row itself still reaches the groupBy, so an all-boilerplate
+    # doc yields an empty list -> array_join -> '' (the old shape's
+    # join-back-and-coalesce, without the join).
+    return marked.groupBy(key_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__seg"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__k").isNull(), F.struct("__pos", "__seg"))
+                    )
+                ),
                 lambda s: s["__seg"],
             ),
             joiner,
         ).alias(text_col)
-    )
-    return (
-        df.select(key_col)
-        .join(reassembled, key_col, "left")
-        .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     )
 
 
@@ -675,6 +777,7 @@ def token_window_boilerplate(
     window: int = 8,
     max_doc_freq: int = 5,
     joiner: str = " ",
+    reassembly: str = "inplace",
 ) -> DataFrame:
     """:func:`line_dedup` specialized for a PRE-TOKENIZED corpus (the
     layout layer's (doc_id, toks, ltoks) projection) with fixed
@@ -691,6 +794,16 @@ def token_window_boilerplate(
     toks)`` without per-chunk work when the joiner is the token
     separator. sf10: 6.5 s (line_dedup raw) -> 3.0 s (1.1x the
     prepped DuckDB oracle).
+
+    ``reassembly``: ``"inplace"`` (default) is the zero-text-shuffle
+    shape above — document text never crosses an exchange, the 100 TB
+    contract. ``"shuffle"`` is the small-corpus twin: the SAME hashed
+    counting pass (no chunk-string kernel, 16-byte count rows) feeding
+    line_dedup's single-groupBy shuffle reassembly — fewer fixed job
+    floors (no persist fill, no removal-set broadcast) at the price of
+    kept text crossing the reassembly exchange, which is the right
+    trade exactly when the corpus-size gate says the text is small.
+    Same rows either way (same digest identities, same survivors).
     """
     toks, ltoks = F.col(tokens_col), F.col(lower_tokens_col)
     w = F.lit(window)
@@ -703,6 +816,47 @@ def token_window_boilerplate(
         return F.concat_ws(" ", F.slice(toks, (i - 1) * w + 1, w))
 
     idx = F.sequence(F.lit(1), n_chunks)
+    if reassembly == "shuffle":
+        hashes = df.select(
+            F.col(key_col), F.explode(F.transform(idx, chunk_hash)).alias("__h")
+        )
+        common = F.broadcast(
+            hashes.distinct()
+            .groupBy("__h")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") > max_doc_freq)
+            .select("__h", F.lit(True).alias("__bad"))
+        )
+        segs = df.select(
+            F.col(key_col),
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        i.cast("int").alias("__pos"),
+                        chunk_hash(i).alias("__h"),
+                        chunk_text(i).alias("__seg"),
+                    ),
+                )
+            ).alias("s"),
+        ).select(key_col, "s.__pos", "s.__h", "s.__seg")
+        marked = segs.join(common, "__h", "left")
+        return marked.groupBy(key_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__bad").isNull(),
+                                F.struct("__pos", "__seg"),
+                            )
+                        )
+                    ),
+                    lambda s: s["__seg"],
+                ),
+                joiner,
+            ).alias("text")
+        )
     hashes = df.select(
         F.col(key_col), F.explode(F.transform(idx, chunk_hash)).alias("__h")
     )

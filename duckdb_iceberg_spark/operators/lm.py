@@ -237,6 +237,37 @@ def bigram_lm_score(
             .withColumn("c12", F.count("*").over(Window.partitionBy("p")))
             .withColumn("__w1", F.col("p")["0"])
         )
+        if v is None:
+            # Window path without the eager vocab job (r11): V rides on
+            # the unigram table as a full-table window count instead of
+            # a SEPARATE scalar aggregate branch — the old
+            # c1.agg(count) + crossJoin(vocab) re-tokenized the whole
+            # corpus a third time (its own scan -> explode -> two
+            # agg/exchange chains -> BroadcastNestedLoopJoin). The
+            # single-partition window runs over the vocab-sized c1
+            # table, the same driver-bounded relation the broadcast
+            # already ships. Self-trained w1 always matches c1 (same
+            # tokenization built both), so carrying __v on the join
+            # row is total; values are identical because V is the same
+            # COUNT(*) over c1 either way.
+            c1w = c1.select(F.col("w").alias("__w1"), "c1").withColumn(
+                "__v", F.count("*").over(Window.partitionBy())
+            )
+            if broadcast_unigrams:
+                c1w = F.broadcast(c1w)
+            return (
+                scored.join(c1w, "__w1", "left")
+                .withColumn("c1", F.coalesce(F.col("c1"), F.lit(0)))
+                .groupBy(key_col)
+                .agg(
+                    F.avg(
+                        F.log(
+                            (F.col("c12") + F.lit(alpha))
+                            / (F.col("c1") + F.lit(alpha) * F.col("__v"))
+                        )
+                    ).alias("lm_score")
+                )
+            )
         if v is not None:
             # The gate already paid the vocab-count job — reuse the
             # number as a literal instead of re-aggregating c1 (which

@@ -128,12 +128,32 @@ def ewma_fixed_point(
 
         def run(pdf):
             xm = (pdf[value].to_numpy() * 100).round().astype(np.int64) * 10000
-            rank = pdf.groupby(key, sort=False).cumcount().to_numpy()
+            # group ranks straight from the sorted key array — a
+            # pandas groupby().cumcount() here cost ~10% of the whole
+            # query at sf0.1 (hash-bucketing keys the sort already
+            # grouped); diff/repeat over the contiguous runs is pure
+            # vectorized numpy
+            keys = pdf[key].to_numpy()
+            n = len(keys)
+            newgrp = np.empty(n, dtype=bool)
+            newgrp[0] = True
+            np.not_equal(keys[1:], keys[:-1], out=newgrp[1:])
+            starts = np.flatnonzero(newgrp)
+            counts = np.diff(np.append(starts, n))
+            rank = np.arange(n) - np.repeat(starts, counts)
             m = xm.copy()
-            kmax = int(rank.max()) if len(rank) else 0
-            for k in range(1, kmax + 1):
-                sel = np.flatnonzero(rank == k)
+            # depth-frontier propagation: iteration k advances only
+            # the rows whose group continues to depth k (each row is
+            # touched exactly once — O(rows) total, vs the old
+            # flatnonzero(rank == k) full scan per depth, O(rows x
+            # max-depth))
+            sel = np.flatnonzero(rank == 1)
+            k = 1
+            while len(sel):
                 m[sel] = (7 * m[sel - 1] + 3 * xm[sel] + 5) // 10
+                k += 1
+                sel = sel[rank[np.minimum(sel + 1, n - 1)] == k] + 1
+                sel = sel[sel < n]
             out = pdf[[key, ts, value]].copy()
             out[out_col] = ((m + qhalf) // qdiv) / qden
             return out
