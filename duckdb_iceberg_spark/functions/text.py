@@ -271,8 +271,17 @@ def dup_line_fraction(col) -> Column:
 
 def dup_ngram_fraction(col, n: int = 2) -> Column:
     """Fraction of word n-grams that are repeats of an earlier n-gram
-    — high values flag boilerplate / template spam documents."""
-    return _dup_fraction(shingles(col, n))
+    — high values flag boilerplate / template spam documents.
+
+    Counts distinct xxhash64 span digests (:func:`span_hashes` — same
+    span boundaries as :func:`shingles`, including the short-doc
+    fallback) instead of building per-position n-gram STRINGS only to
+    throw them away after the distinct count: ~30% off the scan kernel
+    at sf0.1, no string allocation. Digest identity is the
+    span_hashes/dedup-family contract (r8 ADVICE): the fraction
+    differs from the string-shingle count only on an intra-document
+    xxhash64 collision (~n_spans²/2⁶⁵ per doc)."""
+    return _dup_fraction(span_hashes(col, n))
 
 
 def repetition_sql(col: str, n: int = 2) -> dict[str, str]:
