@@ -344,7 +344,11 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
     if "benchgrams" in groups and os.path.exists(doc_src):
         stamp = int(os.path.getmtime(doc_src))
         tbl = f"agg_benchgrams_{sfx}"
-        loc = os.path.join(base, f"{sfx}_benchgrams_{stamp}_v1")
+        # v2: span_hashes_tokens switched to the flat n-argument
+        # xxhash64 digest (r11) — stored gram identities changed, so
+        # the artifact path version forces a rewrite; a stale v1 table
+        # would silently mismatch the probe side's new digests.
+        loc = os.path.join(base, f"{sfx}_benchgrams_{stamp}_v2")
         if not _have_table(tbl):
             if not os.path.exists(os.path.join(loc, "_SUCCESS")):
                 toks_tbl = _BUCKETED_OVERLAY.get((key_dir, "documents@tokens"))

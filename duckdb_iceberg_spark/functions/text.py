@@ -217,38 +217,44 @@ def span_hashes(col, n: int = 8) -> Column:
     hash-based dedup statistics. Use where only span IDENTITY matters
     (doc-frequency, duplication stats); use shingles() where the span
     TEXT must survive.
+
+    The digest is the FLAT n-argument ``xxhash64(tok_i, ...,
+    tok_{i+n-1})``, not xxhash64 over a sliced sub-array: the array
+    overload allocates a copy per span and recurses per element in
+    the interpreted lambda path — measured 2.6-3.9x slower at sf10
+    (n=3: 3.6 vs 1.4 s; n=8: 6.8 vs 1.8 s). Argument lengths feed the
+    hash stream, so ("ab","c") and ("a","bc") stay distinct. NOTE:
+    this changes the concrete digest VALUES vs rounds <= 10 — any
+    artifact that persists these digests must be version-bumped (the
+    benchgrams layout family is; see entries/layout.py).
     """
     t = tokens(F.lower(col))
 
     def _build(tb):
-        return F.when(
-            F.size(tb) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(tb) - n),
-                lambda i: F.xxhash64(F.slice(tb, i + 1, n)),
-            ),
-        ).otherwise(F.array(F.xxhash64(tb)))
+        return _flat_span_hashes(tb, n)
 
     return bind_once(t, _build)
+
+
+def _flat_span_hashes(tb, n: int):
+    """Shared flat-hash span builder over a BOUND token array."""
+    return F.when(
+        F.size(tb) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tb) - n),
+            lambda i: F.xxhash64(*[F.element_at(tb, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array(F.xxhash64(tb)))
 
 
 def span_hashes_tokens(tok_col, n: int = 8) -> Column:
     """:func:`span_hashes` over an ALREADY-tokenized (lowercased)
     array column — the pre-tokenized layout projection skips both the
     regex split and the bind_once interpretation wrapper (a
-    materialized attribute re-reads for free). Span boundaries and
-    the <n whole-doc fallback are identical."""
-
-    def _build(tb):
-        return F.when(
-            F.size(tb) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(tb) - n),
-                lambda i: F.xxhash64(F.slice(tb, i + 1, n)),
-            ),
-        ).otherwise(F.array(F.xxhash64(tb)))
-
-    return _build(tok_col)
+    materialized attribute re-reads for free). Span boundaries, the
+    <n whole-doc fallback, and the flat-hash digest scheme are
+    identical to :func:`span_hashes`."""
+    return _flat_span_hashes(tok_col, n)
 
 
 def _dup_fraction(arr) -> Column:
@@ -288,20 +294,7 @@ def dup_ngram_fraction(col, n: int = 2) -> Column:
     string-shingle count only on an intra-document collision
     (~n_spans²/2⁶⁵ per doc); verified value-identical on the sf0.001/
     sf0.01/sf0.1 and generated sf10 fixtures."""
-    t = tokens(F.lower(col))
-
-    def _build(tb):
-        return F.when(
-            F.size(tb) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(tb) - n),
-                lambda i: F.xxhash64(
-                    *[F.element_at(tb, i + j + 1) for j in range(n)]
-                ),
-            ),
-        ).otherwise(F.array(F.xxhash64(tb)))
-
-    return _dup_fraction(bind_once(t, _build))
+    return _dup_fraction(span_hashes(col, n))
 
 
 def repetition_sql(col: str, n: int = 2) -> dict[str, str]:

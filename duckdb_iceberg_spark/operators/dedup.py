@@ -810,7 +810,19 @@ def token_window_boilerplate(
     n_chunks = F.greatest(F.ceil(F.size(toks) / w).cast("int"), F.lit(1))
 
     def chunk_hash(i):
-        return F.xxhash64(F.slice(ltoks, (i - 1) * w + 1, w))
+        # flat w-argument hash, not xxhash64 over a sliced sub-array —
+        # the array overload allocates a copy per chunk and recurses
+        # per element in the interpreted lambda path (measured 26%
+        # slower at sf10). try_element_at pads the trailing short
+        # chunk with NULLs, which the hash stream skips, so two short
+        # chunks with equal tokens still collide (same identity the
+        # slice digest gave) and full chunks never match short ones.
+        return F.xxhash64(
+            *[
+                F.try_element_at(ltoks, (i - 1) * w + F.lit(j + 1))
+                for j in range(window)
+            ]
+        )
 
     def chunk_text(i):
         return F.concat_ws(" ", F.slice(toks, (i - 1) * w + 1, w))
