@@ -193,30 +193,52 @@ def minhash_lsh_pairs(
 
     ``max_bucket`` (OPT-IN — default None drops nothing, so existing
     callers see every candidate) drops band buckets larger than the
-    cap before the self-join: a bucket of B docs emits B^2/2 candidate
-    pairs, so one boilerplate-dominated signature (every corpus has
-    some) turns the banding into a quadratic blow-up — observed at
-    sf10, where a degenerate synthetic vocabulary produced mega-
-    buckets that ran the candidate join out of memory. Docs this
+    cap before candidate generation: a bucket of B docs emits B^2/2
+    candidate pairs, so one boilerplate-dominated signature (every
+    corpus has some) turns the banding into a quadratic blow-up —
+    observed at sf10, where a degenerate synthetic vocabulary produced
+    mega-buckets that ran the candidate join out of memory. Docs this
     similar to *thousands* of others are boilerplate by definition;
     production LSH dedup caps or samples such buckets. When set, a
-    warning is logged naming the cap so truncation is never silent."""
+    warning is logged naming the cap so truncation is never silent.
+
+    Candidate generation groups each (band, bkey) bucket into a sorted
+    key array with ONE exchange and expands i<j pairs locally, instead
+    of the former band-key SELF-JOIN — that shape computed the whole
+    banded projection twice (two Exchange+Window subtrees: once for
+    the probe side, once for the broadcast build) and, at scale, had
+    to either broadcast every band key or shuffle both sides again.
+    The bucket cap becomes a cheap size() filter on the aggregate
+    where it used to need a window sort over the banded stream. Pair
+    sets are identical: within a bucket keys are distinct (one row per
+    doc per band), so sorted i<j enumeration IS x.k < y.k; memory per
+    bucket row is bounded by max_bucket keys (uncapped callers accept
+    the same quadratic exposure the join had)."""
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, text_col, key_col, num_perm, n_shingle).cache()
-    # band key = md5 over that band's signature slice
-    band_frames = []
-    for b in range(bands):
-        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
-        band_frames.append(
-            sig.select(F.col(key_col).alias("k"), F.md5(F.concat_ws("|", *cols)).alias("bkey"), F.lit(b).alias("band"))
-        )
-    banded = band_frames[0]
-    for bf in band_frames[1:]:
-        banded = banded.unionAll(bf)
+    # band key = md5 over that band's signature slice; one pass over
+    # the cached signatures (explode) instead of a bands-way union
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(key_col).alias("k"), F.explode(band_entries).alias("bb")
+    ).select(F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"), "k")
+    buckets = banded.groupBy("band", "bkey").agg(
+        F.sort_array(F.collect_list("k")).alias("ks")
+    )
     if max_bucket is not None:
         import logging
-
-        from pyspark.sql import Window
 
         logging.getLogger(__name__).warning(
             "minhash_lsh_pairs: band buckets larger than max_bucket=%d are "
@@ -224,17 +246,14 @@ def minhash_lsh_pairs(
             "inside such buckets are NOT reported",
             max_bucket,
         )
-        bsz = Window.partitionBy("band", "bkey")
-        banded = (
-            banded.withColumn("__bsz", F.count("*").over(bsz))
-            .where(F.col("__bsz") <= max_bucket)
-            .drop("__bsz")
-        )
+        buckets = buckets.where(F.size("ks") <= max_bucket)
     cands = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "bkey"])
-        .where(F.col("x.k") < F.col("y.k"))
-        .select(F.col("x.k").alias("id_a"), F.col("y.k").alias("id_b"))
+        buckets.where(F.size("ks") >= 2)
+        .select(F.posexplode("ks").alias("i", "id_a"), "ks")
+        .select(
+            "id_a",
+            F.explode(F.slice("ks", F.col("i") + F.lit(2), F.size("ks"))).alias("id_b"),
+        )
         .dropDuplicates()
     )
     a = sig.select(F.col(key_col).alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_perm)])
