@@ -1452,7 +1452,12 @@ FROM cand WHERE levenshtein(sa, sb) = 1
 
 def _text_bpe_pairs(spark, sf):
     """BPE tokenizer-training statistic: corpus-wide adjacent char
-    pair counts weighted by word frequency, top 50."""
+    pair counts weighted by word frequency, top 50. Rides the
+    pre-tokenized ltoks projection when the layout overlay is active
+    (ltoks IS split(trim(lower(text))), so values are identical)."""
+    tok = _t_proj(spark, sf, "documents", "tokens")
+    if tok is not None:
+        return LM.bpe_pair_counts(tok, top_k=50, tokens_col="ltoks")
     d = _t(spark, sf, "documents")
     return LM.bpe_pair_counts(d, top_k=50)
 

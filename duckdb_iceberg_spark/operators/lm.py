@@ -34,7 +34,10 @@ from ..functions.text import shingles, tokens
 
 
 def bpe_pair_counts(
-    df: DataFrame, text_col: str = "text", top_k: int = 50
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Corpus-wide adjacent-character-pair frequencies — the statistic
     BPE tokenizer training greedily merges on (Sennrich et al. 2016,
@@ -49,9 +52,15 @@ def bpe_pair_counts(
     that small table. At 100 TB the heavy shuffle is the word count;
     everything after is vocabulary-sized. Repeated pairs inside one
     word each count ("aaa" -> "aa" twice), exactly as BPE requires.
-    """
+
+    ``tokens_col``: column already holding the lowercased whitespace
+    token array (the layout layer's ltoks projection); must equal
+    ``split(trim(lower(text)), '\\s+')`` exactly for result parity —
+    it skips the regex tokenize kernel in the one corpus pass."""
+    tok = F.col(tokens_col) if tokens_col else tokens(F.lower(F.col(text_col)))
     words = (
-        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        df.select(F.explode(tok).alias("w"))
+        .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     )

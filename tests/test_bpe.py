@@ -84,3 +84,25 @@ def test_piece_topk_mass_conserved(spark):
     top = bpe_piece_topk(df, [], top_k=10).collect()
     assert sum(r.cnt for r in top) == 12
     assert top[0].cnt >= top[-1].cnt
+
+
+def test_pair_counts_tokens_col_parity(spark):
+    """bpe_pair_counts(tokens_col=) must reproduce the raw-text path
+    exactly — the ltoks projection contract (ltoks IS
+    split(trim(lower(text)), '\\s+')), including empty docs and
+    repeated in-word pairs."""
+    from pyspark.sql import functions as F
+
+    from duckdb_iceberg_spark.operators.lm import bpe_pair_counts
+
+    df = _corpus(
+        spark,
+        ["low low lowest", "  Banana bandana ", "", "   ", "aaa aaa bb"],
+    )
+    raw = bpe_pair_counts(df, top_k=100).collect()
+    tok = df.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("ltoks")
+    )
+    proj = bpe_pair_counts(tok, top_k=100, tokens_col="ltoks").collect()
+    assert [tuple(r) for r in raw] == [tuple(r) for r in proj]
+    assert ("an", 4) in [tuple(r) for r in raw]  # banana=2 + bandana=2
