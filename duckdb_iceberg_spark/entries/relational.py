@@ -1524,6 +1524,15 @@ def _q2_min_cost_supplier(spark, sf):
     p = _t(spark, sf, "part").filter((F.col("p_size") <= 15) & (F.col("p_type") == "ECONOMY"))
     s = _t(spark, sf, "supplier")
     n = _t(spark, sf, "nation")
+    # the partkey-bucketed lineitem projection carries exactly the
+    # four columns this query touches; bucketing on l_partkey
+    # satisfies BOTH the (l_partkey, l_suppkey) grouping and the
+    # per-part window clustering, so the whole decorrelated min
+    # compiles with ZERO data exchanges (the orderkey-bucketed base
+    # table needs two: group shuffle + window repartition)
+    pli = _t_proj(spark, sf, "lineitem", "l_partkey")
+    if pli is not None and {"l_suppkey", "l_quantity", "l_extendedprice"} <= set(pli.columns):
+        li = pli
     # per-part min is unaffected by which parts qualify, so the
     # selective part predicate is applied FIRST (broadcast semi join)
     # and only qualifying parts' lineitems are aggregated; the part
@@ -1655,11 +1664,17 @@ def _q21_waiting_suppliers(spark, sf):
     s = _t(spark, sf, "supplier")
     n = _t(spark, sf, "nation")
     # lineitem |><| orders(F) is scanned and joined ONCE: aggregate to
-    # the (order, supplier) grain, then a window over the order key
-    # answers both EXISTS branches (other-supplier count / other-late
-    # count) without re-joining the fact table. (A collect_list +
-    # higher-order-function variant was measured and lost: hash
-    # aggregation + window beats ObjectHashAggregate here.)
+    # the (order, supplier) grain, then a SECOND per-order hash
+    # aggregate answers both EXISTS branches (supplier count / late-
+    # supplier count) — because the qualifying orders have EXACTLY one
+    # late supplier, max(when(late, ...)) recovers that supplier and
+    # its row count inside the same aggregate, so no window and no
+    # join-back. Both aggregates are exchange-free on the orderkey-
+    # bucketed layout (partitioning on l_orderkey satisfies both
+    # grouping clusterings); the former Window needed a full sort of
+    # the (order, supplier) grain that this shape skips entirely.
+    # (A collect_list + higher-order-function variant was measured and
+    # lost: hash aggregation beats ObjectHashAggregate here.)
     grp = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "l_suppkey")
@@ -1669,12 +1684,17 @@ def _q21_waiting_suppliers(spark, sf):
             ).alias("late_rows")
         )
     )
-    w = Window.partitionBy("l_orderkey")
+    late = F.col("late_rows") > 0
     per_order = (
-        grp.withColumn("nsupp", F.count("*").over(w))
-        .withColumn("nlate", F.sum((F.col("late_rows") > 0).cast("long")).over(w))
-        .filter((F.col("nsupp") > 1) & (F.col("nlate") == 1) & (F.col("late_rows") > 0))
-        .select(F.col("l_suppkey").alias("suppkey"), "late_rows")
+        grp.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("nsupp"),
+            F.sum(late.cast("long")).alias("nlate"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("suppkey"),
+            F.max(F.when(late, F.col("late_rows"))).alias("late_rows"),
+        )
+        .filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+        .select("suppkey", "late_rows")
     )
     return (
         per_order.join(F.broadcast(s), per_order.suppkey == s.s_suppkey)
