@@ -175,7 +175,9 @@ def bpe_token_counts(
     token-budget statistic a packing/sampling stage consumes.
 
     One explode of (doc, word) joined to the once-encoded distinct
-    vocabulary, then a per-doc sum. The vocabulary side is the FULL
+    vocabulary, then a per-doc sum. (A 0/1-merge list of single-char
+    pairs short-circuits to pure per-row JVM expressions instead —
+    see the fast-path comment below.) The vocabulary side is the FULL
     corpus distinct-word table (so words pruned from training still
     encode), which under Heaps' law grows ~sqrt(corpus) — it is
     broadcast only while the Heaps-law estimate from the input size
@@ -188,8 +190,40 @@ def bpe_token_counts(
     already have written its exchange (the trap documented in
     SCALE.md).
     """
-    pieces = bpe_word_pieces(df, merges, text_col, wf=wf).select("w", "n_pieces")
     tok = F.col(tokens_col) if tokens_col else tokens(F.lower(F.col(text_col)))
+    if len(merges) <= 1 and all(
+        len(part) == 1 and part != "\x01" for m in merges for part in m
+    ):
+        # Single-merge (or no-merge) fast path: the greedy encoder for
+        # ONE merge of two single chars reduces a word to
+        # len(w) - occ(w, a+b) pieces, where occ counts non-overlapping
+        # left-to-right occurrences — exactly what string replace()
+        # removes. Summed per document, everything becomes per-ROW JVM
+        # expressions over the token array: no Python boundary, no
+        # vocabulary join, no explode, no exchange at all (guide §4.1 /
+        # §2.4). Cross-token false matches are impossible because the
+        # \x01 join separator never appears in the (guarded) pair;
+        # per-token replace therefore equals replace on the joined
+        # string. Zero-word docs are dropped, matching the grouped
+        # classic path.
+        sumlen = F.length(F.concat_ws("", tok))
+        if merges:
+            ab = merges[0][0] + merges[0][1]
+            joined = F.concat_ws("\x01", tok)
+            occ = (
+                F.length(joined) - F.length(F.replace(joined, F.lit(ab), F.lit("")))
+            ) / F.lit(2)
+        else:
+            occ = F.lit(0)
+        return (
+            df.select(
+                F.col(key_col),
+                (sumlen - occ).cast("long").alias("bpe_tokens"),
+                F.size(F.array_remove(tok, "")).cast("long").alias("words"),
+            )
+            .where(F.col("words") > 0)
+        )
+    pieces = bpe_word_pieces(df, merges, text_col, wf=wf).select("w", "n_pieces")
     dw = df.select(F.col(key_col), F.explode(tok).alias("w")).where(F.col("w") != "")
     # Heaps' law vocab estimate (V ~= 40 * sqrt(words), words ~= bytes/6)
     # from Catalyst's plan-size statistic: zero extra jobs, conservative

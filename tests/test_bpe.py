@@ -106,3 +106,51 @@ def test_pair_counts_tokens_col_parity(spark):
     proj = bpe_pair_counts(tok, top_k=100, tokens_col="ltoks").collect()
     assert [tuple(r) for r in raw] == [tuple(r) for r in proj]
     assert ("an", 4) in [tuple(r) for r in raw]  # banana=2 + bandana=2
+
+
+def test_token_counts_single_merge_fast_path_parity(spark):
+    """The 0/1-merge expression fast path must reproduce the classic
+    vocabulary-join path exactly — overlap greediness ('aaa' under
+    (a,a)), repeated pairs ('erer'), boundary non-matches ('eerr'),
+    docs that vanish (all-whitespace), and the tokens_col route."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        "er erer eerr rere",
+        "aaa aa aaaa",
+        "the quick er brown",
+        "",
+        "   ",
+        "xyz",
+    ]
+    df = _corpus(spark, rows)
+
+    def classic(frame, merges):
+        # the pre-fast-path shape, inlined: explode -> vocab join -> sum
+        tok = F.split(F.trim(F.lower("text")), r"\s+")
+        pieces = bpe_word_pieces(frame, merges).select("w", "n_pieces")
+        dw = frame.select("doc_id", F.explode(tok).alias("w")).where(F.col("w") != "")
+        return (
+            dw.join(F.broadcast(pieces), "w")
+            .groupBy("doc_id")
+            .agg(F.sum("n_pieces").alias("bpe_tokens"), F.count("*").alias("words"))
+        )
+
+    for merges in ([], [("e", "r")], [("a", "a")]):
+        got = {tuple(r) for r in bpe_token_counts(df, merges).collect()}
+        want = {tuple(r) for r in classic(df, merges).collect()}
+        assert got == want, (merges, got, want)
+        # no Python eval in the fast-path plan
+        plan = bpe_token_counts(df, merges)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+
+    # tokens_col route
+    tok = df.select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("ltoks"))
+    got = {tuple(r) for r in bpe_token_counts(tok, [("e", "r")], tokens_col="ltoks").collect()}
+    want = {tuple(r) for r in classic(df, [("e", "r")]).collect()}
+    assert got == want
+
+    # a multi-char merge part must NOT take the fast path (values still agree)
+    multi = bpe_token_counts(df, [("er", "e")])
+    plan = multi._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" in plan or "ArrowEval" in plan
