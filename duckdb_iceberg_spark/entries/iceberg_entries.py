@@ -1084,7 +1084,12 @@ def _join_salted(spark, sf):
     if sf not in _SALT_TUNE:
         _SALT_TUNE[sf] = tune_n_salts(li, "l_partkey")
     pli, pp = _t_proj(spark, sf, "lineitem", "l_partkey"), _t_proj(spark, sf, "part", "p_partkey")
-    if _SALT_TUNE[sf] <= 1 and pli is not None and pp is not None:
+    if _SALT_TUNE[sf] <= 1 and pli is not None and "p_brand" in pli.columns:
+        # no skew detected and the projection denormalizes p_brand:
+        # the join is a no-op — scan + aggregate (IS NOT NULL keeps
+        # inner-join semantics for dangling partkeys)
+        joined = pli.filter(F.col("p_brand").isNotNull())
+    elif _SALT_TUNE[sf] <= 1 and pli is not None and pp is not None:
         # no skew detected -> salting is a no-op, so take the best
         # available physical path: the partkey projections join
         # co-located (salting exists for when layout CAN'T save you —

@@ -380,22 +380,49 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
         if "projections" not in groups or not os.path.exists(src):
             continue
         n_buckets = num_buckets or _bucket_count(key_dir, group)
+        # The lineitem partkey projection denormalizes p_brand the way
+        # the spine denormalizes c_mktsegment: the hot brand FK joins
+        # (join_colocated_brand / join_salted's no-skew route) become
+        # zero-join scans. LEFT join so a dangling l_partkey (dirty
+        # data) keeps its fact row — consumers that reproduce the
+        # inner-join queries filter p_brand IS NOT NULL, and set
+        # consumers (agg_global's distinct) see every row either way.
+        part_src = os.path.join(key_dir, "part.parquet")
+        denorm_brand = (
+            name == "lineitem" and bkey == "l_partkey" and os.path.exists(part_src)
+        )
         stamp = int(os.path.getmtime(src))
+        ver = "v2"
+        if denorm_brand:
+            stamp = max(stamp, int(os.path.getmtime(part_src)))
+            ver = "v3"  # schema change: stale pre-brand tables must not match
+
+        def _build(src=src, proj_cols=proj_cols, denorm=denorm_brand):
+            df = spark.read.parquet(src).select(*proj_cols)
+            if denorm:
+                p = spark.read.parquet(part_src).select("p_partkey", "p_brand")
+                # dim side gated like the spine's customer join: past
+                # ~1 GB parquet, shuffle-hash (build-time only) instead
+                # of risking the broadcast
+                if _dataset_bytes(part_src) < (1 << 30):
+                    p = F.broadcast(p)
+                else:
+                    p = p.hint("SHUFFLE_HASH")
+                df = df.join(p, df.l_partkey == p.p_partkey, "left").drop("p_partkey")
+            return df
+
         tbl = f"prj_{name}_{bkey}_{sfx}"
-        loc = os.path.join(base, f"{sfx}_{name}_{bkey}_{stamp}_b{n_buckets}v2")
+        loc = os.path.join(base, f"{sfx}_{name}_{bkey}_{stamp}_b{n_buckets}{ver}")
         if not _have_table(tbl):
             if os.path.exists(os.path.join(loc, "_SUCCESS")):
-                cols = _ddl_cols_cached(
-                    loc,
-                    lambda src=src, proj_cols=proj_cols: spark.read.parquet(src).select(*proj_cols),
-                )
+                cols = _ddl_cols_cached(loc, _build)
                 spark.sql(
                     f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
                     f"CLUSTERED BY ({bkey}) SORTED BY ({bkey}) INTO {n_buckets} BUCKETS "
                     f"LOCATION '{loc}'"
                 )
             else:
-                proj_df = spark.read.parquet(src).select(*proj_cols)
+                proj_df = _build()
                 write_bucketed(proj_df, tbl, bkey, n_buckets, path=loc)
                 _ddl_cols_cached(loc, lambda: proj_df)  # seed the sidecar
             spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS NOSCAN")

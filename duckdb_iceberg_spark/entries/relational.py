@@ -425,10 +425,23 @@ def _join_colocated_brand(spark, sf):
     driver) — results are layout-independent."""
     li = _t_proj(spark, sf, "lineitem", "l_partkey")
     p = _t_proj(spark, sf, "part", "p_partkey")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    if li is not None and "p_brand" in li.columns:
+        # the projection denormalizes p_brand at build time (the spine
+        # pattern): the hot FK join disappears entirely — one scan into
+        # a 25-group aggregate. p_brand IS NOT NULL reproduces the
+        # inner-join semantics for any dangling partkey.
+        return (
+            li.filter(F.col("p_brand").isNotNull())
+            .groupBy("p_brand")
+            .agg(
+                F.count("*").alias("n"),
+                (F.sum(cents).cast("double") / F.lit(100.0)).alias("brand_revenue"),
+            )
+        )
     if li is None or p is None:
         li = _t(spark, sf, "lineitem")
         p = _t(spark, sf, "part")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
         li.join(p.hint("SHUFFLE_HASH"), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")

@@ -189,15 +189,16 @@ def test_funnel_join_bucketed_no_exchange(spark):
 
 
 def test_colocated_projection_join_no_fact_exchange(spark):
-    """join_colocated_brand through the partkey projections must
-    compile as a ShuffledHashJoin with no Exchange on partkey — the
-    only allowed Exchange is the final 25-row brand aggregation."""
+    """join_colocated_brand through the brand-denormalized partkey
+    projection must compile with NO join at all and no Exchange on
+    partkey — the only allowed Exchange is the final 25-row brand
+    aggregation."""
     import __spark_entry__ as E2
 
     E2.prepare_bucketed_fixtures(spark, SF)
     try:
         plan = _plan(E2.queries()["join_colocated_brand"](spark, SF))
-        assert "ShuffledHashJoin" in plan, plan[:500]
+        assert "Join" not in plan, plan[:500]
         pk = [
             ln
             for ln in plan.splitlines()
