@@ -890,13 +890,17 @@ def _dedup_minhash_sig(spark, sf):
     # builds — so the signature values are identical while the regex
     # tokenize kernel (the dominant scan cost at scale) never runs.
     tok = _t_proj(spark, sf, "documents", "tokens")
+    # real corpus bytes for the operator's branch gates — the
+    # plan-stats proxy under-reports the pruned bucketed scan
+    nbytes = _dataset_bytes(os.path.join(os.path.abspath(sf), "documents.parquet"))
     if tok is not None:
         sig = DD.minhash_signatures(
-            tok.select("doc_id", "ltoks"), tokens_col="ltoks", num_perm=16
+            tok.select("doc_id", "ltoks"), tokens_col="ltoks", num_perm=16,
+            corpus_bytes=nbytes,
         )
     else:
         d = _t(spark, sf, "documents")
-        sig = DD.minhash_signatures(d, num_perm=16)
+        sig = DD.minhash_signatures(d, num_perm=16, corpus_bytes=nbytes)
     return sig.select("doc_id", F.md5(F.concat_ws("|", *[f"h{i}" for i in range(16)])).alias("sig_digest"))
 
 

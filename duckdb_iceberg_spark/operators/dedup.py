@@ -101,6 +101,7 @@ def minhash_signatures(
     tokens_col: str | None = None,
     max_broadcast_bytes: int = 256 << 20,
     min_corpus_bytes: int = 32 << 20,
+    corpus_bytes: int | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature: for perm i, min(md5(i:token)).
 
@@ -111,8 +112,8 @@ def minhash_signatures(
     (doc, token) instance: the vocabulary is hashed on its own branch
     and broadcast-joined back onto the instance stream, cutting the
     hash kernel by the corpus's token-repetition factor (every word
-    the corpus uses twice was being md5'd 2*num_perm times). Values
-    are identical — the join reattaches exactly the hash strings the
+    the corpus uses twice was being md5'd 2*num_perm times). Values are
+    identical — the join reattaches exactly the hash strings the
     inline expressions produced, and the per-doc min runs over the
     same multiset. The gate bounds the BROADCAST, not the vocab: each
     vocab row carries num_perm 32-char hex digests, so the relation
@@ -126,15 +127,28 @@ def minhash_signatures(
     broadcast build) that only pay for themselves once the corpus
     repeats enough tokens (measured at sf0.1, 0.6 MiB: inline 0.67 s
     vs vocab 0.74 s — the dedup_boilerplate/_docs_big crossover
-    pattern). ``tokens_col`` routes a pre-tokenized lowercased array
-    (the ltoks layout projection; word mode only), skipping the
+    pattern). ``corpus_bytes`` lets the caller supply the REAL corpus
+    dataset size for both gates — Catalyst's plan statistic
+    under-reports a column-pruned bucketed scan (15 MB reported for a
+    58 MB corpus), silently mis-routing exactly the scale the vocab
+    branch is for. ``tokens_col`` routes a pre-tokenized lowercased
+    array (the ltoks layout projection; word mode only), skipping the
     tokenize kernel entirely."""
     toks = _doc_tokens(df, key_col, text_col, n_shingle, tokens_col=tokens_col)
-    try:
-        size_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if corpus_bytes is not None:
+        # REAL dataset bytes from the caller: Catalyst's plan-size
+        # statistic under-reports a column-pruned bucketed scan by an
+        # arbitrary proration (measured 15 MB for a 58 MB corpus at
+        # sf10 — below min_corpus_bytes, silently routing the one
+        # scale that wants the vocab branch onto the inline path)
+        size_bytes = int(corpus_bytes)
         est_vocab = int(40 * (max(size_bytes, 1) / 6) ** 0.5)
-    except Exception:
-        size_bytes, est_vocab = 0, 0  # stats unavailable -> assume small
+    else:
+        try:
+            size_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            est_vocab = int(40 * (max(size_bytes, 1) / 6) ** 0.5)
+        except Exception:
+            size_bytes, est_vocab = 0, 0  # stats unavailable -> assume small
     est_bytes = est_vocab * (32 * num_perm + 20)
     if n_shingle > 1 or size_bytes < min_corpus_bytes:
         # shingle vocabularies grow near-linearly with the corpus, not
@@ -155,6 +169,13 @@ def minhash_signatures(
         )
 
     if est_bytes <= max_broadcast_bytes:
+        # (A rank-substitution variant — int min buffers via
+        # per-permutation row_number over the vocabulary, resolved
+        # back through a broadcast of the sorted digest arrays — was
+        # measured and REJECTED: interleaved fresh-plan entry A/B at
+        # sf10 read 2.84 s vs 2.57 s for this shape; the extra
+        # vocab-persist + 16 windows + second broadcast cost more
+        # than the fixed-width aggregate saved.)
         vocab_hashes = toks.select("tok").distinct().select(
             "tok",
             *[
@@ -184,6 +205,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     n_shingle: int = 1,
     max_bucket: Optional[int] = None,
+    corpus_bytes: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH, scored by
     the estimated Jaccard (fraction of agreeing signature components).
@@ -215,7 +237,9 @@ def minhash_lsh_pairs(
     bucket row is bounded by max_bucket keys (uncapped callers accept
     the same quadratic exposure the join had)."""
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, text_col, key_col, num_perm, n_shingle).cache()
+    sig = minhash_signatures(
+        df, text_col, key_col, num_perm, n_shingle, corpus_bytes=corpus_bytes
+    ).cache()
     # band key = md5 over that band's signature slice; one pass over
     # the cached signatures (explode) instead of a bands-way union
     band_entries = F.array(

@@ -32,6 +32,19 @@ def test_exact_dedup_removes_planted(docs_with_dups):
     assert any(i >= 200000 for i in ids)
 
 
+def test_minhash_vocab_rank_branch_matches_inline(docs_with_dups):
+    """The broadcast vocab branch (distinct-vocabulary hash +
+    broadcast join-back) must produce signatures bit-identical to the
+    inline per-instance md5 path — including digest-order ties and
+    single-token docs."""
+    inline = DD.minhash_signatures(docs_with_dups, num_perm=8)
+    # force the vocab/rank branch regardless of corpus size
+    ranked = DD.minhash_signatures(docs_with_dups, num_perm=8, min_corpus_bytes=0)
+    a = sorted(tuple(r) for r in inline.collect())
+    b = sorted(tuple(r) for r in ranked.collect())
+    assert a == b
+
+
 def test_minhash_lsh_finds_planted_neardups(docs_with_dups):
     pairs = DD.minhash_lsh_pairs(docs_with_dups, num_perm=32, bands=8, threshold=0.5)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
