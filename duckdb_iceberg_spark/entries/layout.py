@@ -81,6 +81,12 @@ _SPLIT_SPECS = ("documents", "embeddings", "part", "supplier")
 _PROJECTION_SPECS = (
     ("lineitem", "l_partkey", ("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"), "spine"),
     ("part", "p_partkey", ("p_partkey", "p_brand"), "spine"),
+    # custkey-bucketed orders: the per-customer window family
+    # (top-n / running sum / lag / range frame) partitions on
+    # o_custkey, which the orderkey-bucketed base table cannot
+    # satisfy — this projection makes every one of those windows
+    # exchange-FREE (the in-bucket sort remains)
+    ("orders", "o_custkey", ("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"), "spine"),
 )
 
 

@@ -572,7 +572,13 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 
 def _window_topn_per_group(spark, sf):
-    o = _t(spark, sf, "orders")
+    # custkey-bucketed projection: the window partitioning is already
+    # satisfied, so the plan is exchange-free (WindowGroupLimit + sort
+    # per bucket); raw fallback shuffles 15M rows at sf10 (-35%
+    # measured, rows identical)
+    o = _t_proj(spark, sf, "orders", "o_custkey")
+    if o is None:
+        o = _t(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         o.withColumn("rk", F.row_number().over(w))
@@ -590,7 +596,9 @@ SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, rk FROM (
 
 
 def _window_running_sum(spark, sf):
-    o = _t(spark, sf, "orders")
+    o = _t_proj(spark, sf, "orders", "o_custkey")
+    if o is None:
+        o = _t(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
         "o_custkey",
@@ -607,7 +615,9 @@ FROM orders
 
 
 def _window_lag_delta(spark, sf):
-    o = _t(spark, sf, "orders")
+    o = _t_proj(spark, sf, "orders", "o_custkey")
+    if o is None:
+        o = _t(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     prev = F.lag(_dec("o_totalprice")).over(w)
     return o.select(
@@ -630,7 +640,8 @@ def _window_range_frame(spark, sf):
     """RANGE-frame window (value-based, not row-based): per-customer
     trailing-30-day order value. Both engines order by the same
     integer day offset so frame boundaries agree exactly."""
-    o = _t(spark, sf, "orders").filter(F.col("o_custkey") < 200)
+    o = _t_proj(spark, sf, "orders", "o_custkey")
+    o = (o if o is not None else _t(spark, sf, "orders")).filter(F.col("o_custkey") < 200)
     days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
     w = Window.partitionBy("o_custkey").orderBy(days).rangeBetween(-30, 0)
     return o.select(

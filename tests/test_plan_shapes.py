@@ -238,6 +238,10 @@ def test_bucketed_overlay_rows_identical_to_raw(spark):
         "join_colocated_brand",
         "join_salted",
         "sort_topk",
+        "window_topn_per_group",
+        "window_running_sum",
+        "window_lag_delta",
+        "window_range_frame",
     ]
     raw = {n: sorted(tuple(r) for r in E2.queries()[n](spark, SF).collect()) for n in names}
     E2.prepare_bucketed_fixtures(spark, SF)
