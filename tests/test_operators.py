@@ -32,6 +32,18 @@ def test_exact_dedup_removes_planted(docs_with_dups):
     assert any(i >= 200000 for i in ids)
 
 
+def test_exact_dedup_fingerprint_col_parity(docs_with_dups):
+    """A precomputed fingerprint column (the layout layer's ingest-time
+    fp stat) must yield exactly the rows the raw text-kernel path
+    yields — both keep_cols shapes."""
+    from duckdb_iceberg_spark.functions import text as TX
+
+    pre = docs_with_dups.withColumn("fp", TX.fingerprint(F.col("text")))
+    raw = DD.exact_dedup(docs_with_dups, keep_cols=["doc_id", "source"])
+    fast = DD.exact_dedup(pre, keep_cols=["doc_id", "source"], fingerprint_col="fp")
+    assert sorted(map(tuple, raw.collect())) == sorted(map(tuple, fast.collect()))
+
+
 def test_minhash_vocab_rank_branch_matches_inline(docs_with_dups):
     """The broadcast vocab branch (distinct-vocabulary hash +
     broadcast join-back) must produce signatures bit-identical to the

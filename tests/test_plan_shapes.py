@@ -211,6 +211,49 @@ def test_colocated_projection_join_no_fact_exchange(spark):
             del E2._BUCKETED_OVERLAY[k]
 
 
+def test_q21_spine_route_no_join_before_aggregate(spark):
+    """With the overlay active, q21 rides the o_orderstatus-carrying
+    spine projection: no lineitem⋈orders join survives — the only
+    joins left are the two dimension broadcasts — and no exchange
+    partitions on an orderkey (both hash aggregates are satisfied by
+    the bucketed layout)."""
+    import __spark_entry__ as E2
+
+    E2.prepare_bucketed_fixtures(spark, SF)
+    try:
+        plan = _plan(E2.queries()["q21_waiting_suppliers"](spark, SF))
+        assert "SortMergeJoin" not in plan, plan[:500]
+        assert "prj_spine" in plan, plan[:500]
+        okey = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln and "orderkey" in ln
+        ]
+        assert not okey, f"orderkey exchange present: {okey[0][:200]}"
+    finally:
+        for k in [k for k, v in E2._BUCKETED_OVERLAY.items() if k[0] == os.path.abspath(SF)]:
+            del E2._BUCKETED_OVERLAY[k]
+
+
+def test_curate_and_dedup_exact_single_projection_scan(spark):
+    """With the v6 tokens projection (ingest-time fp stat) active,
+    curate_pipeline and dedup_exact read ONE stored projection and
+    never touch documents.parquet or any join: the normalize+md5
+    kernel and the doc_id join-back are both gone."""
+    import __spark_entry__ as E2
+
+    E2.prepare_bucketed_fixtures(spark, SF)
+    try:
+        for name in ("curate_pipeline", "dedup_exact", "text_fingerprint"):
+            plan = _plan(E2.queries()[name](spark, SF))
+            assert "Join" not in plan, f"{name}: {plan[:500]}"
+            assert "documents.parquet" not in plan, f"{name} still reads raw text"
+            assert "prj_doc_tokens" in plan, f"{name} not routed: {plan[:500]}"
+    finally:
+        for k in [k for k, v in E2._BUCKETED_OVERLAY.items() if k[0] == os.path.abspath(SF)]:
+            del E2._BUCKETED_OVERLAY[k]
+
+
 def test_bucketed_overlay_rows_identical_to_raw(spark):
     """Layout independence: the same entry over bucketed fixtures
     returns row-identical results to the raw-parquet read (the
@@ -232,6 +275,9 @@ def test_bucketed_overlay_rows_identical_to_raw(spark):
         "q18_large_orders",
         "events_hourly",
         "curate_pipeline",
+        "dedup_exact",
+        "text_fingerprint",
+        "q21_waiting_suppliers",
         "sim_topk",
         "q19_disjunctive",
         "dedup_minhash_pairs",
