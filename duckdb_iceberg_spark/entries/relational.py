@@ -1036,7 +1036,11 @@ def _asof_join_events(spark, sf):
     oracle is DuckDB's native ASOF LEFT JOIN."""
     from duckdb_iceberg_spark.operators.asof import asof_join
 
-    ev = _t(spark, sf, "events")
+    # type-partitioned log when the overlay maintains it (the funnel
+    # routing): each side's event_type predicate becomes partition
+    # pruning — 1 of N type dirs per side instead of the full log
+    # twice — while the user_id bucketing keeps the as-of co-located
+    ev = _t_proj(spark, sf, "events", "by_type") or _t(spark, sf, "events")
     left = ev.filter("event_type = 'view'").select("user_id", "ts", "event_id")
     right = ev.filter("event_type = 'purchase'").select("user_id", "ts", F.col("value").alias("pv"))
     return asof_join(left, right, key="user_id", ts="ts").select(
@@ -1062,7 +1066,9 @@ def _range_join_events(spark, sf):
     oracle is DuckDB's native inequality join."""
     from duckdb_iceberg_spark.operators.ranges import range_join_points_to_intervals
 
-    ev = _t(spark, sf, "events")
+    # same type-partition pruning as asof/funnel: click + signup are
+    # two pruned dirs, user_id bucketing keeps the key join co-located
+    ev = _t_proj(spark, sf, "events", "by_type") or _t(spark, sf, "events")
     points = ev.filter("event_type = 'click'").select("user_id", "ts", "event_id")
     intervals = ev.filter("event_type = 'signup'").select(
         "user_id",

@@ -208,7 +208,10 @@ def bigram_lm_score(
         # column it is pure interpreted-lambda overhead (measured at
         # sf10: 1.7 s -> 0.5 s for the pair construction alone)
         pairs_col = _pairs(t) if tokens_col else bind_once(t, _pairs)
-        # limit 0 disables the gate WITHOUT paying the vocab-count job
+        # limit 0 disables the gate WITHOUT paying the vocab-count job.
+        # (Persisting c1 across the count and the c1h broadcast build
+        # was measured at sf10 and REJECTED: +2.7% — the cache
+        # fill/read costs more than the saved vocab-sized recompute.)
         v = c1.count() if bigram_broadcast_limit > 0 else None
         if v is not None and v * v <= bigram_broadcast_limit:
             inst = df.select(
