@@ -192,7 +192,7 @@ def _sample_cluster_balanced(spark, sf):
 
     e = _t(spark, sf, "embeddings")
     planes = _planes(4, 64, seed=7)
-    b = e.select("vec_id", VEC.sign_bits(F.col("embedding"), planes).alias("bucket"))
+    b = e.select("vec_id", VEC.sign_bits_fast(F.col("embedding"), planes).alias("bucket"))
     return SA.cluster_balanced_sample(b, "bucket", "vec_id", n_per_cluster=25)
 
 

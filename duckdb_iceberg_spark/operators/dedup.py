@@ -537,7 +537,7 @@ def embedding_neardup_pairs(
 
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim)).tolist()
-    keyed = df.select(key_col, vec_col, VEC.sign_bits(F.col(vec_col), planes).alias("bucket"))
+    keyed = df.select(key_col, vec_col, VEC.sign_bits_fast(F.col(vec_col), planes).alias("bucket"))
     pairs = (
         keyed.alias("x")
         .join(keyed.alias("y"), "bucket")

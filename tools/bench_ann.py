@@ -79,9 +79,11 @@ def main():
     t0 = time.time()
     centroids, assigned = SIM.ivf_build(e, n_centroids=IVF_CENTROIDS, iters=2)
     ivf_dir = tempfile.mkdtemp(prefix="ivf_sf100_")
-    assigned.join(e, "vec_id").select(
-        "vec_id", e["embedding"].alias("embedding"), "centroid_id"
-    ).write.partitionBy("centroid_id").mode("overwrite").parquet(ivf_dir)
+    # assigned is rows ⊕ centroid_id (ivf_build keeps the vector) — no
+    # join back to e needed (and a join would be an ambiguous self-join)
+    assigned.select("vec_id", "embedding", "centroid_id").write.partitionBy(
+        "centroid_id"
+    ).mode("overwrite").parquet(ivf_dir)
     build_sec = time.time() - t0
     doc["ivf_build_sec"] = round(build_sec, 3)
     part = spark.read.parquet(ivf_dir)
