@@ -545,7 +545,7 @@ def embedding_neardup_pairs(
         .select(
             F.col(f"x.{key_col}").alias("id_a"),
             F.col(f"y.{key_col}").alias("id_b"),
-            F.round(VEC.cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 4).alias("cos"),
+            F.round(VEC.cosine_pairs_fast(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 4).alias("cos"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )

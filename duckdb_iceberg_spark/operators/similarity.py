@@ -343,10 +343,10 @@ def ivf_topk(
         sims.append((float(cv @ q / denom), i))
     probe = [i for _, i in sorted(sims, reverse=True)[:n_probe]]
     cands = assigned.where(F.col("centroid_id").isin(probe))
-    scored = cands.select(
-        key_col, F.round(VEC.cosine_to_query(F.col(vec_col), query_vec), 4).alias("cos")
-    )
-    return scored.orderBy(F.desc("cos"), F.asc(key_col)).limit(k)
+    # score through cosine_topk's vectorized Arrow kernel (one numpy
+    # matmul per batch) instead of the interpreted per-element fold —
+    # same 4-decimal rounded values, same ordering/tie-break
+    return cosine_topk(cands, query_vec, k=k, vec_col=vec_col, key_col=key_col)
 
 
 def _vec_dim(df: DataFrame, vec_col: str) -> Optional[int]:
@@ -405,6 +405,6 @@ def knn_join(
         lb = l.withColumn("bucket", VEC.sign_bits_fast(F.col("qv"), planes))
         rb = r.withColumn("bucket", VEC.sign_bits_fast(F.col("nv"), planes))
         pairs = lb.join(rb, "bucket")
-    scored = pairs.select("qid", "nid", F.round(VEC.cosine(F.col("qv"), F.col("nv")), 4).alias("cos"))
+    scored = pairs.select("qid", "nid", F.round(VEC.cosine_pairs_fast(F.col("qv"), F.col("nv")), 4).alias("cos"))
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
