@@ -1704,7 +1704,11 @@ def _q21_waiting_suppliers(spark, sf):
     # (A collect_list + higher-order-function variant was measured and
     # lost: hash aggregation beats ObjectHashAggregate here.)
     sp = _t_spine(spark, sf)
-    if sp is not None:
+    # o_orderstatus only exists on v3+ spine tables: guard like the v6
+    # tokens-projection fp/source guards so a stale pre-v3 table in a
+    # persistent catalog falls back to the base-table path instead of
+    # raising AnalysisException (r11 ADVICE).
+    if sp is not None and "o_orderstatus" in sp.columns:
         # spine projection path: li⋈o is pre-joined at ingest (v3
         # carries o_orderstatus), so the whole EXISTS machinery is a
         # 4-column scan + the same two exchange-free hash aggregates —

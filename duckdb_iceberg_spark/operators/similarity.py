@@ -215,10 +215,13 @@ def lsh_topk(
         return sorted(out)
 
     cands = keyed.where(F.col("bucket").isin(flips(qbits, probe_hamming)))
-    scored = cands.select(
-        key_col, F.round(VEC.cosine_to_query(F.col(vec_col), query_vec), 4).alias("cos")
-    )
-    return scored.orderBy(F.desc("cos"), F.asc(key_col)).limit(k)
+    # score the surviving buckets through cosine_topk's vectorized
+    # Arrow kernel (one numpy matmul per batch) instead of the
+    # interpreted per-element HOF fold — the same 4-decimal rounded
+    # values and tie-break (the ivf_topk precedent: at sf100 the
+    # interpreted fold made the 14%-scan probe as slow as the full
+    # exact scan)
+    return cosine_topk(cands, query_vec, k=k, vec_col=vec_col, key_col=key_col)
 
 
 def ivf_build(
@@ -231,9 +234,11 @@ def ivf_build(
 ) -> tuple[list[list[float]], DataFrame]:
     """IVF-Flat index build: k-means centroids + per-row assignment.
 
-    Assignment is fully JVM-side (higher-order functions over a literal
-    centroid array — one scan per iteration, no Python in the row
-    path); the centroid update aggregates per-dimension means, which is
+    Assignment defaults to a vectorized Arrow pandas UDF — one numpy
+    matmul per batch (see _assign; the interpreted JVM fold it
+    replaces was most of a 996 s build at 2M x 64) — with a pure-JVM
+    higher-order-function fallback when numpy is unavailable; the
+    centroid update aggregates per-dimension means, which is
     `n_centroids x dim` numbers on the driver regardless of table size
     — the layout every billion-vector IVF build uses.
 
@@ -302,7 +307,20 @@ def _assign(rows: DataFrame, centroids: list[list[float]], vec_col: str) -> Data
             out = np.full(len(emb), -1, dtype=np.int32)
             if (~isnull).any():
                 x = np.stack(emb[~isnull].to_numpy()).astype(np.float64)
-                out[~isnull] = np.argmax(x @ C, axis=1).astype(np.int32)
+                best = np.argmax(x @ C, axis=1).astype(np.int32)
+                # Vectors containing a NULL element (not fully NULL):
+                # Arrow surfaces the element as NaN, it propagates
+                # through the matmul, and argmax would pick an
+                # arbitrary centroid — while the JVM when(null > acc)
+                # fold never advances past its -1 seed. Mask rows with
+                # any non-finite element into the -1 bucket (r11
+                # ADVICE). Element-level NaN/Inf in the DATA (as
+                # opposed to NULL) is unsupported input: it is
+                # indistinguishable from NULL after the Arrow
+                # conversion, and the JVM fold's NaN ordering would
+                # differ.
+                best[~np.isfinite(x).all(axis=1)] = -1
+                out[~isnull] = best
             return pd.Series(out)
 
         return rows.withColumn(
@@ -356,6 +374,222 @@ def _vec_dim(df: DataFrame, vec_col: str) -> Optional[int]:
     return None if row is None else int(row["d"])
 
 
+def _knn_scores_broadcast(
+    r: DataFrame, qrows, planes, qid_field, k: int
+) -> DataFrame:
+    """Score a driver-collected query panel against the right side in
+    one mapInArrow pass — no pair rows carrying vector payloads ever
+    materialize (guide §8: decide with small rows, move big rows once).
+
+    The former shape joined the banded sides and shipped BOTH 64-float
+    vectors on every candidate pair row through the join and the Arrow
+    verify boundary (at sf100: ~64M pairs x ~0.5 KB — the pair
+    serialization WAS the query, 62.6 s). Here the panel (qid, qv,
+    bucket) rides into the kernel as numpy constants; each right batch
+    computes its buckets and one (rows x queries-in-bucket) matmul, and
+    only (qid, nid, cos) — ~20 bytes/pair — leaves the kernel.
+
+    Pair-set identity with the join shape: same planes, same
+    sign(x @ P) >= 0 bucket rule evaluated in float64 (sign_bits_fast's
+    own kernel), NULL vectors get the all-zeros bucket on both sides
+    and score NULL, exactly as sign_bits_fast + cosine_pairs_fast
+    produced. ``planes=None`` is the exact=True cross product. Cosine
+    values: same IEEE double dot/norm up to float summation reordering
+    (matmul vs per-pair sum), absorbed by the caller's 4-decimal round
+    — the tolerance every vectorized kernel here already documents.
+
+    The kernel also applies a PARTIAL top-k per (query, batch) so the
+    downstream window never sorts the full pair stream (at sf100 that
+    sort, not the scoring, was the wall: WindowGroupLimit still sorts
+    every map partition's ~20M pair rows first). The reduction is an
+    exact superset of the final top-k contenders: the final comparator
+    is (round(cos, 4) DESC, nid ASC), and round4 moves a value by at
+    most 5e-5, so any row more than 1e-4 below the batch's k-th best
+    UNROUNDED cosine is strictly beaten by k rows after rounding and
+    can never be selected — rows within a 2e-4 margin of the k-th best
+    are all kept (rounded ties resolve by nid in the unchanged JVM
+    window). NULL-cosine candidates sort NULLS LAST by nid, so only
+    the k smallest-nid NULL rows per (query, batch) can ever rank.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    nid_field = r.schema["nid"]
+    out_schema = StructType(
+        [
+            StructField("qid", qid_field.dataType, True),
+            StructField("nid", nid_field.dataType, True),
+            StructField("cos", DoubleType(), True),
+        ]
+    )
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    qid_pa_type = to_arrow_type(qid_field.dataType)
+
+    P = (
+        np.asarray([[float(x) for x in h] for h in planes], dtype=np.float64).T
+        if planes
+        else None
+    )
+    n_bits = P.shape[1] if P is not None else 0
+    zeros_key = "0" * n_bits
+
+    # driver-side panel: group queries by bucket key (exact mode: one
+    # all-zeros group matching every right row)
+    groups: dict = {}
+    for row in qrows:
+        qid, qv = row["qid"], row["qv"]
+        if qv is None:
+            key, vec = zeros_key, None
+        elif P is not None:
+            q = np.asarray([float(x) for x in qv], dtype=np.float64)
+            key = "".join("1" if b else "0" for b in (q @ P) >= 0)
+            vec = q
+        else:
+            key = zeros_key
+            vec = np.asarray([float(x) for x in qv], dtype=np.float64)
+        groups.setdefault(key, []).append((qid, vec))
+
+    # per bucket: (scorable qids, Q matrix, query norms, NULL-vector
+    # qids that score NULL against every matched row)
+    panel = {}
+    for key, members in groups.items():
+        qids = [m[0] for m in members if m[1] is not None]
+        nulls = [m[0] for m in members if m[1] is None]
+        Q = np.stack([m[1] for m in members if m[1] is not None]) if qids else None
+        qn = np.sqrt((Q * Q).sum(axis=1)) if qids else None
+        panel[key] = (qids, Q, qn, nulls)
+
+    def _score(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            nids = b.column(0)
+            nv = b.column(1)
+            isnull = np.asarray(nv.is_null())
+            valid_idx = np.flatnonzero(~isnull)
+            X = (
+                np.stack(
+                    nv.take(pa.array(valid_idx)).to_numpy(zero_copy_only=False)
+                ).astype(np.float64)
+                if len(valid_idx)
+                else None
+            )
+            if P is not None:
+                keys = np.full(n, zeros_key, dtype=object)
+                if X is not None:
+                    bits = (X @ P) >= 0
+                    keys[valid_idx] = [
+                        "".join("1" if v else "0" for v in rowbits)
+                        for rowbits in bits
+                    ]
+                cand_keys = [kk for kk in set(keys.tolist()) if kk in panel]
+            else:
+                keys = None
+                cand_keys = [zeros_key] if zeros_key in panel else []
+            xpos = np.full(n, -1, dtype=np.int64)
+            xpos[valid_idx] = np.arange(len(valid_idx))
+            xn = np.sqrt((X * X).sum(axis=1)) if X is not None else None
+            out_qid: list = []
+            out_nid: list = []
+            out_cos: list = []
+
+            def _emit(qid, nid_arr, cos_np):
+                if qid is None:
+                    out_qid.append(pa.nulls(len(nid_arr)))
+                else:
+                    out_qid.append(pa.array([qid] * len(nid_arr)))
+                out_nid.append(nid_arr)
+                out_cos.append(cos_np)
+
+            def _k_smallest_nids(idx):
+                # the only NULL-cosine rows that can ever rank: the k
+                # smallest nids (NULLS LAST, then nid ASC)
+                if len(idx) <= k:
+                    return idx
+                vals = np.asarray(
+                    nids.take(pa.array(idx)).to_numpy(zero_copy_only=False)
+                )
+                return idx[np.argpartition(vals, k)[:k]]
+
+            for key in cand_keys:
+                qids, Q, qn, nulls = panel[key]
+                ridx = np.flatnonzero(keys == key) if keys is not None else np.arange(n)
+                if len(ridx) == 0:
+                    continue
+                rvalid = ridx[~isnull[ridx]]
+                rnull = _k_smallest_nids(ridx[isnull[ridx]])
+                if Q is not None and len(rvalid):
+                    Xb = X[xpos[rvalid]]
+                    cos = (Xb @ Q.T) / (xn[xpos[rvalid]][:, None] * qn[None, :])
+                    nid_valid = nids.take(pa.array(rvalid))
+                    for j, qid in enumerate(qids):
+                        col = cos[:, j]
+                        nan_mask = np.isnan(col)
+                        fin = col[~nan_mask]
+                        if len(fin) > k:
+                            kth = np.partition(fin, len(fin) - k)[len(fin) - k]
+                            vmask = (~nan_mask) & (col >= kth - 2e-4)
+                        else:
+                            vmask = ~nan_mask
+                        if nan_mask.any():
+                            # zero-norm rows: NaN cosine -> NULL; only
+                            # the k smallest nids can rank
+                            nan_idx = _k_smallest_nids(rvalid[nan_mask])
+                            _emit(
+                                qid,
+                                nids.take(pa.array(nan_idx)),
+                                np.full(len(nan_idx), np.nan),
+                            )
+                        keep = np.flatnonzero(vmask)
+                        if len(keep) == len(col):
+                            _emit(qid, nid_valid, col)
+                        elif len(keep):
+                            _emit(
+                                qid,
+                                nid_valid.take(pa.array(keep)),
+                                col[keep],
+                            )
+                if len(rnull) and (qids or nulls):
+                    nid_null = nids.take(pa.array(rnull))
+                    nan_block = np.full(len(rnull), np.nan)
+                    for qid in list(qids) + list(nulls):
+                        _emit(qid, nid_null, nan_block)
+                if nulls and len(rvalid):
+                    # NULL-vector queries score NULL against every
+                    # matched row: only the k smallest nids can rank
+                    nv_idx = _k_smallest_nids(rvalid)
+                    nid_valid2 = nids.take(pa.array(nv_idx))
+                    nan_block2 = np.full(len(nv_idx), np.nan)
+                    for qid in nulls:
+                        _emit(qid, nid_valid2, nan_block2)
+            if not out_cos:
+                continue
+            qid_arr = pa.concat_arrays(
+                [a.cast(qid_pa_type) for a in out_qid]
+            )
+            nid_arr = pa.concat_arrays(out_nid)
+            cos_arr = pa.array(np.concatenate(out_cos), from_pandas=True)
+            yield pa.RecordBatch.from_arrays(
+                [qid_arr, nid_arr, cos_arr], names=["qid", "nid", "cos"]
+            )
+
+    base = r.select("nid", "nv")
+    # local-fixture parallelism guard: a single large parquet file
+    # splits into totalBytes/maxPartitionBytes scan tasks (4-5 for the
+    # 523 MB sf100 fixture), starving a 32-core host. One round-robin
+    # exchange of the right side — the payload moves ONCE, per guide
+    # §8 — restores full parallelism; at warehouse scale scans already
+    # carry >= defaultParallelism splits and this never fires.
+    dp = r.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < dp:
+        base = base.repartition(dp)
+    return base.mapInArrow(_score, out_schema)
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,
@@ -367,11 +601,20 @@ def knn_join(
     seed: int = 42,
     dim: Optional[int] = None,
     exact: bool = False,
+    broadcast_queries_max: int = 8192,
 ) -> DataFrame:
     """For each left row, its k nearest right rows by cosine.
 
-    exact=True does the full cross join (correctness baseline);
+    exact=True does the full cross product (correctness baseline);
     exact=False blocks by LSH bucket (the at-scale path).
+
+    When the left side fits under ``broadcast_queries_max`` rows, the
+    query panel is collected to the driver and scoring runs as ONE
+    mapInArrow pass over the right side (_knn_scores_broadcast) — no
+    join materializes pair rows carrying both vectors. Past the cap
+    (or with ``broadcast_queries_max=0``, or without numpy/pyarrow)
+    the bucket-join shape is kept: it is the correct distributed plan
+    when BOTH sides are large.
 
     ``dim`` (the LSH plane dimensionality) is inferred from the data
     when omitted; an explicit value is validated against the data —
@@ -382,9 +625,19 @@ def knn_join(
     """
     l = left.select(F.col(left_key).alias("qid"), F.col(vec_col).alias("qv"))
     r = right.select(F.col(right_key).alias("nid"), F.col(vec_col).alias("nv"))
-    if exact:
-        pairs = l.crossJoin(r)
-    else:
+    qrows = None
+    if broadcast_queries_max:
+        try:
+            import numpy  # noqa: F401
+            import pyarrow  # noqa: F401
+        except ImportError:
+            qrows = None
+        else:
+            qrows = l.limit(broadcast_queries_max + 1).collect()
+            if len(qrows) > broadcast_queries_max:
+                qrows = None
+    planes = None
+    if not exact:
         ldim, rdim = _vec_dim(left, vec_col), _vec_dim(right, vec_col)
         if ldim is not None and rdim is not None and ldim != rdim:
             raise ValueError(
@@ -402,9 +655,17 @@ def knn_join(
                 f"knn_join: dim={dim} does not match the data's embedding length {data_dim}"
             )
         planes = _planes(n_planes, dim, seed)
-        lb = l.withColumn("bucket", VEC.sign_bits_fast(F.col("qv"), planes))
-        rb = r.withColumn("bucket", VEC.sign_bits_fast(F.col("nv"), planes))
-        pairs = lb.join(rb, "bucket")
-    scored = pairs.select("qid", "nid", F.round(VEC.cosine_pairs_fast(F.col("qv"), F.col("nv")), 4).alias("cos"))
+    if qrows is not None:
+        scored = _knn_scores_broadcast(
+            r, qrows, planes, l.schema["qid"], k
+        ).select("qid", "nid", F.round(F.col("cos"), 4).alias("cos"))
+    else:
+        if exact:
+            pairs = l.crossJoin(r)
+        else:
+            lb = l.withColumn("bucket", VEC.sign_bits_fast(F.col("qv"), planes))
+            rb = r.withColumn("bucket", VEC.sign_bits_fast(F.col("nv"), planes))
+            pairs = lb.join(rb, "bucket")
+        scored = pairs.select("qid", "nid", F.round(VEC.cosine_pairs_fast(F.col("qv"), F.col("nv")), 4).alias("cos"))
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

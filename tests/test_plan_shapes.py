@@ -288,6 +288,12 @@ def test_bucketed_overlay_rows_identical_to_raw(spark):
         "window_running_sum",
         "window_lag_delta",
         "window_range_frame",
+        # routed through the bkt_events_type partitioned log since r11;
+        # asof's tie-break for equal (key, ts) right rows depends on
+        # physical row order, so the layout rewrite must be proven
+        # row-identical (r11 ADVICE)
+        "asof_join_events",
+        "range_join_events",
     ]
     raw = {n: sorted(tuple(r) for r in E2.queries()[n](spark, SF).collect()) for n in names}
     E2.prepare_bucketed_fixtures(spark, SF)
