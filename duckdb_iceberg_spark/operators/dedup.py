@@ -180,6 +180,17 @@ def minhash_signatures(
             *[F.lower(F.hex(F.col(f"h{i}"))).alias(f"h{i}") for i in range(num_perm)],
         )
 
+    # (An Arrow mapInArrow PARTIAL-MIN stage — numpy grouped min over
+    # the two big-endian uint64 halves of each digest, exact, feeding
+    # the same final binary-min aggregate — was fully built, verified
+    # value-identical, and measured in round 12, then REJECTED: entry
+    # A/B at sf10 read 3.22 s (this shape) vs 25.66 s (Arrow partial)
+    # and 0.87 vs 0.95 s at sf0.1. Shipping every (doc, token) digest
+    # row across the Arrow boundary (~264 B/row) costs an order of
+    # magnitude more than the variable-width binary agg buffers it was
+    # meant to save (~35% of a ~2.4 s subtree); no per-instance-
+    # transfer design can win while the JVM aggregate costs ~2 s.
+    # Evidence: tools/exp_minhash_arrow.py, tools/exp_minhash_entry_ab.py.)
     if est_bytes <= max_broadcast_bytes:
         # (A rank-substitution variant — int min buffers via
         # per-permutation row_number over the vocabulary, resolved
@@ -218,6 +229,7 @@ def minhash_lsh_pairs(
     n_shingle: int = 1,
     max_bucket: Optional[int] = None,
     corpus_bytes: int | None = None,
+    bucket_block: int = 4096,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH, scored by
     the estimated Jaccard (fraction of agreeing signature components).
@@ -245,9 +257,23 @@ def minhash_lsh_pairs(
     The bucket cap becomes a cheap size() filter on the aggregate
     where it used to need a window sort over the banded stream. Pair
     sets are identical: within a bucket keys are distinct (one row per
-    doc per band), so sorted i<j enumeration IS x.k < y.k; memory per
-    bucket row is bounded by max_bucket keys (uncapped callers accept
-    the same quadratic exposure the join had)."""
+    doc per band), so sorted i<j enumeration IS x.k < y.k.
+
+    ``bucket_block`` (r11 verdict #5): buckets larger than this are
+    expanded in SUB-BLOCKS — the sorted key array is cut into
+    ``bucket_block``-sized slices and pairs are enumerated within each
+    slice and across each ordered slice pair, so no single generated
+    row ever carries (or copies) more than ``bucket_block`` keys; for
+    buckets at or under the block size (every bucket at the test SFs)
+    the index array is the single pair (0,0) and the expansion is the
+    exact shape shipped in r11. Pair identity holds because the slices
+    partition a SORTED distinct-key array: an unordered pair lands in
+    exactly one (i <= j) slice pair, and across slices i < j every
+    left key is smaller than every right key. The residual exposure is
+    the pair VOLUME itself — a bucket of B docs genuinely defines
+    B^2/2 candidates and those still stream out of one task; buckets
+    hot enough for that to matter are boilerplate and belong under
+    ``max_bucket`` (the pipeline entry opts in at 10_000)."""
     rows_per_band = num_perm // bands
     sig = minhash_signatures(
         df, text_col, key_col, num_perm, n_shingle, corpus_bytes=corpus_bytes
@@ -283,12 +309,41 @@ def minhash_lsh_pairs(
             max_bucket,
         )
         buckets = buckets.where(F.size("ks") <= max_bucket)
-    cands = (
+    B = int(bucket_block)
+    nblk = F.ceil(F.size("ks") / F.lit(B)).cast("int")
+    # ordered (i <= j) block-index pairs; a single struct (0,0) for
+    # buckets within one block
+    blk_pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), nblk - 1),
+            lambda i: F.transform(
+                F.sequence(i, nblk - 1),
+                lambda j: F.struct(i.alias("i"), j.alias("j")),
+            ),
+        )
+    )
+    blocked = (
         buckets.where(F.size("ks") >= 2)
-        .select(F.posexplode("ks").alias("i", "id_a"), "ks")
+        .select("ks", F.explode(blk_pairs).alias("bp"))
+        .select(
+            F.slice("ks", F.col("bp.i") * B + 1, B).alias("ka"),
+            # NULL marks the diagonal (same-block) case: the partner
+            # list is then the in-block i<j tail slice below
+            F.when(F.col("bp.i") == F.col("bp.j"), F.lit(None))
+            .otherwise(F.slice("ks", F.col("bp.j") * B + 1, B))
+            .alias("kb"),
+        )
+    )
+    cands = (
+        blocked.select(F.posexplode("ka").alias("i", "id_a"), "ka", "kb")
         .select(
             "id_a",
-            F.explode(F.slice("ks", F.col("i") + F.lit(2), F.size("ks"))).alias("id_b"),
+            F.explode(
+                F.coalesce(
+                    F.col("kb"),
+                    F.slice("ka", F.col("i") + F.lit(2), F.size("ka")),
+                )
+            ).alias("id_b"),
         )
         .dropDuplicates()
     )
