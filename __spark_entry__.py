@@ -346,6 +346,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_salted": _join_salted,
         # co-located (bucketed) join
         "join_bucketed": _join_bucketed,
+        # core-count scaling probes (r11 verdict #2: give the driver's
+        # low-core bench pass compute-bound work whose ratio can move)
+        "scaling_probe_md5": _scaling_probe_md5,
+        "scaling_probe_sha": _scaling_probe_sha,
     }
     for alias, canonical in _CORE_ALIASES.items():
         reg[alias] = reg[canonical]
@@ -510,6 +514,8 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_merge_upsert": _ICEBERG_MERGE_SQL,
         "join_salted": _JOIN_SALTED_SQL,
         "join_bucketed": _JOIN_BUCKETED_SQL,
+        "scaling_probe_md5": _SCALING_PROBE_MD5_SQL,
+        "scaling_probe_sha": _SCALING_PROBE_SHA_SQL,
         "q7_volume_shipping": _Q7_SQL,
         "q8_market_share": _Q8_SQL,
         "q9_profit_by_nation": _Q9_SQL,

@@ -2622,4 +2622,77 @@ FROM events GROUP BY 1, 2
 # namespace exactly, so entry functions keep referencing helpers and
 # SQL constants unqualified and module state (e.g. _BUCKETED_OVERLAY)
 # stays ONE shared object.
+# ---------------------------------------------------------------------------
+# Core-count scaling probes (r11 verdict "Next round" #2b).
+#
+# At sf0.1 every bench query is scheduling-floor-bound (~0.07 s/job on
+# this host), so the driver's 8-core bench pass reads the SAME times as
+# the 32-core pass and its heuristic flags the suite as
+# suspect_cpus_ignored even though local[$SPARK_GRAFT_CPUS] is honored.
+# These two probes give the low-core pass genuinely compute-bound work
+# whose 8-vs-32-core ratio can move: a fixed, sf-INDEPENDENT amount of
+# deterministic per-row computation (tens of core-seconds), oracle-
+# checked like every other declared query. Nothing is cached or
+# precomputed: each invocation evaluates the full expression chain.
+# ---------------------------------------------------------------------------
+
+_PROBE_MD5_N = 24_000_000
+_PROBE_MD5_CHAIN = 4
+_PROBE_SHA_N = 12_000_000
+_PROBE_SHA_CHAIN = 2
+
+
+def _hash_chain(col, fn, depth):
+    for _ in range(depth):
+        col = fn(col)
+    return col
+
+
+def _scaling_probe_md5(spark, sf):
+    """String/hash kernel probe: a 4-deep md5 chain per row over a
+    fixed range, reduced to 16 first-hex-digit buckets (value-
+    sensitive: any hash or count drift moves the bucket counts)."""
+    h = _hash_chain(
+        F.concat(F.lit("p:"), F.col("id").cast("string")), F.md5, _PROBE_MD5_CHAIN
+    )
+    return (
+        spark.range(_PROBE_MD5_N)
+        .select(h.alias("h"))
+        .groupBy(F.substring("h", 1, 1).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k")
+    )
+
+
+_SCALING_PROBE_MD5_SQL = f"""
+WITH r AS (SELECT unnest(generate_series(0, {_PROBE_MD5_N - 1})) AS i),
+h AS (SELECT md5(md5(md5(md5('p:' || i)))) AS h FROM r)
+SELECT substr(h, 1, 1) AS k, COUNT(*) AS n FROM h GROUP BY 1 ORDER BY 1
+"""
+
+
+def _scaling_probe_sha(spark, sf):
+    """Second hash-family probe (sha256 costs ~2x md5 per call): keeps
+    the scaling signal honest against any md5-specific fast path."""
+    h = _hash_chain(
+        F.concat(F.lit("s:"), F.col("id").cast("string")),
+        lambda c: F.sha2(c, 256),
+        _PROBE_SHA_CHAIN,
+    )
+    return (
+        spark.range(_PROBE_SHA_N)
+        .select(h.alias("h"))
+        .groupBy(F.substring("h", 1, 1).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k")
+    )
+
+
+_SCALING_PROBE_SHA_SQL = f"""
+WITH r AS (SELECT unnest(generate_series(0, {_PROBE_SHA_N - 1})) AS i),
+h AS (SELECT sha256(sha256('s:' || i)) AS h FROM r)
+SELECT substr(h, 1, 1) AS k, COUNT(*) AS n FROM h GROUP BY 1 ORDER BY 1
+"""
+
+
 __all__ = [_n for _n in list(globals()) if not _n.startswith("__")]
