@@ -2437,15 +2437,22 @@ def _streaming_stateful(spark, sf):
     across micro-batches. The update-mode memory sink records one row
     per user per batch; the entry keeps each user's FINAL state (max
     n_events — running counts are monotone), which equals the batch
-    per-user aggregate — the DuckDB twin recomputes exactly that."""
+    per-user aggregate — the DuckDB twin recomputes exactly that.
+
+    Drained through the executor-parallel parquet sink (r12): update
+    mode emits one row per user per batch, so the memory sink collects
+    a users-proportional table to the driver — at sf10 (254k users)
+    75.1 s memory vs 58.9 s parquet, same rows (the remaining wall is
+    applyInPandasWithState's per-key Python machinery, documented in
+    OPTIMIZATION_r12.md)."""
     from duckdb_iceberg_spark.streaming.events import (
         read_events_stream,
-        run_stream_to_memory,
+        run_stream_to_parquet,
         stateful_user_stats,
     )
 
     stream = read_events_stream(spark, sf)
-    out = run_stream_to_memory(stateful_user_stats(stream), "stream_stateful_entry", output_mode="update")
+    out = run_stream_to_parquet(stateful_user_stats(stream), "stream_stateful_entry", output_mode="update")
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         out.withColumn("_rn", F.row_number().over(w))
@@ -2533,16 +2540,30 @@ def _streaming_dedup(spark, sf):
     is either state-deduped (ts >= watermark) or dropped as late
     (ts < watermark), so the appended output is precisely one copy of
     each event. The DuckDB twin is the source table itself (event_id
-    is unique in the fixture)."""
+    is unique in the fixture).
+
+    Scale shape (r12): the stream is projected to the columns the
+    entry returns (+ts for the watermark) BEFORE the dedup — §2.3,
+    smaller shuffle rows and state payload — and drained through the
+    executor-parallel parquet sink instead of the driver-collecting
+    memory sink (§5). Same rows: projection doesn't change which
+    event_ids survive (re-delivered rows are byte-identical), and the
+    parquet drain accumulates exactly the per-batch appends the memory
+    sink collected. Measured at sf10 (10M events x 2 deliveries):
+    156.3 s -> 7.9 s (exp_streaming_sink_sf10.jsonl)."""
     from duckdb_iceberg_spark.streaming.events import (
         dedup_stream,
         read_events_files,
-        run_stream_to_memory,
+        run_stream_to_parquet,
     )
 
-    stream = read_events_files(spark, sf, names=("a.parquet", "b.parquet"))
-    return run_stream_to_memory(dedup_stream(stream), "streaming_dedup_entry", output_mode="append").select(
-        "event_id", "user_id", "event_type"
+    stream = read_events_files(spark, sf, names=("a.parquet", "b.parquet")).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    return run_stream_to_parquet(
+        dedup_stream(stream).select("event_id", "user_id", "event_type"),
+        "streaming_dedup_entry",
+        output_mode="append",
     )
 
 

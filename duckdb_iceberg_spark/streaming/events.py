@@ -235,9 +235,55 @@ def write_stream_to_iceberg(stream_df: DataFrame, table_path: str, checkpoint: s
     )
 
 
+def run_stream_to_parquet(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Drain a stream with availableNow through an EXECUTOR-PARALLEL
+    parquet sink (foreachBatch append) and return the result read back
+    as a batch DataFrame.
+
+    The memory sink collects every output row to the DRIVER — one
+    collect per micro-batch — which is fine for dashboard-sized
+    complete-mode results but is a §5 driver bottleneck for
+    data-proportional append/update outputs: at sf10 (10M events
+    delivered twice) the dedup entry reads 156.3 s through the memory
+    sink vs 16.2 s through this sink on the same data
+    (bench_results/exp_streaming_sink_sf10.jsonl). Rows are identical:
+    foreachBatch receives exactly the per-batch rows the memory sink
+    would collect, and append-mode parquet accumulates their union
+    (update-mode deltas append too, matching the memory sink's
+    update-mode history).
+
+    The sink directory is keyed on ``name`` and replaced on each call —
+    the same replace-on-restart semantics the memory sink's temp view
+    has. A zero-batch stream leaves no files; that case returns an
+    empty DataFrame with the stream's schema.
+    """
+    import shutil
+
+    spark = stream_df.sparkSession
+    out_dir = os.path.join(tempfile.gettempdir(), f"stream_pq_{name}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_df.writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(out_dir)
+            )
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], stream_df.schema)
+    return spark.read.schema(stream_df.schema).parquet(out_dir)
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Drain a stream with availableNow into an in-memory sink and
-    return the materialized result (test/verification harness)."""
+    return the materialized result (test/verification harness; for
+    data-proportional append/update outputs use
+    :func:`run_stream_to_parquet` — the memory sink collects every
+    output row to the driver)."""
     spark = stream_df.sparkSession
     with tempfile.TemporaryDirectory() as ckpt:
         q = (

@@ -77,6 +77,39 @@ def test_dedup_stream_across_batches(spark, tmp_path):
     assert got.select("event_id").distinct().count() == n_distinct
 
 
+def test_parquet_drain_matches_memory_drain(spark):
+    """run_stream_to_parquet (the executor-parallel drain the dedup and
+    stateful entries use since r12) returns exactly the rows the memory
+    sink collected — append mode across two micro-batches (stateful
+    dedup) and update mode (applyInPandasWithState deltas)."""
+    from duckdb_iceberg_spark.streaming.events import (
+        dedup_stream,
+        read_events_files,
+        read_events_stream,
+        run_stream_to_memory,
+        run_stream_to_parquet,
+        stateful_user_stats,
+    )
+
+    def dedup_out():
+        src = read_events_files(spark, SF, names=("a.parquet", "b.parquet")).select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        return dedup_stream(src).select("event_id", "user_id", "event_type")
+
+    mem = run_stream_to_memory(dedup_out(), "pq_drain_mem", output_mode="append")
+    pq = run_stream_to_parquet(dedup_out(), "pq_drain_pq", output_mode="append")
+    assert sorted(map(tuple, mem.collect())) == sorted(map(tuple, pq.collect()))
+
+    mem2 = run_stream_to_memory(
+        stateful_user_stats(read_events_stream(spark, SF)), "pq_drain_mem2", output_mode="update"
+    )
+    pq2 = run_stream_to_parquet(
+        stateful_user_stats(read_events_stream(spark, SF)), "pq_drain_pq2", output_mode="update"
+    )
+    assert sorted(map(tuple, mem2.collect())) == sorted(map(tuple, pq2.collect()))
+
+
 def test_stream_stream_join_matches_batch(spark):
     from duckdb_iceberg_spark.streaming.events import (
         click_purchase_join,
