@@ -1075,13 +1075,15 @@ def _dedup_boilerplate(spark, sf):
             tok, window=8, max_doc_freq=2
         ).orderBy("doc_id")
     if tok is not None:
-        # small corpus, projection available: hashed counting pass
-        # (no chunk-string kernel, 16-byte count rows) + line_dedup's
-        # single-groupBy shuffle reassembly — fewest job floors, and
-        # the count side never builds segment strings (measured at
-        # sf0.1: 0.82 -> 0.70 s vs the string-identity classic shape)
+        # small corpus, projection available: ONE corpus pass — the
+        # doc-frequency is computed by two windows sharing the hash
+        # exchange instead of a separate hashed counting scan +
+        # broadcast build (r12; 2 scans + 8 exchanges -> 1 scan + 3,
+        # interleaved sf0.1 A/B -26% vs the two-pass "shuffle" shape,
+        # which had itself beaten the string-identity classic
+        # 0.82 -> 0.70 s)
         return DD.token_window_boilerplate(
-            tok, window=8, max_doc_freq=2, reassembly="shuffle"
+            tok, window=8, max_doc_freq=2, reassembly="window"
         ).orderBy("doc_id")
     d = _t(spark, sf, "documents")
     return DD.line_dedup(

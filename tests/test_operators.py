@@ -1230,6 +1230,53 @@ def test_line_dedup_threshold_boundary(spark):
     assert out == {1: "shared\nx", 2: "shared\ny"}
 
 
+def test_token_window_boilerplate_window_mode_identical(spark):
+    """reassembly='window' (r12: single corpus pass, doc-frequency via
+    two windows sharing one hash exchange) must be row-identical to the
+    two-pass 'shuffle' shape — including repeated chunks within one doc
+    (counted once per doc), all-boilerplate docs (kept as ''), and the
+    threshold boundary (df == max_doc_freq survives). Plan: one scan,
+    no join, and both windows on the single hash exchange."""
+    from pyspark.sql import functions as F
+
+    from duckdb_iceberg_spark.operators.dedup import token_window_boilerplate
+
+    footer = "sub scribe now pls click here ok thanks bye"  # one 8-token chunk + tail
+    rows = (
+        [(i, f"doc{i} unique words here pad pad pad pad {footer}") for i in range(5)]
+        + [(100, footer)]                       # all-boilerplate doc
+        + [(101, "only original content")]      # untouched short doc
+        + [(102, f"{footer} {footer}")]         # repeats the chunk within ONE doc
+        + [(103, "edge pair one"), (104, "edge pair one")]  # df==2 boundary
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        F.split(F.trim("text"), r"\s+").alias("toks"),
+        F.split(F.trim(F.lower("text")), r"\s+").alias("ltoks"),
+    )
+    a = sorted(
+        (r.doc_id, r.text)
+        for r in token_window_boilerplate(df, window=8, max_doc_freq=2, reassembly="shuffle").collect()
+    )
+    b = sorted(
+        (r.doc_id, r.text)
+        for r in token_window_boilerplate(df, window=8, max_doc_freq=2, reassembly="window").collect()
+    )
+    assert a == b
+    d = dict(b)
+    assert d[101] == "only original content"
+    assert d[103] == "edge pair one" and d[104] == "edge pair one"
+    plan = token_window_boilerplate(
+        df, window=8, max_doc_freq=2, reassembly="window"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Scan") == 1
+    assert plan.count("Window") == 2
+    # both windows share ONE exchange (the pinned repartition on __h);
+    # the only other exchange is the reassembly aggregate's
+    assert plan.count("Exchange") == 2
+
+
 def test_bigram_lm_paths_identical(spark):
     """The vocab-gated hash-broadcast path (vocab² under the limit:
     bigram/unigram identities as xxhash64 longs, both model tables
