@@ -1079,9 +1079,9 @@ def _dedup_boilerplate(spark, sf):
         # doc-frequency is computed by two windows sharing the hash
         # exchange instead of a separate hashed counting scan +
         # broadcast build (r12; 2 scans + 8 exchanges -> 1 scan + 3,
-        # interleaved sf0.1 A/B -26% vs the two-pass "shuffle" shape,
-        # which had itself beaten the string-identity classic
-        # 0.82 -> 0.70 s)
+        # interleaved sf0.1 A/Bs -2..-26% across windows, never
+        # negative, vs the two-pass "shuffle" shape, which had itself
+        # beaten the string-identity classic 0.82 -> 0.70 s)
         return DD.token_window_boilerplate(
             tok, window=8, max_doc_freq=2, reassembly="window"
         ).orderBy("doc_id")

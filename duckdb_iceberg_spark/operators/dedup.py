@@ -948,13 +948,14 @@ def token_window_boilerplate(
     same reassembly aggregate, so no broadcast-build job, no second
     scan, no join: the "shuffle" plan's 2 scans + 8 exchanges (incl.
     the broadcast build) become 1 scan + 3 exchanges (window,
-    reassembly, output sort). Interleaved min-of-8 at sf0.1:
-    -26% (1.19 -> 0.88 s; an earlier same-day window read
-    0.69 -> 0.65 s for the unshared-exchange prototype — the spread is
-    ambient host oscillation, the direction is stable). The trade is
-    chunk text crossing the hash exchange TOO, so it stays behind the
-    same small-corpus gate. Same rows all three ways (same digest
-    identities, same survivors).
+    reassembly, output sort). Interleaved min-of-8/10 entry A/Bs
+    across five same-day host windows at sf0.1/sf0.01 read -2% to
+    -26% (median ~-7%), never negative — the ambient 2-3x window
+    oscillation swamps the fixed-floor saving on fast windows; the
+    durable claim is the structural one (one corpus pass, no
+    broadcast-build job). The trade is chunk text crossing the hash
+    exchange TOO, so it stays behind the same small-corpus gate. Same
+    rows all three ways (same digest identities, same survivors).
     """
     toks, ltoks = F.col(tokens_col), F.col(lower_tokens_col)
     w = F.lit(window)
