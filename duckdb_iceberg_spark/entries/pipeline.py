@@ -928,7 +928,10 @@ def _dedup_minhash_sig(spark, sf):
     else:
         d = _t(spark, sf, "documents")
         sig = DD.minhash_signatures(d, num_perm=16, corpus_bytes=nbytes)
-    return sig.select("doc_id", F.md5(F.concat_ws("|", *[f"h{i}" for i in range(16)])).alias("sig_digest"))
+    cols = ", ".join(f"h{i}" for i in range(16))
+    return sig.selectExpr(
+        "doc_id", f"md5(concat_ws('|', {cols})) AS sig_digest"
+    )
 
 
 _DEDUP_MINHASH_SQL = r"""

@@ -174,10 +174,17 @@ def minhash_signatures(
     # md5 string) — identical values, half the bytes per comparison,
     # per hash-map entry, and per partial-agg exchange row (measured
     # -10% on the whole query at sf10).
+    # Expression-heavy projections below are built as SQL strings
+    # (selectExpr / F.expr): the string parses JVM-side in ONE py4j
+    # round trip, where the builder form pays ~6-9 gateway calls PER
+    # COLUMN — profiled at 1,404 round trips = 0.21 s of pure loopback
+    # latency per construction of this query (≈30% of its sf0.1 bench
+    # time; §7.3 driver-side latency). The parsed trees are the
+    # identical expressions the builders produced.
     def _hex_out(agg):
-        return agg.select(
-            key_col,
-            *[F.lower(F.hex(F.col(f"h{i}"))).alias(f"h{i}") for i in range(num_perm)],
+        return agg.selectExpr(
+            f"`{key_col}`",
+            *[f"lower(hex(h{i})) AS h{i}" for i in range(num_perm)],
         )
 
     # (An Arrow mapInArrow PARTIAL-MIN stage — numpy grouped min over
@@ -199,21 +206,21 @@ def minhash_signatures(
         # sf10 read 2.84 s vs 2.57 s for this shape; the extra
         # vocab-persist + 16 windows + second broadcast cost more
         # than the fixed-width aggregate saved.)
-        vocab_hashes = toks.select("tok").distinct().select(
+        vocab_hashes = toks.select("tok").distinct().selectExpr(
             "tok",
             *[
-                F.unhex(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"h{i}")
+                f"unhex(md5(concat('{i}:', tok))) AS h{i}"
                 for i in range(num_perm)
             ],
         )
         joined = toks.join(F.broadcast(vocab_hashes), "tok")
         return _hex_out(
             joined.groupBy(key_col).agg(
-                *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_perm)]
+                *[F.expr(f"min(h{i}) AS h{i}") for i in range(num_perm)]
             )
         )
     aggs = [
-        F.min(F.unhex(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok"))))).alias(f"h{i}")
+        F.expr(f"min(unhex(md5(concat('{i}:', tok)))) AS h{i}")
         for i in range(num_perm)
     ]
     return _hex_out(toks.groupBy(key_col).agg(*aggs))
@@ -980,28 +987,31 @@ def token_window_boilerplate(
         return F.concat_ws(" ", F.slice(toks, (i - 1) * w + 1, w))
 
     idx = F.sequence(F.lit(1), n_chunks)
-    # per-doc hash DISTINCTNESS is computed locally (array_distinct on
-    # the per-row hash array) instead of a corpus-wide
-    # (doc, hash).distinct() — the same multiset reaches the
-    # doc-frequency count (distinct (doc,h) pairs either way), but the
-    # exchange that global dedup needed disappears: the count's
-    # partial aggregation is now the FIRST shuffle either path pays.
-    dedup_hashes = F.explode(F.array_distinct(F.transform(idx, chunk_hash)))
     if reassembly == "window":
         from pyspark.sql import Window
 
-        segs = df.select(
-            F.col(key_col),
-            F.explode(
-                F.transform(
-                    idx,
-                    lambda i: F.struct(
-                        i.cast("int").alias("__pos"),
-                        chunk_hash(i).alias("__h"),
-                        chunk_text(i).alias("__seg"),
-                    ),
-                )
-            ).alias("s"),
+        # The exploded chunk stream is assembled as ONE selectExpr
+        # string: parsed JVM-side in a single py4j round trip, where
+        # the builder form pays a gateway call per sub-expression
+        # (profiled at 1,157 round trips = 0.21 s of loopback latency
+        # per construction of the bench entry — §7.3 driver latency).
+        # The parsed tree is the identical expression the builders
+        # produced: same int literal arithmetic, same try_element_at
+        # NULL padding, same concat_ws/slice text build.
+        hash_args = ", ".join(
+            f"try_element_at(`{lower_tokens_col}`, (i - 1) * {window} + {j + 1})"
+            for j in range(window)
+        )
+        seg_struct = (
+            f"struct(cast(i as int) AS __pos, xxhash64({hash_args}) AS __h, "
+            f"concat_ws(' ', slice(`{tokens_col}`, (i - 1) * {window} + 1, "
+            f"{window})) AS __seg)"
+        )
+        segs = df.selectExpr(
+            f"`{key_col}`",
+            f"explode(transform(sequence(1, greatest(cast(ceil("
+            f"size(`{tokens_col}`) / {window}) as int), 1)), "
+            f"i -> {seg_struct})) AS s",
         ).select(key_col, "s.__pos", "s.__h", "s.__seg")
         # ONE exchange for both windows: HashPartitioning([__h])
         # satisfies ClusteredDistribution([__h, key]) (same (h, doc)
@@ -1018,27 +1028,27 @@ def token_window_boilerplate(
         dfreq = F.sum(F.when(F.col("__rn") == 1, 1)).over(
             Window.partitionBy("__h")
         )
+        j_sql = joiner.replace("\\", "\\\\").replace("'", "\\'")
         return (
             segs.withColumn("__rn", rn)
             .withColumn("__df", dfreq)
             .groupBy(key_col)
             .agg(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(
-                                    F.col("__df") <= max_doc_freq,
-                                    F.struct("__pos", "__seg"),
-                                )
-                            )
-                        ),
-                        lambda s: s["__seg"],
-                    ),
-                    joiner,
-                ).alias("text")
+                F.expr(
+                    "array_join(transform(array_sort(collect_list("
+                    f"case when __df <= {max_doc_freq} then "
+                    "struct(__pos, __seg) end)), s -> s.__seg), "
+                    f"'{j_sql}') AS text"
+                )
             )
         )
+    # per-doc hash DISTINCTNESS is computed locally (array_distinct on
+    # the per-row hash array) instead of a corpus-wide
+    # (doc, hash).distinct() — the same multiset reaches the
+    # doc-frequency count (distinct (doc,h) pairs either way), but the
+    # exchange that global dedup needed disappears: the count's
+    # partial aggregation is now the FIRST shuffle either path pays.
+    dedup_hashes = F.explode(F.array_distinct(F.transform(idx, chunk_hash)))
     if reassembly == "shuffle":
         hashes = df.select(F.col(key_col), dedup_hashes.alias("__h"))
         common = F.broadcast(

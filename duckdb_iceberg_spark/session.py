@@ -60,7 +60,39 @@ def normalize_event_ts(df, col: str = "ts"):
     return df
 
 
+def _install_jvm_function_cache() -> None:
+    """Memoize pyspark's ``_get_jvm_function`` per SparkContext.
+
+    Every ``F.*`` builder call resolves its JVM static-method handle
+    with two py4j REFLECTION round trips (``sc._jvm -> functions`` and
+    the member lookup) before the one round trip that does the work —
+    pyspark never caches the handle. The handles are static methods on
+    ``org.apache.spark.sql.functions``; reusing them is exactly what
+    calling the same ``F.*`` twice already does. Cache lives on the
+    SparkContext instance, so a restarted context starts empty and a
+    dead gateway is never served. Profiled (§7.3): construction of the
+    expression-heavy queries spends ~2/3 of its gateway trips on these
+    lookups."""
+    from pyspark.sql.functions import builtin as B
+
+    if getattr(B._get_jvm_function, "_graft_cached", False):
+        return
+    orig = B._get_jvm_function
+
+    def cached(name, sc):
+        cache = sc.__dict__.setdefault("_graft_jvm_fn_cache", {})
+        fn = cache.get(name)
+        if fn is None:
+            fn = orig(name, sc)
+            cache[name] = fn
+        return fn
+
+    cached._graft_cached = True
+    B._get_jvm_function = cached
+
+
 def get_spark(app_name: str = "duckdb_iceberg_spark", **extra) -> SparkSession:
+    _install_jvm_function_cache()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
@@ -137,6 +169,18 @@ def get_spark(app_name: str = "duckdb_iceberg_spark", **extra) -> SparkSession:
         # model state; see SCALE.md anti-pattern audit).
         .config("spark.driver.maxResultSize", os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"))
         .config("spark.ui.enabled", "false")
+        # PySpark's DataFrame error-context capture (SPARK-44541,
+        # default on) wraps EVERY DataFrame/functions API call with
+        # getActiveSession() + conf.get + PySparkCurrentOrigin
+        # set/clear — ~5 py4j round trips per call, plus a Python
+        # stack inspection, purely to enrich error messages with the
+        # user call site. Query construction for this engine's larger
+        # plans was profiled at 400-1,400 round trips (~0.1-0.2 s of
+        # pure loopback latency per query, ~1/3 of the sf0.1 suite's
+        # bench time; §7.3 driver-side latency). Debug-only knob: no
+        # effect on what any query computes, only on the detail of
+        # error call-site attribution.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     # generic conf passthrough for harness tooling, e.g.
     # SPARK_GRAFT_EXTRA_CONF="spark.io.compression.codec=zstd" — the
