@@ -1199,9 +1199,28 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _query_embedding(sf):
+    """Driver-side point lookup of the query vector (vec_id == 0)
+    straight off the parquet footers via pyarrow — replaces a
+    ``filter().first()`` Spark job (a full scheduling round trip per
+    timed construction, ~0.1 s at local scale) with a statistics-pruned
+    row-group read, the same way executeTake prunes but without a job.
+    At warehouse scale this is the index-probe shape: footer min/max on
+    vec_id skips every row group but the one holding the query row.
+    Values identical: the same parquet cell, float32 list -> Python
+    floats either way."""
+    import pyarrow.dataset as ds
+
+    t = (
+        ds.dataset(os.path.join(os.path.abspath(sf), "embeddings.parquet"))
+        .to_table(filter=ds.field("vec_id") == 0, columns=["embedding"])
+    )
+    return t.column("embedding")[0].as_py()
+
+
 def _sim_topk(spark, sf):
     e = _t(spark, sf, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    q = _query_embedding(sf)
     return SIM.cosine_topk(e.filter(F.col("vec_id") > 0), q, k=10)
 
 
@@ -1226,7 +1245,7 @@ def _sim_quantized(spark, sf):
     integer dot products are exact in doubles (no summation-order
     issues)."""
     e = _t(spark, sf, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    q = _query_embedding(sf)
     return SIM.cosine_topk_int8(e.filter(F.col("vec_id") > 0), q, k=10)
 
 
@@ -1630,7 +1649,7 @@ def _ann_lsh_topk(spark, sf):
     the approximate result exactly. The oracle checks the ANN answer
     itself, not a brute-force stand-in."""
     e = _t(spark, sf, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    q = _query_embedding(sf)
     return SIM.lsh_topk(e.filter(F.col("vec_id") > 0), q, k=10, n_planes=4, probe_hamming=2)
 
 
@@ -1642,7 +1661,7 @@ def _ann_ivf_topk(spark, sf):
     exact and hash-checked against a brute-force DuckDB twin.
     Partial-probe recall bounds live in tests/test_operators.py."""
     e = _t(spark, sf, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    q = _query_embedding(sf)
     base = e.filter(F.col("vec_id") > 0)
     centroids, assigned = SIM.ivf_build(base, n_centroids=8, iters=2)
     return SIM.ivf_topk(assigned, centroids, q, k=10, n_probe=8)
