@@ -381,7 +381,7 @@ def prepare_bucketed_fixtures(spark: SparkSession, sf_dir: str, num_buckets: int
                     d.filter(F.col("doc_id") % _BENCH_MOD == 0)
                     .select(
                         F.explode(
-                            TX.span_hashes_tokens(F.col("ltoks"), _BENCH_NGRAM)
+                            TX.span_hashes_tokens("ltoks", _BENCH_NGRAM)
                         ).alias("tok")
                     )
                     .dropDuplicates(["tok"])

@@ -408,15 +408,15 @@ def _curate_pipeline(spark, sf):
         # all ingest-time stats — ONE projection scan, no raw-text
         # read, no doc_id join-back (the join + second scan the fp-less
         # v5 shape needed)
-        d = tok.select(
+        d = tok.selectExpr(
             "doc_id",
             "lang",
             "fp",
-            F.col("n_ws_tokens").alias("n_tokens"),
-            TX.quality_score_from_stats(
-                F.col("n_ws_tokens"), F.col("n_chars"),
-                F.col("n_stopwords"), F.col("n_punct"),
-            ).alias("quality"),
+            "n_ws_tokens AS n_tokens",
+            TX.quality_score_from_stats_sql(
+                "n_ws_tokens", "n_chars", "n_stopwords", "n_punct"
+            )
+            + " AS quality",
         )
     elif tok is not None and "n_chars" in tok.columns:
         # counters + quality from the ingest-time stats; only the
@@ -451,11 +451,14 @@ def _curate_pipeline(spark, sf):
     # per (fp, map partition) instead of every surviving row, and the
     # per-partition sort the window needed disappears.
     keep = q.groupBy("fp").agg(
-        F.min_by(F.struct("lang", "n_tokens"), "doc_id").alias("__w")
+        F.expr("min_by(struct(lang, n_tokens), doc_id) AS __w")
     )
     return (
         keep.groupBy(F.col("__w.lang").alias("lang"))
-        .agg(F.count("*").alias("n_docs"), F.sum("__w.n_tokens").alias("n_tokens"))
+        .agg(
+            F.expr("count(*) AS n_docs"),
+            F.expr("sum(__w.n_tokens) AS n_tokens"),
+        )
         .orderBy("lang")
     )
 
@@ -558,11 +561,28 @@ def _text_repetition(spark, sf):
     duplicate word-bigram fraction, floor-quantized to 4 decimals so
     both engines hash identically."""
     d = _t(spark, sf, "documents")
-    q = lambda c: F.floor(c * 10000) / 10000  # noqa: E731
-    return d.select(
+    # one selectExpr = one py4j parse round trip for the whole
+    # projection (the builder form paid ~200 gateway calls — §7.3
+    # driver latency); the strings parse to the identical trees the
+    # TX.dup_*_fraction builders produce (bind_once =
+    # transform(array(e), v -> ...)[0], double literal 0.0D, same
+    # span boundaries), plan-identity asserted by
+    # tools/plan_canon_diff.py
+    dup = (
+        "transform(array({arr}), a -> case when size(a) > 0 then "
+        "(size(a) - size(array_distinct(a))) / size(a) else 0.0D end)[0]"
+    )
+    lines = r"filter(split(text, '\\n'), x -> trim(x) != '')"
+    spans = (
+        r"transform(array(split(trim(lower(text)), '\\s+')), tb -> "
+        "case when size(tb) >= 2 then transform(sequence(0, size(tb) - 2), "
+        "i -> xxhash64(element_at(tb, i + 1), element_at(tb, i + 2))) "
+        "else array(xxhash64(tb)) end)[0]"
+    )
+    return d.selectExpr(
         "doc_id",
-        q(TX.dup_line_fraction(F.col("text"))).alias("dup_line_frac"),
-        q(TX.dup_ngram_fraction(F.col("text"), 2)).alias("dup_ngram_frac"),
+        f"floor(({dup.format(arr=lines)}) * 10000) / 10000 AS dup_line_frac",
+        f"floor(({dup.format(arr=spans)}) * 10000) / 10000 AS dup_ngram_frac",
     )
 
 
@@ -2538,11 +2558,11 @@ def _funnel_join(spark, sf):
     # twice) while user_id bucketing keeps the join exchange-free
     ev = _t_proj(spark, sf, "events", "by_type") or _t(spark, sf, "events")
     out = click_purchase_join(ev)
-    return out.select(
+    return out.selectExpr(
         "p_user",
-        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("p_ts"),
-        F.round("p_value", 4).alias("p_value"),
-        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("c_ts"),
+        "date_format(p_ts, 'yyyy-MM-dd HH:mm:ss.SSS') AS p_ts",
+        "round(p_value, 4) AS p_value",
+        "date_format(c_ts, 'yyyy-MM-dd HH:mm:ss.SSS') AS c_ts",
     )
 
 

@@ -470,25 +470,31 @@ def _agg_global(spark, sf):
     # the day-grain moment partials (Σn / Σq_c / min-max price-cents /
     # min-max ship_day — one int→double rounding each, same as raw)
     mom = _t_proj(spark, sf, "moments", "agg")
+    # aggregate expressions as SQL strings — one parse round trip each
+    # (§7.3 driver latency), identical trees (D-suffixed double
+    # literals; cast chains unchanged)
     if mom is not None:
         plain = mom.agg(
-            F.sum("n").alias("n_rows"),
-            F.min("ship_day").cast("date").cast("string").alias("min_ship"),
-            F.max("ship_day").cast("date").cast("string").alias("max_ship"),
-            (F.sum("sq").cast("double") / F.lit(100.0)).alias("total_qty"),
-            F.round(F.min("minp").cast("double") / F.lit(100.0), 2).alias("min_price"),
-            F.round(F.max("maxp").cast("double") / F.lit(100.0), 2).alias("max_price"),
+            F.expr("sum(n) AS n_rows"),
+            F.expr("cast(cast(min(ship_day) as date) as string) AS min_ship"),
+            F.expr("cast(cast(max(ship_day) as date) as string) AS max_ship"),
+            F.expr("cast(sum(sq) as double) / 100.0D AS total_qty"),
+            F.expr("round(cast(min(minp) as double) / 100.0D, 2) AS min_price"),
+            F.expr("round(cast(max(maxp) as double) / 100.0D, 2) AS max_price"),
         )
     else:
         plain = li.agg(
-            F.count("*").alias("n_rows"),
-            F.min("l_shipdate").cast("date").cast("string").alias("min_ship"),
-            F.max("l_shipdate").cast("date").cast("string").alias("max_ship"),
+            F.expr("count(*) AS n_rows"),
+            F.expr("cast(cast(min(l_shipdate) as date) as string) AS min_ship"),
+            F.expr("cast(cast(max(l_shipdate) as date) as string) AS max_ship"),
             # exact-cents policy: identical doubles to sum(decimal(18,2))
             # on the 2-decimal domain, minus the BigDecimal path (module doc)
-            (F.sum(_cents("l_quantity")).cast("double") / F.lit(100.0)).alias("total_qty"),
-            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.expr(
+                "cast(sum(cast(round(l_quantity * 100) as long)) as double)"
+                " / 100.0D AS total_qty"
+            ),
+            F.expr("round(min(l_extendedprice), 2) AS min_price"),
+            F.expr("round(max(l_extendedprice), 2) AS max_price"),
         )
     # duplicate-eliminated projection: exact COUNT(DISTINCT) becomes
     # count(*) over the maintained distinct view (metadata-cheap scan)
@@ -1570,20 +1576,23 @@ def _q2_min_cost_supplier(spark, sf):
     li_q = li.join(
         F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi"
     )
+    # expression lists as SQL strings — one parse round trip each
+    # (§7.3 driver latency), identical trees
     ps = li_q.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+        F.expr("min(l_extendedprice / l_quantity) AS cost")
     )
-    w = Window.partitionBy("l_partkey")
-    best = ps.withColumn("min_cost", F.min("cost").over(w)).filter(F.col("cost") == F.col("min_cost"))
+    best = ps.selectExpr(
+        "*", "min(cost) OVER (PARTITION BY l_partkey) AS min_cost"
+    ).filter("cost = min_cost")
     return (
         best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .select(
-            F.round("s_acctbal", 2).alias("s_acctbal"),
+        .selectExpr(
+            "round(s_acctbal, 2) AS s_acctbal",
             "s_name",
             "n_name",
-            F.col("l_partkey").alias("p_partkey"),
-            F.round("cost", 4).alias("cost"),
+            "l_partkey AS p_partkey",
+            "round(cost, 4) AS cost",
         )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -1708,6 +1717,12 @@ def _q21_waiting_suppliers(spark, sf):
     # tokens-projection fp/source guards so a stale pre-v3 table in a
     # persistent catalog falls back to the base-table path instead of
     # raising AnalysisException (r11 ADVICE).
+    # aggregate expressions as SQL strings — one parse round trip each
+    # (§7.3 driver latency), identical trees
+    late_sum = F.expr(
+        "sum(cast(l_shipdate > o_orderdate + INTERVAL 60 DAYS as long))"
+        " AS late_rows"
+    )
     if sp is not None and "o_orderstatus" in sp.columns:
         # spine projection path: li⋈o is pre-joined at ingest (v3
         # carries o_orderstatus), so the whole EXISTS machinery is a
@@ -1719,11 +1734,7 @@ def _q21_waiting_suppliers(spark, sf):
         grp = (
             sp.filter(F.col("o_orderstatus") == "F")
             .groupBy("l_orderkey", "l_suppkey")
-            .agg(
-                F.sum(
-                    (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast("long")
-                ).alias("late_rows")
-            )
+            .agg(late_sum)
         )
     else:
         li = _t(spark, sf, "lineitem")
@@ -1731,20 +1742,19 @@ def _q21_waiting_suppliers(spark, sf):
         grp = (
             li.join(o, li.l_orderkey == o.o_orderkey)
             .groupBy("l_orderkey", "l_suppkey")
-            .agg(
-                F.sum(
-                    (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast("long")
-                ).alias("late_rows")
-            )
+            .agg(late_sum)
         )
-    late = F.col("late_rows") > 0
     per_order = (
         grp.groupBy("l_orderkey")
         .agg(
-            F.count("*").alias("nsupp"),
-            F.sum(late.cast("long")).alias("nlate"),
-            F.max(F.when(late, F.col("l_suppkey"))).alias("suppkey"),
-            F.max(F.when(late, F.col("late_rows"))).alias("late_rows"),
+            F.expr("count(*) AS nsupp"),
+            F.expr("sum(cast(late_rows > 0 as long)) AS nlate"),
+            F.expr(
+                "max(case when late_rows > 0 then l_suppkey end) AS suppkey"
+            ),
+            F.expr(
+                "max(case when late_rows > 0 then late_rows end) AS late_rows"
+            ),
         )
         .filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
         .select("suppkey", "late_rows")
@@ -1753,7 +1763,7 @@ def _q21_waiting_suppliers(spark, sf):
         per_order.join(F.broadcast(s), per_order.suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_name")
-        .agg(F.sum("late_rows").alias("numwait"))
+        .agg(F.expr("sum(late_rows) AS numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
@@ -1864,46 +1874,41 @@ def _agg_stats(spark, sf):
     # bit-equal vs DuckDB's streaming kernels at sf0.1/sf10).
     proj = _t_proj(spark, sf, "moments", "agg")
     if proj is not None:
+        # SQL-string projections (one parse round trip each — §7.3
+        # driver latency); trees identical to the builder forms: same
+        # decimal(38,0) exact numerators, D-suffixed double literals,
+        # same left-associated AND chain.
         d38 = "decimal(38,0)"
         s = proj.groupBy("l_returnflag").agg(
-            F.sum("n").cast(d38).alias("n"),
-            F.sum("sq").cast(d38).alias("sq"),
-            F.sum("sqq").alias("sqq"),
-            F.sum("sp").cast(d38).alias("sp"),
-            F.sum("spp").alias("spp"),
-            F.sum("sqp").alias("sqp"),
-            F.sum("sdisc").cast("double").alias("sdisc"),
-            F.sum("n").cast("double").alias("nd"),
+            F.expr(f"cast(sum(n) as {d38}) AS n"),
+            F.expr(f"cast(sum(sq) as {d38}) AS sq"),
+            F.expr("sum(sqq) AS sqq"),
+            F.expr(f"cast(sum(sp) as {d38}) AS sp"),
+            F.expr("sum(spp) AS spp"),
+            F.expr("sum(sqp) AS sqp"),
+            F.expr("cast(sum(sdisc) as double) AS sdisc"),
+            F.expr("cast(sum(n) as double) AS nd"),
         )
-        n = F.col("n")
-        numq = (n * F.col("sqq") - F.col("sq") * F.col("sq")).cast("double")
-        nump2 = (n * F.col("spp") - F.col("sp") * F.col("sp")).cast("double")
-        nump = (n * F.col("sqp") - F.col("sq") * F.col("sp")).cast("double")
+        numq = "cast(n * sqq - sq * sq as double)"
+        nump2 = "cast(n * spp - sp * sp as double)"
+        nump = "cast(n * sqp - sq * sp as double)"
         # sample statistics of a single row are NULL (stddev_samp
         # semantics) — double division by the zero denominator would
-        # yield NaN, which the oracle's NULL canon rejects
-        den1 = F.when(n > 1, (n * (n - F.lit(1))).cast("double"))
-        den2 = (n * n).cast("double")
-        return s.select(
+        # yield NaN, which the oracle's NULL canon rejects; corr is
+        # NULL for single rows and zero-variance columns (0/0 would
+        # be NaN; SQL aggregates yield NULL there)
+        den1 = "case when n > 1 then cast(n * (n - 1) as double) end"
+        den2 = "cast(n * n as double)"
+        return s.selectExpr(
             "l_returnflag",
-            F.round(F.sqrt(numq / den1) / F.lit(100.0), 4).alias("sd_qty"),
-            F.round(numq / den2 / F.lit(10000.0), 4).alias("var_qty"),
-            # corr is NULL for single rows and zero-variance columns
-            # (0/0 would be NaN; SQL aggregates yield NULL there)
-            (
-                F.round(
-                    F.when(
-                        (n > 1) & (numq > 0) & (nump2 > 0),
-                        nump / F.sqrt(numq) / F.sqrt(nump2),
-                    ),
-                    4,
-                )
-                + F.lit(0.0)
-            ).alias("corr_qty_price"),
-            (F.round(nump / den1 / F.lit(10000.0), 2) + F.lit(0.0)).alias(
-                "covar_qty_price"
-            ),
-            F.round(F.col("sdisc") / F.col("nd") / F.lit(100.0), 6).alias("avg_disc"),
+            f"round(sqrt({numq} / ({den1})) / 100.0D, 4) AS sd_qty",
+            f"round({numq} / {den2} / 10000.0D, 4) AS var_qty",
+            f"round(case when n > 1 and {numq} > 0 and {nump2} > 0 then "
+            f"{nump} / sqrt({numq}) / sqrt({nump2}) end, 4) + 0.0D "
+            "AS corr_qty_price",
+            f"round({nump} / ({den1}) / 10000.0D, 2) + 0.0D "
+            "AS covar_qty_price",
+            "round(sdisc / nd / 100.0D, 6) AS avg_disc",
         )
     li = _t(spark, sf, "lineitem")
     # + 0.0 normalizes IEEE negative zero: at sf100 the near-zero

@@ -112,6 +112,24 @@ def quality_score_from_stats(n_tok, n_char, n_stop, n_punct) -> Column:
     return F.floor(raw * 10000) / 10000
 
 
+def quality_score_from_stats_sql(
+    n_tok: str, n_char: str, n_stop: str, n_punct: str
+) -> str:
+    """Spark-SQL string twin of :func:`quality_score_from_stats` over
+    NAMED counter columns — one py4j parse round trip instead of a
+    gateway call per arithmetic node (§7.3 driver latency). Double
+    literals are D-suffixed so they parse as DOUBLE (bare ``0.4``
+    parses as DECIMAL in Spark SQL); identical tree otherwise."""
+    td = f"cast(`{n_tok}` as double)"
+    cd = f"cast(`{n_char}` as double)"
+    return (
+        f"floor((0.4D * least({td} / 64.0D, 1.0D) "
+        f"+ 0.3D * least(`{n_stop}` / greatest({td}, 1.0D) * 4, 1.0D) "
+        f"+ 0.3D * (1.0D - least(`{n_punct}` / greatest({cd}, 1.0D) * 4, "
+        f"1.0D))) * 10000) / 10000"
+    )
+
+
 def lang_id(col) -> Column:
     """Marker-word language ID: argmax of per-language marker hit
     counts, ties broken by LANG_MARKERS order, no hits -> 'und'."""
@@ -253,8 +271,28 @@ def span_hashes_tokens(tok_col, n: int = 8) -> Column:
     regex split and the bind_once interpretation wrapper (a
     materialized attribute re-reads for free). Span boundaries, the
     <n whole-doc fallback, and the flat-hash digest scheme are
-    identical to :func:`span_hashes`."""
+    identical to :func:`span_hashes`.
+
+    When ``tok_col`` is a column NAME the expression is built as one
+    SQL string (single py4j parse round trip instead of ~4 gateway
+    calls per span position — §7.3 driver latency; the parsed tree is
+    the identical expression)."""
+    if isinstance(tok_col, str):
+        return F.expr(_flat_span_hashes_sql(tok_col, n))
     return _flat_span_hashes(tok_col, n)
+
+
+def _flat_span_hashes_sql(col_name: str, n: int) -> str:
+    """SQL-string twin of :func:`_flat_span_hashes` over a NAMED
+    column — same tree after parsing (int literal arithmetic,
+    element_at indexing, whole-array fallback)."""
+    c = f"`{col_name}`"
+    args = ", ".join(f"element_at({c}, i + {j + 1})" for j in range(n))
+    return (
+        f"case when size({c}) >= {n} then "
+        f"transform(sequence(0, size({c}) - {n}), i -> xxhash64({args})) "
+        f"else array(xxhash64({c})) end"
+    )
 
 
 def _dup_fraction(arr) -> Column:

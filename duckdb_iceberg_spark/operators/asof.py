@@ -13,7 +13,7 @@ for the driver's correctness gate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -37,46 +37,44 @@ def asof_join(
         raise ValueError("direction must be 'backward' or 'forward'")
     rcols = [c for c in right.columns if c not in (key, ts)]
 
-    lhs = left.select(
-        F.col(key).alias("__k"),
-        F.col(ts).alias("__t"),
-        F.lit(1).alias("__is_l"),
-        F.struct(*left.columns).alias("__lrow"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in rcols],
-        F.lit(None).cast(dict(right.dtypes)[ts]).alias("__r_ts"),
+    # Projections are SQL strings (one parse round trip per selectExpr)
+    # instead of per-column builder calls — §7.3 driver latency; the
+    # parsed trees are identical to the builder forms (same casts,
+    # same struct field names, same tie-break ordering).
+    rdt = dict(right.dtypes)
+    lhs = left.selectExpr(
+        f"`{key}` AS __k",
+        f"`{ts}` AS __t",
+        "1 AS __is_l",
+        "struct(" + ", ".join(f"`{c}`" for c in left.columns) + ") AS __lrow",
+        *[f"CAST(NULL AS {rdt[c]}) AS __r_{c}" for c in rcols],
+        f"CAST(NULL AS {rdt[ts]}) AS __r_ts",
     )
-    rhs = right.select(
-        F.col(key).alias("__k"),
-        F.col(ts).alias("__t"),
-        F.lit(0).alias("__is_l"),
-        F.lit(None).cast(
-            "struct<" + ",".join(f"{c}:{t}" for c, t in left.dtypes) + ">"
-        ).alias("__lrow"),
-        *[F.col(c).alias(f"__r_{c}") for c in rcols],
-        F.col(ts).alias("__r_ts"),
+    rhs = right.selectExpr(
+        f"`{key}` AS __k",
+        f"`{ts}` AS __t",
+        "0 AS __is_l",
+        "CAST(NULL AS struct<"
+        + ",".join(f"{c}:{t}" for c, t in left.dtypes)
+        + ">) AS __lrow",
+        *[f"`{c}` AS __r_{c}" for c in rcols],
+        f"`{ts}` AS __r_ts",
     )
     u = lhs.unionByName(rhs)
-    if direction == "backward":
-        # right rows sort BEFORE left rows at equal ts so ties match
-        w = (
-            Window.partitionBy("__k")
-            .orderBy(F.col("__t").asc(), F.col("__is_l").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-    else:
-        w = (
-            Window.partitionBy("__k")
-            .orderBy(F.col("__t").desc(), F.col("__is_l").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-    carried = u.select(
+    # right rows sort BEFORE left rows at equal ts so ties match
+    order = "__t ASC, __is_l ASC" if direction == "backward" else "__t DESC, __is_l ASC"
+    over = (
+        f"OVER (PARTITION BY __k ORDER BY {order} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    carried = u.selectExpr(
         "__is_l",
         "__lrow",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}") for c in rcols],
-        F.last("__r_ts", ignorenulls=True).over(w).alias("__c_ts"),
-    ).where(F.col("__is_l") == 1)
-    return carried.select(
-        *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__c_{c}").alias(f"{c}{suffix}") for c in rcols],
-        F.col("__c_ts").alias(f"{ts}{suffix}"),
+        *[f"last(__r_{c}, true) {over} AS __c_{c}" for c in rcols],
+        f"last(__r_ts, true) {over} AS __c_ts",
+    ).where("__is_l = 1")
+    return carried.selectExpr(
+        *[f"__lrow.`{c}` AS `{c}`" for c in left.columns],
+        *[f"__c_{c} AS `{c}{suffix}`" for c in rcols],
+        f"__c_ts AS `{ts}{suffix}`",
     )

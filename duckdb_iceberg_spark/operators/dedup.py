@@ -495,7 +495,7 @@ def ngram_contamination(
     how decontamination runs at 100 TB (``benchmark`` is then ignored).
     """
     if tokens_col is not None:
-        grams = lambda c: TX.span_hashes_tokens(F.col(c), n)  # noqa: E731
+        grams = lambda c: TX.span_hashes_tokens(c, n)  # noqa: E731
         if bench_grams is not None:
             bench = bench_grams.select("tok").withColumn("__hit", F.lit(1))
         else:

@@ -139,8 +139,6 @@ def bigram_lm_score(
        old eager default must pass ``bigram_broadcast_limit=4_000_000``
        explicitly to restore the previous plan shape.
     """
-    from pyspark.sql import Window
-
     from ..functions.text import bind_once
 
     if counts is not None:
@@ -187,6 +185,11 @@ def bigram_lm_score(
         # synthetic vocab): 6.8 s -> ~3 s. Real corpora (vocab ~1M+)
         # take the window path unchanged.
         t = F.col(tokens_col) if tokens_col else tokens(F.lower(F.col(text_col)))
+        # SQL-string twins of the hot projections below (one parse
+        # round trip instead of a gateway call per sub-expression —
+        # §7.3 driver latency; identical trees, double literals
+        # D-suffixed so they stay DOUBLE, not DECIMAL).
+        a_sql = f"{float(alpha)!r}D"
 
         def _pairs(tb):
             # arrays_zip (no lambda) over the two shifted slices: ~9%
@@ -201,13 +204,23 @@ def bigram_lm_score(
                 F.slice(tb, 2, F.size(tb) - 1),
             )
 
-        uni = df.select(F.explode(t).alias("w"))
-        c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
+        if tokens_col:
+            uni = df.selectExpr(f"explode(`{tokens_col}`) AS w")
+        else:
+            uni = df.select(F.explode(t).alias("w"))
+        c1 = uni.groupBy("w").agg(F.expr("count(*) AS c1"))
         # bind_once exists to stop Catalyst re-evaluating a COMPUTED
         # token expression per reference; on a materialized token
         # column it is pure interpreted-lambda overhead (measured at
         # sf10: 1.7 s -> 0.5 s for the pair construction alone)
-        pairs_col = _pairs(t) if tokens_col else bind_once(t, _pairs)
+        if tokens_col:
+            tc = f"`{tokens_col}`"
+            pairs_col = F.expr(
+                f"arrays_zip(slice({tc}, 1, size({tc}) - 1), "
+                f"slice({tc}, 2, size({tc}) - 1))"
+            )
+        else:
+            pairs_col = bind_once(t, _pairs)
         # limit 0 disables the gate WITHOUT paying the vocab-count job.
         # (Persisting c1 across the count and the c1h broadcast build
         # was measured at sf10 and REJECTED: +2.7% — the cache
@@ -246,8 +259,8 @@ def bigram_lm_score(
             )
         scored = (
             df.select(F.col(key_col), F.explode(pairs_col).alias("p"))
-            .withColumn("c12", F.count("*").over(Window.partitionBy("p")))
-            .withColumn("__w1", F.col("p")["0"])
+            .selectExpr("*", "count(*) OVER (PARTITION BY p) AS c12")
+            .selectExpr("*", "p.`0` AS __w1")
         )
         if v is None:
             # Window path without the eager vocab job (r11): V rides on
@@ -262,22 +275,20 @@ def bigram_lm_score(
             # tokenization built both), so carrying __v on the join
             # row is total; values are identical because V is the same
             # COUNT(*) over c1 either way.
-            c1w = c1.select(F.col("w").alias("__w1"), "c1").withColumn(
-                "__v", F.count("*").over(Window.partitionBy())
+            c1w = c1.selectExpr(
+                "w AS __w1", "c1", "count(*) OVER () AS __v"
             )
             if broadcast_unigrams:
                 c1w = F.broadcast(c1w)
             return (
                 scored.join(c1w, "__w1", "left")
-                .withColumn("c1", F.coalesce(F.col("c1"), F.lit(0)))
+                .withColumn("c1", F.expr("coalesce(c1, 0)"))
                 .groupBy(key_col)
                 .agg(
-                    F.avg(
-                        F.log(
-                            (F.col("c12") + F.lit(alpha))
-                            / (F.col("c1") + F.lit(alpha) * F.col("__v"))
-                        )
-                    ).alias("lm_score")
+                    F.expr(
+                        f"avg(ln((c12 + {a_sql}) / (c1 + {a_sql} * __v)))"
+                        " AS lm_score"
+                    )
                 )
             )
         if v is not None:

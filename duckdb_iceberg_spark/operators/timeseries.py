@@ -212,35 +212,40 @@ def resample(
     relation to join back. Grid rows are at most span/interval per
     key and never materialize globally; nothing touches the driver.
     """
-    from pyspark.sql import Window
-
-    tcol = F.col(ts)
+    # SQL-string projections: one parse round trip each instead of a
+    # gateway call per sub-expression (§7.3); trees identical to the
+    # builder forms (same casts, same max_by ordering struct).
+    t_sql = f"`{ts}`"
     if dict(df.dtypes).get(ts) == "timestamp_ntz":
         # TIMESTAMP_NTZ rejects numeric casts; go through the
         # (UTC-pinned) session-TZ timestamp first.
-        tcol = tcol.cast("timestamp")
-    bucket = (F.floor(tcol.cast("long") / interval_sec) * interval_sec).cast("long")
-    ordc = F.struct(F.col(ts), F.col(tiebreak)) if tiebreak else F.struct(F.col(ts))
-    per_bucket = (
-        df.select(F.col(key), bucket.alias("b"), ordc.alias("o"), F.col(value).cast("double").alias("v"))
-        .groupBy(key, "b")
-        .agg(F.max_by("v", "o").alias("v"))
+        t_sql = f"CAST(`{ts}` AS timestamp)"
+    ord_sql = (
+        f"struct(`{ts}`, `{tiebreak}`)" if tiebreak else f"struct(`{ts}`)"
     )
-    nxt = F.lead("b").over(Window.partitionBy(key).orderBy("b"))
-    return (
-        per_bucket.withColumn(
-            "gb",
-            F.sequence(
-                F.col("b"),
-                F.coalesce(nxt - F.lit(interval_sec), F.col("b")),
-                F.lit(interval_sec),
-            ),
+    per_bucket = (
+        df.selectExpr(
+            f"`{key}`",
+            f"CAST(floor(CAST({t_sql} AS long) / {interval_sec}) * "
+            f"{interval_sec} AS long) AS b",
+            f"{ord_sql} AS o",
+            f"CAST(`{value}` AS double) AS v",
         )
-        .select(key, "v", F.posexplode("gb").alias("pos", "b"))
-        .select(
-            F.col(key),
-            F.col("b").cast("timestamp").alias("bucket_ts"),
-            F.col("v").alias(value),
-            (F.col("pos") > 0).alias("is_gap"),
-        )
+        .groupBy(key, "b")
+        .agg(F.expr("max_by(v, o) AS v"))
+    )
+    lead = f"lead(b) OVER (PARTITION BY `{key}` ORDER BY b)"
+    return per_bucket.selectExpr(
+        f"`{key}`",
+        "b",
+        "v",
+        f"sequence(b, coalesce({lead} - {interval_sec}, b), "
+        f"{interval_sec}) AS gb",
+    ).selectExpr(
+        f"`{key}`", "v", "posexplode(gb) AS (pos, b)"
+    ).selectExpr(
+        f"`{key}`",
+        "CAST(b AS timestamp) AS bucket_ts",
+        f"v AS `{value}`",
+        "(pos > 0) AS is_gap",
     )
