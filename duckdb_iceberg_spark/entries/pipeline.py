@@ -127,7 +127,7 @@ def _pack_sequences(spark, sf):
     packed = PK.pack_sequences(d, "n_tokens", "doc_id", budget=2048, strata=["lang"])
     return (
         packed.groupBy("lang", "shard_id")
-        .agg(F.count("*").alias("ndocs"), F.sum("n_tokens").alias("tokens"))
+        .agg(F.expr("count(*) AS ndocs"), F.expr("sum(n_tokens) AS tokens"))
         .orderBy("lang", "shard_id")
     )
 

@@ -36,14 +36,26 @@ def _q1_pricing_summary(spark, sf):
         agg = (
             proj.filter(F.col("ship_day") <= F.lit("1998-09-01").cast("timestamp"))
             .groupBy("l_returnflag", "l_linestatus")
+            # SQL-string aggregates: one parse round trip each (§7.3
+            # driver latency), identical trees (D-suffixed doubles)
             .agg(
-                (F.sum("qty_c").cast("double") / F.lit(100.0)).alias("sum_qty"),
-                (F.sum("price_c").cast("double") / F.lit(100.0)).alias("sum_base_price"),
-                (F.sum("rev_c").cast("double") / F.lit(100.0)).alias("sum_disc_price"),
-                (F.sum("charge_c").cast("double") / F.lit(100.0)).alias("sum_charge"),
-                F.round(F.sum("qty_c").cast("double") / F.lit(100.0) / F.sum("n"), 4).alias("avg_qty"),
-                F.round(F.sum("disc_c").cast("double") / F.lit(100.0) / F.sum("n"), 4).alias("avg_disc"),
-                F.sum("n").alias("count_order"),
+                F.expr("cast(sum(qty_c) as double) / 100.0D AS sum_qty"),
+                F.expr(
+                    "cast(sum(price_c) as double) / 100.0D AS sum_base_price"
+                ),
+                F.expr(
+                    "cast(sum(rev_c) as double) / 100.0D AS sum_disc_price"
+                ),
+                F.expr("cast(sum(charge_c) as double) / 100.0D AS sum_charge"),
+                F.expr(
+                    "round(cast(sum(qty_c) as double) / 100.0D / sum(n), 4)"
+                    " AS avg_qty"
+                ),
+                F.expr(
+                    "round(cast(sum(disc_c) as double) / 100.0D / sum(n), 4)"
+                    " AS avg_disc"
+                ),
+                F.expr("sum(n) AS count_order"),
             )
         )
         return agg
@@ -110,8 +122,13 @@ def _q3_shipping_priority(spark, sf):
                 & (F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
                 & (F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
             )
-            .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
-            .agg((F.sum("rev_cents").cast("double") / F.lit(100.0)).alias("revenue"))
+            .groupBy(
+                "l_orderkey",
+                F.expr("date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate"),
+            )
+            .agg(
+                F.expr("cast(sum(rev_cents) as double) / 100.0D AS revenue")
+            )
         )
     else:
         o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
@@ -169,11 +186,13 @@ def _q5_local_supplier(spark, sf):
                 & (F.col("s_nationkey") == F.col("c_nationkey"))
             )
             .groupBy("c_nationkey")
-            .agg(F.sum("rev_cents").alias("rev_cents"))
+            .agg(F.expr("sum(rev_cents) AS rev_cents"))
             .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
             .groupBy("n_name")
-            .agg((F.sum("rev_cents").cast("double") / F.lit(100.0)).alias("revenue"))
+            .agg(
+                F.expr("cast(sum(rev_cents) as double) / 100.0D AS revenue")
+            )
         )
     per_cust_nat = (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -227,12 +246,11 @@ def _q6_revenue(spark, sf):
             # units and (+50 div 100) is decimal HALF_UP to cents —
             # identical to cast(dec*dec as decimal(18,2)) but in
             # codegen long arithmetic instead of BigDecimal
-            (
-                F.sum(
-                    ((_cents("l_extendedprice") * _cents("l_discount") + F.lit(50)) / F.lit(100)).cast("long")
-                ).cast("double")
-                / F.lit(100.0)
-            ).alias("revenue")
+            F.expr(
+                "cast(sum(cast((cast(round(l_extendedprice * 100) as long)"
+                " * cast(round(l_discount * 100) as long) + 50) / 100"
+                " as long)) as double) / 100.0D AS revenue"
+            )
         )
     )
 
@@ -262,8 +280,10 @@ def _q10_returned_items(spark, sf):
         # partial-aggregate exchange — filter + precomputed rev_cents.
         per_cust = (
             sp.filter(F.col("l_returnflag") == "R")
-            .groupBy(F.col("o_custkey").alias("c_custkey"))
-            .agg((F.sum("rev_cents").cast("double") / F.lit(100.0)).alias("revenue"))
+            .groupBy(F.expr("o_custkey AS c_custkey"))
+            .agg(
+                F.expr("cast(sum(rev_cents) as double) / 100.0D AS revenue")
+            )
         )
     else:
         per_cust = (
@@ -1147,10 +1167,10 @@ def _ewma_events(spark, sf):
 
     ev = _t(spark, sf, "events")
     out = ewma_fixed_point(ev, key="user_id", ts="ts", value="value")
-    return out.select(
+    return out.selectExpr(
         "user_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t"),
-        F.round("value", 2).alias("value"),
+        "date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS t",
+        "round(value, 2) AS value",
         "ewma",
     )
 
@@ -1447,19 +1467,21 @@ def _q18_large_orders(spark, sf):
         big = (
             sp.groupBy("l_orderkey")
             .agg(
-                (F.sum("qty_cents").cast("double") / F.lit(100.0)).alias("total_qty"),
-                F.max("o_custkey").alias("o_custkey"),
-                F.max("o_orderdate").alias("o_od"),
+                F.expr(
+                    "cast(sum(qty_cents) as double) / 100.0D AS total_qty"
+                ),
+                F.expr("max(o_custkey) AS o_custkey"),
+                F.expr("max(o_orderdate) AS o_od"),
             )
             .filter(F.col("total_qty") > 150)
         )
         return (
             big.join(c, big.o_custkey == c.c_custkey)
-            .select(
+            .selectExpr(
                 "c_custkey",
                 "c_name",
-                F.col("l_orderkey").alias("o_orderkey"),
-                F.date_format("o_od", "yyyy-MM-dd").alias("o_orderdate"),
+                "l_orderkey AS o_orderkey",
+                "date_format(o_od, 'yyyy-MM-dd') AS o_orderdate",
                 "total_qty",
             )
             .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
@@ -1500,14 +1522,23 @@ def _q19_disjunctive(spark, sf):
     li = _t(spark, sf, "lineitem")
     p = _t(spark, sf, "part")
     cond = (
-        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 10)) & (F.col("l_quantity").between(1, 20)))
-        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 20)) & (F.col("l_quantity").between(10, 30)))
-        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 30)) & (F.col("l_quantity").between(20, 40)))
+        "(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10"
+        " AND l_quantity BETWEEN 1 AND 20)"
+        " OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20"
+        " AND l_quantity BETWEEN 10 AND 30)"
+        " OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30"
+        " AND l_quantity BETWEEN 20 AND 40)"
     )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(cond)
-        .agg(F.sum((_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(18,2)")).cast("double").alias("revenue"))
+        .agg(
+            F.expr(
+                "cast(sum(cast(cast(l_extendedprice as decimal(18,2))"
+                " * (1 - cast(l_discount as decimal(18,2)))"
+                " as decimal(18,2))) as double) AS revenue"
+            )
+        )
     )
 
 
