@@ -718,6 +718,7 @@ def knn_join(
     dim: Optional[int] = None,
     exact: bool = False,
     broadcast_queries_max: int = 8192,
+    collect_queries_max: int = 65536,
 ) -> DataFrame:
     """For each left row, its k nearest right rows by cosine.
 
@@ -727,10 +728,25 @@ def knn_join(
     When the left side fits under ``broadcast_queries_max`` rows, the
     query panel is collected to the driver and scoring runs as ONE
     mapInArrow pass over the right side (_knn_scores_broadcast) — no
-    join materializes pair rows carrying both vectors. Past the cap
-    (or with ``broadcast_queries_max=0``, or without numpy/pyarrow)
-    the bucket-join shape is kept: it is the correct distributed plan
-    when BOTH sides are large.
+    join materializes pair rows carrying both vectors.
+
+    Between ``broadcast_queries_max`` and ``collect_queries_max`` left
+    rows, the panel is split into ``broadcast_queries_max``-sized
+    TILES and each tile runs its own kernel pass over the right side
+    (r12, the "two-sided blocked" extension): one extra right-side
+    scan per tile instead of the bucket join's pair materialization —
+    at L x R / 2^planes candidate pairs each carrying both vectors
+    (~0.5 KB/pair through the join and the window sort), a few extra
+    scans are orders of magnitude cheaper (measured: see
+    tools/exp_knn_blocked.py). Exactness: tiles partition the qids, so
+    the unioned candidate stream is exactly the single-panel stream,
+    and the unchanged final window resolves global top-k per qid. The
+    per-tile kernel keeps every bound the single-panel path proved
+    (closure size, per-batch partial top-k margin). Past
+    ``collect_queries_max`` (driver memory bound for the collected
+    panel), or with ``broadcast_queries_max=0``, or without
+    numpy/pyarrow, the bucket-join shape is kept: it is the correct
+    distributed plan when BOTH sides are genuinely large.
 
     ``dim`` (the LSH plane dimensionality) is inferred from the data
     when omitted; an explicit value is validated against the data —
@@ -749,8 +765,9 @@ def knn_join(
         except ImportError:
             qrows = None
         else:
-            qrows = l.limit(broadcast_queries_max + 1).collect()
-            if len(qrows) > broadcast_queries_max:
+            cap = max(collect_queries_max, broadcast_queries_max)
+            qrows = l.limit(cap + 1).collect()
+            if len(qrows) > cap:
                 qrows = None
     planes = None
     if not exact:
@@ -772,9 +789,20 @@ def knn_join(
             )
         planes = _planes(n_planes, dim, seed)
     if qrows is not None:
-        scored = _knn_scores_broadcast(
-            r, qrows, planes, l.schema["qid"], k
-        ).select("qid", "nid", F.round(F.col("cos"), 4).alias("cos"))
+        # one kernel pass per broadcast_queries_max-sized tile of the
+        # panel (a single tile — every declared entry — is the exact
+        # pre-r12 single-pass plan); tiles partition the qids, so the
+        # union is the same candidate stream the one-pass kernel emits
+        parts = [
+            _knn_scores_broadcast(
+                r, qrows[i : i + broadcast_queries_max], planes, l.schema["qid"], k
+            )
+            for i in range(0, len(qrows), broadcast_queries_max)
+        ] or [_knn_scores_broadcast(r, [], planes, l.schema["qid"], k)]
+        scored = parts[0]
+        for p in parts[1:]:
+            scored = scored.union(p)
+        scored = scored.select("qid", "nid", F.round(F.col("cos"), 4).alias("cos"))
     else:
         if exact:
             pairs = l.crossJoin(r)

@@ -1064,6 +1064,55 @@ def test_knn_join_broadcast_kernel_matches_join_shape(spark):
         assert new == old, f"exact={exact}"
 
 
+def test_knn_join_blocked_panel_matches_join_shape(spark):
+    """Past broadcast_queries_max (but under collect_queries_max) the
+    query panel is split into tiles, one kernel pass per tile (r12
+    two-sided blocked extension). Must be row-identical to the
+    bucket-join shape in both modes, with the adversarial rows of the
+    single-panel test (NULL / zero vectors on both sides) spread
+    across tile boundaries, and the tile count must show in the plan
+    as one MapInArrow subtree per tile."""
+    import random
+
+    random.seed(11)
+    dim = 8
+    mk = lambda: [random.uniform(-1, 1) for _ in range(dim)]  # noqa: E731
+    schema = "vec_id long, embedding array<float>"
+    lrows = [(i, mk()) for i in range(25)]
+    lrows[3] = (3, None)
+    lrows[9] = (9, [0.0] * dim)  # tile 2 (cap 8)
+    lrows[17] = (17, None)  # tile 3
+    L = spark.createDataFrame(lrows, schema)
+    R = spark.createDataFrame(
+        [(100 + i, mk()) for i in range(60)] + [(199, None), (198, [0.0] * dim)],
+        schema,
+    )
+    for exact in (False, True):
+        tiled = SIM.knn_join(
+            L, R, k=3, exact=exact, broadcast_queries_max=8
+        )
+        new = sorted(map(tuple, tiled.collect()))
+        old = sorted(
+            map(
+                tuple,
+                SIM.knn_join(
+                    L, R, k=3, exact=exact, broadcast_queries_max=0
+                ).collect(),
+            )
+        )
+        assert new == old, f"exact={exact}"
+        # post-execution AQE toString prints final + initial plans;
+        # count tiles in the final section only
+        plan = (
+            tiled._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert plan.count("MapInArrow") == 4  # ceil(25 / 8) tiles
+        assert "Join" not in plan  # no pair-materializing join
+
+
 def test_salt_autotuning(spark):
     """n_salts=None derives fan-out from the data: a planted hot key
     (half of all rows) tunes to a wide spread and still joins exactly;
