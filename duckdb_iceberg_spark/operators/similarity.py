@@ -642,33 +642,44 @@ def _knn_scores_broadcast(
                     Xb = X[xpos[rvalid]]
                     cos = (Xb @ Q.T) / (xn[xpos[rvalid]][:, None] * qn[None, :])
                     nid_valid = nids.take(pa.array(rvalid))
-                    for j, qid in enumerate(qids):
-                        col = cos[:, j]
-                        nan_mask = np.isnan(col)
-                        fin = col[~nan_mask]
-                        if len(fin) > k:
-                            kth = np.partition(fin, len(fin) - k)[len(fin) - k]
-                            vmask = (~nan_mask) & (col >= kth - 2e-4)
-                        else:
-                            vmask = ~nan_mask
-                        if nan_mask.any():
-                            # zero-norm rows: NaN cosine -> NULL; only
-                            # the k smallest nids can rank
-                            nan_idx = _k_smallest_nids(rvalid[nan_mask])
-                            _emit(
-                                qid,
-                                nids.take(pa.array(nan_idx)),
-                                np.full(len(nan_idx), np.nan),
-                            )
-                        keep = np.flatnonzero(vmask)
-                        if len(keep) == len(col):
-                            _emit(qid, nid_valid, col)
-                        elif len(keep):
-                            _emit(
-                                qid,
-                                nid_valid.take(pa.array(keep)),
-                                col[keep],
-                            )
+                    m = cos.shape[0]
+                    # partial top-k vectorized ACROSS the query axis
+                    # (r12 s4): the per-query python loop here was
+                    # O(queries-in-bucket) interpreter iterations per
+                    # (batch, bucket) — the kernel wall once the panel
+                    # is tiles of thousands. One column-wise partition
+                    # computes every query's k-th best at once; the
+                    # thresholds are the SAME np.partition element
+                    # values the per-column code produced (NaN filled
+                    # with -inf sorts below every finite cosine, so a
+                    # column with <= k finite values gets kth = -inf =
+                    # keep-all-finite, exactly the old else-branch;
+                    # NaN >= t is False, the old ~nan_mask term).
+                    if m > k:
+                        filled = np.where(np.isnan(cos), -np.inf, cos)
+                        kth = np.partition(filled, m - k, axis=0)[m - k]
+                        vmask = cos >= (kth - 2e-4)[None, :]
+                    else:
+                        vmask = ~np.isnan(cos)
+                    # zero-norm rows: NaN cosine -> NULL; only the k
+                    # smallest nids can rank. Per-column rule kept
+                    # verbatim, run only for the affected columns
+                    # (none, in a corpus without zero/NaN vectors).
+                    for j in np.flatnonzero(np.isnan(cos).any(axis=0)):
+                        nan_idx = _k_smallest_nids(
+                            rvalid[np.isnan(cos[:, j])]
+                        )
+                        _emit(
+                            qids[j],
+                            nids.take(pa.array(nan_idx)),
+                            np.full(len(nan_idx), np.nan),
+                        )
+                    rows_i, cols_j = np.nonzero(vmask)
+                    if len(rows_i):
+                        qarr = np.asarray(qids, dtype=object)
+                        out_qid.append(pa.array(qarr[cols_j].tolist()))
+                        out_nid.append(nid_valid.take(pa.array(rows_i)))
+                        out_cos.append(cos[rows_i, cols_j])
                 if len(rnull) and (qids or nulls):
                     nid_null = nids.take(pa.array(rnull))
                     nan_block = np.full(len(rnull), np.nan)
